@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration.
+  *
+  * The reference plans shuffle-vs-broadcast and spill thresholds itself
+  * (`determineShuffleMethod`, `spill_threshold.go` — see SURVEY §4); on
+  * Spark the equivalents are AQE (runtime re-plan, skew-join splitting,
+  * partition coalescing) plus the broadcast threshold, so we turn them all
+  * on here instead of re-implementing them.
+  */
+object GraftSession {
+  def builder(master: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(threads: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$threads]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
