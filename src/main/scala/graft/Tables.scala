@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Catalog of the driver-generated testdata tables (TESTDATA.md).
   *
@@ -17,9 +18,20 @@ object Tables {
 
   /** Columnar scan of one table. Keep filters/projections on the returned
     * DataFrame so they reach the parquet reader (PushedFilters/ReadSchema).
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright — we read it as a nanosecond long
+    * (legacy flag) and truncate to a microsecond timestamp, matching how
+    * DuckDB casts TIMESTAMP_NS → TIMESTAMP.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view for `spark.sql` queries. */
   def registerAll(spark: SparkSession, dir: String): Unit =
