@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query modules, each covering a slice of SURVEY.md §2. */
-  def modules: Seq[QueryModule] = Seq(Tpch, Relational, TimeSeries)
+  def modules: Seq[QueryModule] = Seq(Tpch, Relational, TimeSeries, TextQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash, Jaccard,
+  * fingerprinting, language-ID scoring and quality features.
+  *
+  * All of these are pure Catalyst expression combinators (higher-order
+  * array functions, codegen-friendly) — no UDFs, no driver-side loops, so
+  * they vectorize inside whole-stage codegen and scale linearly per
+  * partition. Counterpart surfaces in the reference: fulltext tokenizer
+  * (`pkg/monlp/tokenizer/`), `pkg/fulltext/` scoring.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Distinct word n-gram shingles from a token array. */
+  def wordShingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => array_join(slice(tk, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash signature: k independent permutation-min approximations,
+    * h_i = min over shingles of xxhash64(shingle, i). One pass, no explode.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
+
+  /** LSH band keys: signature split into `bands` bands of `rows` hashes;
+    * each band rendered as a join key string.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("_", slice(sig, b * rows + 1, lit(rows))))
+
+  /** 64-bit SimHash as a 64-element 0/1 array: bit b is the sign of the
+    * summed (+1/-1) votes from each token's b-th independent hash. The
+    * array representation keeps everything in higher-order codegen'd
+    * expressions (no variable-shift gymnastics) and slices directly into
+    * LSH chunks.
+    */
+  def simhashBits(tk: Column): Column =
+    transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(tk, lit(0L), (acc, t) =>
+        acc + when(xxhash64(t, b) > 0, 1L).otherwise(-1L)) > 0, lit(1L))
+        .otherwise(lit(0L)))
+
+  /** Hamming distance between two bit arrays. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic document fingerprint: md5 of whitespace-normalized
+    * lowercase text (cross-engine reproducible).
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Number of tokens matched against a stopword list (with multiplicity). */
+  def stopwordHits(tk: Column, stopwords: Seq[String]): Column =
+    size(filter(tk, t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Language-ID stopword tables (tiny n-gram-free heuristic). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "with", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "auf", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "un", "una", "con"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Predicted language: argmax of stopword hit counts (first language in
+    * table order wins ties; "und" = undetermined when no hits at all).
+    */
+  def langId(tk: Column): Column = {
+    val scored = langStopwords.map { case (lang, sw) => (lang, stopwordHits(tk, sw)) }
+    val best = scored.tail.foldLeft[Column](
+      struct(scored.head._2.as("hits"), lit(scored.head._1).as("lang"))) {
+      case (acc, (lang, hits)) =>
+        when(hits > acc.getField("hits"), struct(hits.as("hits"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** BPE-ish token-count estimate: whitespace words + punctuation marks +
+    * a length penalty for long words (≈ chars/4 extra sub-tokens).
+    */
+  def tokenEstimate(c: Column): Column = {
+    val tk = tokens(c)
+    val punct = size(split(c, "[\\.,;:!\\?]")) - 1
+    val longWordExtra = aggregate(tk, lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t) / 4.0).cast("long") - 1, lit(0L)))
+    (size(tk) + punct + longWordExtra).cast("long")
+  }
+}

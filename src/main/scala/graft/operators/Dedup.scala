@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - NOTHING here is O(n²) over the corpus. Candidate generation is
+  *    always a shuffle-join on a blocking key (LSH band, SimHash chunk,
+  *    explicit block), so cost is sum over buckets of |bucket|².
+  *  - Signatures are computed in one codegen'd pass per document (no
+  *    explode of shingles, no UDFs).
+  *  - Hot buckets (boilerplate docs) are the classic skew risk — AQE skew
+  *    join handles moderate cases; `maxBucket` drops degenerate buckets
+  *    (a bucket with 10⁶ identical-signature docs is itself a finding).
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized key: keeps the smallest id per group. */
+  def exact(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.withColumn("_key", keyCol)
+      .groupBy(col("_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .drop("_key")
+
+  /** Candidate pairs whose MinHash band keys collide; `a_id < b_id`. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+      .withColumn("_sh", wordShingles(col("_tk"), shingleN))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+      .select(col("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    // drop degenerate buckets before the self-join (skew guard)
+    val sized = sigs
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_band"), col("_key"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"))
+    val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"))
+    a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** MinHash LSH candidates verified with exact shingle Jaccard. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = df.select(col(idCol).as("_sid"),
+      wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+    cands
+      .join(sh.select(col("_sid").as("a_id"), col("_sh").as("_sha")), Seq("a_id"))
+      .join(sh.select(col("_sid").as("b_id"), col("_sh").as("_shb")), Seq("b_id"))
+      .withColumn("jacc", jaccard(col("_sha"), col("_shb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, LSH over 8 chunks of 8 bits
+    * (any pair with hamming ≤ 7 must share at least one exact chunk),
+    * verified with exact hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 7, "8x8 chunking only guarantees recall for hamming <= 7")
+    val sigs = df
+      .select(col(idCol).as("_id"), simhashBits(tokens(col(textCol))).as("_bits"))
+    val chunked = sigs.select(col("_id"), col("_bits"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          c => concat_ws("", slice(col("_bits"), c * 8 + 1, lit(8))))))
+      .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_key")
+    val sized = chunked
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_chunk"), col("_key"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val a = sized.select(col("_chunk"), col("_key"), col("_id").as("a_id"), col("_bits").as("_ba"))
+    val b = sized.select(col("_chunk"), col("_key"), col("_id").as("b_id"), col("_bits").as("_bb"))
+    a.join(b, Seq("_chunk", "_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hammingBits(col("_ba"), col("_bb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked exact n-gram Jaccard: all pairs WITHIN a blocking key. */
+  def blockedJaccard(
+      df: DataFrame, idCol: String, textCol: String, blockCols: Seq[Column],
+      shingleN: Int = 2): DataFrame = {
+    val base = df.select(
+      struct(blockCols: _*).as("_block"),
+      col(idCol).as("_id"),
+      wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+    val a = base.select(col("_block"), col("_id").as("a_id"), col("_sh").as("_sha"))
+    val b = base.select(col("_block"), col("_id").as("b_id"), col("_sh").as("_shb"))
+    a.join(b, Seq("_block")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("_sha"), col("_shb")).as("jacc"))
+  }
+}
