@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All query modules, each covering a slice of SURVEY.md §2. */
-  def modules: Seq[QueryModule] = Seq(Tpch, Relational, TimeSeries, TextQueries)
+  def modules: Seq[QueryModule] =
+    Seq(Tpch, Relational, TimeSeries, TextQueries, VectorQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector/embedding scalar functions over `ArrayType(FloatType)` columns —
+  * the reference's vecf32 function surface (registry
+  * `pkg/sql/plan/function/list_builtIn.go:6316`, SIMD kernels
+  * `pkg/vectorindex/metric/distance_func.go`): l1_norm, l2_norm,
+  * inner_product, cosine_similarity/distance, l2_distance[_sq],
+  * normalize_l2, subvector, vector_dims, summation.
+  *
+  * Implemented as higher-order Catalyst expression combinators
+  * (zip_with/aggregate/transform): codegen-friendly, no UDF serialization,
+  * and all arithmetic is double-widened so results are IEEE-deterministic
+  * across engines. Spark's whole-stage codegen is the analog of the
+  * reference's SIMD asm kernels.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ with double accumulation. */
+  def innerProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l1Norm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+
+  def l2NormSq(a: Column): Column = innerProduct(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
+
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dd = x.cast("double") - y.cast("double")
+      dd * dd
+    }), lit(0.0), (acc, x) => acc + x)
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0, lit(null)).otherwise(innerProduct(a, b) / denom)
+  }
+
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** Unit-normalized copy (null if zero vector), as array<double>. */
+  def normalizeL2(a: Column): Column =
+    when(l2Norm(a) === 0, lit(null))
+      .otherwise(transform(a, x => x.cast("double") / l2Norm(a)))
+
+  /** 1-based start, `len` elements — reference `subvector` semantics. */
+  def subvector(a: Column, start: Int, len: Int): Column =
+    slice(a, start, len)
+
+  def vectorDims(a: Column): Column = size(a)
+
+  /** Σ elements (reference `summation`). */
+  def summation(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double"))
+}

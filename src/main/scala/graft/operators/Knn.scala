@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+/** K-nearest-neighbor search over embedding columns.
+  *
+  * Reference surface: ProductL2 brute-force scoring join
+  * (`pkg/sql/colexec/productl2/types.go:54`) and the IVFFLAT index
+  * (`pkg/vectorindex/ivfflat/`, k-means build in `ivfflat/kmeans/`,
+  * planner rewrite `apply_indices_ivfflat.go`).
+  *
+  * Scale design:
+  *  - Brute force = broadcast the (small) query set against the
+  *    partitioned corpus: each partition scores its slice and emits
+  *    per-query partial top-k; the final top-k is a tiny shuffle. No
+  *    corpus-side shuffle at all.
+  *  - IVF = MLlib KMeans (distributed Lloyd's) builds nlist centroids;
+  *    the corpus is assigned once (one scan) and bucketed by cell;
+  *    queries probe only `nprobe` cells → the scored fraction is
+  *    nprobe/nlist of the corpus. At 100 TB the cell assignment would be
+  *    written out partitioned by cell so probes prune at the file level
+  *    (partition pruning ≙ the reference's index scan).
+  */
+object Knn {
+
+  sealed trait Metric
+  case object Cosine extends Metric // higher = closer
+  case object L2 extends Metric     // lower = closer
+
+  private def score(metric: Metric, a: Column, b: Column): Column = metric match {
+    case Cosine => cosineSimilarity(a, b)
+    case L2 => l2Distance(a, b)
+  }
+
+  private def rankOrder(metric: Metric): Column = metric match {
+    case Cosine => desc("_score")
+    case L2 => asc("_score")
+  }
+
+  /** Exact top-k neighbors for every query row. `queries` must be small
+    * enough to broadcast (it is hint-broadcast); the corpus is scanned
+    * once, partition-parallel.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, metric: Metric = Cosine): DataFrame = {
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .crossJoin(broadcast(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_score", score(metric, col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(rankOrder(metric), col("neighbor_id"))
+    scored
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col("query_id"), col("_rank").as("rank"),
+        col("neighbor_id"), col("_score").as("score"))
+  }
+
+  /** Exact all-pairs scoring (a_id < b_id) — small/blocked inputs only;
+    * the scalable near-dup path is LSH (see Dedup) or IVF cell-blocking.
+    */
+  def selfJoinPairs(df: DataFrame, idCol: String, vecCol: String,
+      metric: Metric = Cosine): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        score(metric, col("_va"), col("_vb")).as("score"))
+  }
+
+  /** IVF-FLAT: k-means cells + nprobe-cell search.
+    * Returns the same schema as [[bruteForceTopK]]; approximate (recall
+    * depends on nprobe/nlist).
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val featurized = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_cv"), array_to_vector(col(corpusVec)).as("_features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .fit(featurized)
+    // corpus side: one pass, every vector lands in exactly one cell
+    val cells = model.transform(featurized)
+      .select(col("neighbor_id"), col("_cv"), col("prediction").as("_cell"))
+    // centroid table is tiny: broadcast to rank cells per query
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }
+    val centroidDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("_cell", "_centroid")
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("_cdist", l2Distance(col("_qv"), col("_centroid")))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("_cdist"), col("_cell"))))
+      .filter(col("_crank") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+    // search only the probed cells
+    val scored = probes.join(cells, Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_score", l2Distance(col("_cv"), col("_qv")))
+    scored
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("_score"), col("neighbor_id"))))
+      .filter(col("_rank") <= k)
+      .select(col("query_id"), col("_rank").as("rank"),
+        col("neighbor_id"), col("_score").as("score"))
+  }
+
+  /** Elementwise centroid (mean vector) per group — `summation`/avg over
+    * the vector dimension via posexplode + re-assemble.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(col(groupCol), col("_pos"))
+      .agg(avg(col("_v").cast("double")).as("_mean"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_mean")))).as("_pairs"))
+      .select(col(groupCol), transform(col("_pairs"), p => p.getField("_mean")).as("centroid"))
+}

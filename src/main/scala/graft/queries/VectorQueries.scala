@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-search queries over `embeddings` (array<float>, 64-dim):
+  * norms/scalar functions, exact KNN (cosine + L2), per-label centroids,
+  * most-similar pairs, and IVF approximate KNN.
+  */
+object VectorQueries extends QueryModule {
+
+  // DuckDB helpers: double-widened elementwise math over list<float>
+  private val DOT =
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, 65)])"
+  private def norm(tbl: String) =
+    s"sqrt(list_sum([CAST($tbl.embedding[i] AS DOUBLE) * CAST($tbl.embedding[i] AS DOUBLE) for i in range(1, 65)]))"
+
+  // ------------------------------------------------------------ v1 norms
+  private def v1(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    Tables.embeddings(s, d).select(
+        col("vec_id"),
+        vectorDims(e).cast("long").as("dims"),
+        round(l1Norm(e), 6).as("l1"),
+        round(l2Norm(e), 6).as("l2"),
+        round(l2Norm(subvector(e, 1, 8)), 6).as("sub_l2"),
+        round(summation(e), 6).as("total"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val v1Sql =
+    """SELECT vec_id,
+      |  len(embedding) AS dims,
+      |  round(list_sum([abs(CAST(embedding[i] AS DOUBLE)) for i in range(1, 65)]), 6) AS l1,
+      |  round(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 65)])), 6) AS l2,
+      |  round(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, 9)])), 6) AS sub_l2,
+      |  round(list_sum([CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]), 6) AS total
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ v2 cosine KNN
+  private def v2(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(0, 1, 2)), "vec_id", "embedding",
+        k = 10, metric = Knn.Cosine)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v2Sql =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        $DOT / (${norm("a")} * ${norm("q")}) AS cos
+       |      FROM embeddings a, q WHERE a.vec_id <> q.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM s)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(cos, 6) AS score
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------- v3 L2 KNN
+  private def v3(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id").isin(3, 4)), "vec_id", "embedding",
+        k = 10, metric = Knn.L2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v3Sql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (3, 4)),
+      |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+      |        sqrt(list_sum([(CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+      |                       * (CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+      |                       for i in range(1, 65)])) AS dist
+      |      FROM embeddings a, q WHERE a.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, dist,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(dist, 6) AS score
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------- v4 centroids
+  private def v4(s: SparkSession, d: String): DataFrame =
+    Knn.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .select(col("label"),
+        round(l2Norm(col("centroid")), 6).as("centroid_norm"),
+        round(element_at(col("centroid"), 1), 6).as("first_dim"),
+        round(summation(col("centroid")), 6).as("total"))
+      .orderBy(col("label"))
+
+  private val v4Sql =
+    """WITH x AS (
+      |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+      |  GROUP BY label, i)
+      |SELECT label,
+      |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
+      |  round(max(CASE WHEN i = 1 THEN m END), 6) AS first_dim,
+      |  round(sum(m), 6) AS total
+      |FROM x GROUP BY label ORDER BY label""".stripMargin
+
+  // -------------------------------------------------- v5 similar pairs
+  private def v5(s: SparkSession, d: String): DataFrame =
+    Knn.selfJoinPairs(Tables.embeddings(s, d), "vec_id", "embedding", Knn.Cosine)
+      .orderBy(desc("score"), col("a_id"), col("b_id"))
+      .limit(20)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+
+  private val v5Sql =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS a_id, q.vec_id AS b_id,
+       |         $DOT / (${norm("a")} * ${norm("q")}) AS cos
+       |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id)
+       |SELECT a_id, b_id, round(cos, 6) AS score FROM p
+       |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------- v6 IVF KNN
+  /** Approximate — cell pruning is engine-local (KMeans init), so the
+    * driver records a rows-only check; KnnSpec asserts recall vs brute
+    * force.
+    */
+  private def v6(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Knn.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  override val queries: Seq[Q] = Seq(
+    Q("v1_vector_norms", v1, Some(v1Sql)),
+    Q("v2_knn_cosine", v2, Some(v2Sql)),
+    Q("v3_knn_l2", v3, Some(v3Sql)),
+    Q("v4_label_centroids", v4, Some(v4Sql)),
+    Q("v5_similar_pairs", v5, Some(v5Sql)),
+    Q("v6_ivf_knn", v6, None))
+}

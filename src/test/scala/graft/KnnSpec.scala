@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("ivf recall vs brute force is high") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, metric = Knn.L2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall too low")
+  }
+
+  test("brute force topk is symmetric-consistent and correctly ranked") {
+    val q = emb.filter(col("vec_id") === 0)
+    val res = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, metric = Knn.Cosine).collect()
+    assert(res.length == 5)
+    val scores = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "scores not descending")
+  }
+
+  test("group centroids have full dimensionality") {
+    val c = Knn.groupCentroids(emb, "label", "embedding")
+    assert(c.select(size(col("centroid"))).head.getInt(0) == 64)
+    assert(c.count() == 10)
+  }
+}
