@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All query modules, each covering a slice of SURVEY.md §2. */
   def modules: Seq[QueryModule] =
-    Seq(Tpch, Relational, TimeSeries, TextQueries, VectorQueries)
+    Seq(Tpch, Relational, TimeSeries, TextQueries, VectorQueries, FulltextQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 
