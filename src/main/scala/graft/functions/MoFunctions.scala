@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MySQL-dialect scalar functions the reference exposes that Spark lacks
+  * (registry: reference `pkg/sql/plan/function/list_builtIn.go`;
+  * 562 ids in `function_id.go:809`). Spark built-ins cover most families
+  * (SURVEY §2.13) — this module fills the gaps as *expression combinators*
+  * (stay inside whole-stage codegen; no UDF serialization) and registers
+  * SQL names for `spark.sql` users via `registerAll`.
+  */
+object MoFunctions {
+
+  // ----------------------------------------------------------- strings
+  /** ELT(n, e1, e2, ...): n-th string (1-based), NULL out of range. */
+  def elt(n: Column, options: Seq[Column]): Column =
+    element_at(array(options: _*), n.cast("int"))
+
+  /** FIELD(e, e1, e2, ...): 1-based index of e, 0 if absent. */
+  def field(e: Column, options: Seq[Column]): Column =
+    coalesce(array_position(array(options: _*), e), lit(0L))
+
+  /** INSERT(str, pos, len, newstr) — MySQL string splice (1-based). */
+  def insertStr(str: Column, pos: Column, len: Column, newstr: Column): Column =
+    when(pos < 1 || pos > length(str), str)
+      .otherwise(concat(
+        str.substr(lit(1), (pos - 1).cast("int")),
+        newstr,
+        str.substr((pos + len).cast("int"), length(str))))
+
+  /** MAKE_SET(bits, s1, s2, ...): comma-join of strings whose bit is set. */
+  def makeSet(bits: Column, options: Seq[String]): Column =
+    concat_ws(",", filter(
+      zip_with(array(options.map(lit): _*),
+        sequence(lit(0), lit(options.size - 1)),
+        (s, i) => when(bits.cast("long")
+          .bitwiseAND(pow(lit(2), i).cast("long")) =!= 0, s).otherwise(lit(null))),
+      x => x.isNotNull))
+
+  /** EXPORT_SET(bits, on, off, sep, n). */
+  def exportSet(bits: Column, on: String, off: String, sep: String, n: Int): Column =
+    concat_ws(sep, transform(sequence(lit(0), lit(n - 1)), i =>
+      when(bits.cast("long").bitwiseAND(pow(lit(2), i).cast("long")) =!= 0,
+        lit(on)).otherwise(lit(off))))
+
+  /** QUOTE(s): single-quoted with backslash escaping (MySQL semantics). */
+  def quote(s: Column): Column =
+    concat(lit("'"),
+      regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "'", "\\\\'"),
+      lit("'"))
+
+  /** SUBSTRING_INDEX is built-in; LEFT/RIGHT/REPEAT etc. are built-in. */
+
+  // ----------------------------------------------------------- datetime
+  /** Translate a MySQL date-format pattern to a JVM DateTimeFormatter
+    * pattern (`%Y-%m-%d %H:%i:%s` → `yyyy-MM-dd HH:mm:ss`).
+    */
+  def mysqlFormatToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM");   case 'c' => sb.append("M")
+          case 'd' => sb.append("dd");   case 'e' => sb.append("d")
+          case 'H' => sb.append("HH");   case 'k' => sb.append("H")
+          case 'h' | 'I' => sb.append("hh")
+          case 'i' => sb.append("mm")
+          case 's' | 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'p' => sb.append("a")
+          case 'W' => sb.append("EEEE"); case 'a' => sb.append("EEE")
+          case 'M' => sb.append("MMMM"); case 'b' => sb.append("MMM")
+          case 'j' => sb.append("DDD")
+          case '%' => sb.append("%")
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** MySQL DATE_FORMAT. */
+  def moDateFormat(ts: Column, mysqlFmt: String): Column =
+    date_format(ts, mysqlFormatToJava(mysqlFmt))
+
+  /** MySQL STR_TO_DATE (timestamp result). */
+  def moStrToDate(s: Column, mysqlFmt: String): Column =
+    to_timestamp(s, mysqlFormatToJava(mysqlFmt))
+
+  /** TO_DAYS: days since year 0 (MySQL convention: TO_DAYS('1970-01-01')
+    * = 719528).
+    */
+  def toDays(d: Column): Column =
+    (datediff(d, to_date(lit("1970-01-01"))) + 719528).cast("long")
+
+  /** FROM_DAYS: inverse of toDays. */
+  def fromDays(n: Column): Column =
+    date_add(to_date(lit("1970-01-01")), (n - 719528).cast("int"))
+
+  /** PERIOD_ADD(yyyymm, n months). */
+  def periodAdd(p: Column, n: Column): Column = {
+    val months = (p / 100).cast("long") * 12 + (p % 100) - 1 + n
+    ((months / 12).cast("long") * 100 + (months % 12) + 1).cast("long")
+  }
+
+  /** PERIOD_DIFF(p1, p2) in months. */
+  def periodDiff(p1: Column, p2: Column): Column =
+    (((p1 / 100).cast("long") * 12 + (p1 % 100)) -
+      ((p2 / 100).cast("long") * 12 + (p2 % 100))).cast("long")
+
+  /** YEARWEEK (ISO week convention). */
+  def yearweek(d: Column): Column =
+    (year(d) * 100 + weekofyear(d)).cast("long")
+
+  // --------------------------------------------------------------- math
+  /** MySQL TRUNCATE(x, d): toward zero. */
+  def truncateNum(x: Column, d: Int): Column = {
+    val f = math.pow(10, d)
+    (x * f).cast("long").cast("double") / f
+  }
+
+  // --------------------------------------------------------------- misc
+  /** INET_ATON: dotted quad → long. */
+  def inetAton(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    when(size(p) === 4,
+      element_at(p, 1).cast("long") * 16777216L +
+        element_at(p, 2).cast("long") * 65536L +
+        element_at(p, 3).cast("long") * 256L +
+        element_at(p, 4).cast("long"))
+  }
+
+  /** INET_NTOA: long → dotted quad. */
+  def inetNtoa(n: Column): Column =
+    concat_ws(".",
+      ((n / 16777216).cast("long") % 256).cast("string"),
+      ((n / 65536).cast("long") % 256).cast("string"),
+      ((n / 256).cast("long") % 256).cast("string"),
+      (n.cast("long") % 256).cast("string"))
+
+  def isIpv4(s: Column): Column =
+    s.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+
+  /** IS_UUID. */
+  def isUuid(s: Column): Column =
+    s.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
+  /** UUID_TO_BIN / BIN_TO_UUID (no swap flag). */
+  def uuidToBin(s: Column): Column = unhex(regexp_replace(s, "-", ""))
+  def binToUuid(b: Column): Column = {
+    val h = lower(hex(b))
+    concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** serial/serial_extract: pack columns into one sortable string key
+    * (reference `func_builtin_serial.go` packs into a binary tuple).
+    */
+  def serial(cols: Seq[Column]): Column = concat_ws("", cols.map(_.cast("string")): _*)
+  def serialExtract(s: Column, idx: Int): Column = split(s, "").getItem(idx)
+
+  /** Register SQL names usable from `spark.sql` (UDF fallback surface;
+    * the Column API above is the codegen'd fast path).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("mo_date_format",
+      (ts: java.sql.Timestamp, fmt: String) =>
+        if (ts == null || fmt == null) null
+        else {
+          val f = java.time.format.DateTimeFormatter.ofPattern(mysqlFormatToJava(fmt))
+          ts.toLocalDateTime.format(f)
+        })
+    spark.udf.register("to_days", (d: java.sql.Date) =>
+      if (d == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(d.toLocalDate.toEpochDay + 719528L))
+    spark.udf.register("period_add", (p: Long, n: Long) => {
+      val months = (p / 100) * 12 + (p % 100) - 1 + n
+      (months / 12) * 100 + (months % 12) + 1
+    })
+    spark.udf.register("period_diff", (p1: Long, p2: Long) =>
+      ((p1 / 100) * 12 + (p1 % 100)) - ((p2 / 100) * 12 + (p2 % 100)))
+    spark.udf.register("inet_aton", (ip: String) => {
+      val p = if (ip == null) Array.empty[String] else ip.split("\\.")
+      if (p.length != 4) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(
+        p(0).toLong * 16777216L + p(1).toLong * 65536L + p(2).toLong * 256L + p(3).toLong)
+    })
+    spark.udf.register("inet_ntoa", (n: Long) =>
+      s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
+  }
+}

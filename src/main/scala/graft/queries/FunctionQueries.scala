@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{MoFunctions => M}
+import graft.functions.MoFunctions.{elt => _, quote => _, _}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function conformance queries — one per §2.13 family, each
+  * verifying a batch of functions (Spark built-ins + MoFunctions gaps)
+  * against DuckDB equivalents.
+  */
+object FunctionQueries extends QueryModule {
+
+  // ------------------------------------------------------------ strings
+  private def fn1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        M.elt(lit(1) + col("c_custkey") % 3, Seq(lit("x"), lit("y"), lit("z"))).as("elt_val"),
+        field(col("c_mktsegment"),
+          Seq("BUILDING", "MACHINERY", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE").map(lit))
+          .as("fld"),
+        insertStr(col("c_name"), lit(1), lit(8), lit("Cust")).as("ins"),
+        makeSet(col("c_custkey") % 8, Seq("a", "b", "c")).as("mkset"),
+        exportSet(col("c_custkey") % 4, "Y", "N", ",", 4).as("expset"),
+        M.quote(concat(lit("o'"), col("c_name"))).as("qt"),
+        substring_index(col("c_name"), "#", 1).as("subidx"),
+        expr("left(c_name, 4)").as("lft"),
+        expr("right(c_name, 3)").as("rgt"),
+        repeat(col("c_mktsegment"), 2).as("rpt"),
+        reverse(col("c_name")).as("rev"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("lpd"))
+      .orderBy(col("c_custkey"))
+
+  private val fn1Sql =
+    """SELECT c_custkey,
+      |  (['x','y','z'])[CAST(1 + c_custkey % 3 AS INT)] AS elt_val,
+      |  CAST(coalesce(list_position(['BUILDING','MACHINERY','FURNITURE','HOUSEHOLD','AUTOMOBILE'],
+      |                              c_mktsegment), 0) AS BIGINT) AS fld,
+      |  'Cust' || substring(c_name, 9) AS ins,
+      |  coalesce(array_to_string(list_filter(['a','b','c'],
+      |    (x, i) -> ((c_custkey % 8) >> (i - 1)) & 1 = 1), ','), '') AS mkset,
+      |  array_to_string([CASE WHEN ((c_custkey % 4) >> (i - 1)) & 1 = 1
+      |                        THEN 'Y' ELSE 'N' END for i in range(1, 5)], ',') AS expset,
+      |  chr(39) || replace('o' || chr(39) || c_name, chr(39), chr(92) || chr(39)) || chr(39) AS qt,
+      |  split_part(c_name, '#', 1) AS subidx,
+      |  left(c_name, 4) AS lft,
+      |  right(c_name, 3) AS rgt,
+      |  repeat(c_mktsegment, 2) AS rpt,
+      |  reverse(c_name) AS rev,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lpd
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- datetime
+  private def fn2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        moDateFormat(col("o_orderdate"), "%Y-%m-%d").as("fmt_ymd"),
+        moDateFormat(col("o_orderdate"), "%M %d, %Y").as("fmt_long"),
+        moDateFormat(col("o_orderdate"), "%W").as("fmt_weekday"),
+        toDays(to_date(col("o_orderdate"))).as("td"),
+        periodAdd(lit(202411L), col("o_orderkey") % 30).as("pa"),
+        periodDiff(lit(202501L), lit(202411L) - col("o_orderkey") % 5).as("pd"),
+        yearweek(col("o_orderdate")).as("yw"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        last_day(to_date(col("o_orderdate"))).as("lastd"),
+        expr("timestampdiff(DAY, o_orderdate, timestamp'1998-01-01 00:00:00')").as("tsd"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mon_start"))
+      .orderBy(col("o_orderkey"))
+
+  private val fn2Sql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS fmt_ymd,
+      |  strftime(o_orderdate, '%B %d, %Y') AS fmt_long,
+      |  strftime(o_orderdate, '%A') AS fmt_weekday,
+      |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS td,
+      |  ((202411 // 100) * 12 + (202411 % 100) - 1 + (o_orderkey % 30)) // 12 * 100
+      |    + ((202411 // 100) * 12 + (202411 % 100) - 1 + (o_orderkey % 30)) % 12 + 1 AS pa,
+      |  ((202501 // 100) * 12 + 202501 % 100)
+      |    - (((202411 - o_orderkey % 5) // 100) * 12 + (202411 - o_orderkey % 5) % 100) AS pd,
+      |  CAST(year(o_orderdate) * 100 + weekofyear(o_orderdate) AS BIGINT) AS yw,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |  last_day(CAST(o_orderdate AS DATE)) AS lastd,
+      |  datediff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS tsd,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- math
+  private def fn3(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+        col("p_partkey"),
+        conv(col("p_partkey").cast("string"), 10, 16).as("hx"),
+        bin(col("p_partkey")).as("bn"),
+        conv(col("p_partkey").cast("string"), 10, 8).as("oc"),
+        truncateNum(col("p_retailprice") / 7, 2).as("tr"),
+        bit_count(col("p_partkey")).cast("int").as("bitcnt"),
+        round(atan2(col("p_retailprice"), col("p_partkey") + 1), 6).as("at2"),
+        round(degrees(col("p_retailprice") / 1000), 6).as("deg"),
+        round(log2(col("p_retailprice")), 6).as("lg2"),
+        round(expr("cot(p_partkey + 1.5)"), 6).as("ct"),
+        signum(col("p_retailprice") - 910).cast("double").as("sgn"),
+        greatest(col("p_size"), lit(25)).cast("int").as("grt"),
+        least(col("p_size"), lit(25)).cast("int").as("lst"))
+      .orderBy(col("p_partkey"))
+
+  private val fn3Sql =
+    """SELECT p_partkey,
+      |  upper(to_hex(p_partkey)) AS hx,
+      |  bin(p_partkey) AS bn,
+      |  to_base(p_partkey, 8) AS oc,
+      |  trunc((p_retailprice / 7) * 100) / 100 AS tr,
+      |  CAST(bit_count(p_partkey) AS INTEGER) AS bitcnt,
+      |  round(atan2(p_retailprice, p_partkey + 1), 6) AS at2,
+      |  round(degrees(p_retailprice / 1000), 6) AS deg,
+      |  round(log2(p_retailprice), 6) AS lg2,
+      |  round(cot(p_partkey + 1.5), 6) AS ct,
+      |  CAST(sign(p_retailprice - 910) AS DOUBLE) AS sgn,
+      |  CAST(greatest(p_size, 25) AS INTEGER) AS grt,
+      |  CAST(least(p_size, 25) AS INTEGER) AS lst
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- json
+  private def fn4(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"),
+        element_at(json_object_keys(col("props")), 1).as("first_key"),
+        json_array_length(concat(lit("["), get_json_object(col("props"), "$.k"), lit("]")))
+          .cast("long").as("arr_len"),
+        to_json(struct(col("event_id").as("id"))).as("packed"))
+      .orderBy(col("event_id"))
+
+  private val fn4Sql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+      |  json_keys(props)[1] AS first_key,
+      |  CAST(json_array_length('[' || json_extract_string(props, '$.k') || ']') AS BIGINT) AS arr_len,
+      |  '{"id":' || CAST(event_id AS VARCHAR) || '}' AS packed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- misc
+  private def fn5(s: SparkSession, d: String): DataFrame = {
+    val ip = concat(lit("10.0."), (col("c_custkey") % 256).cast("string"),
+      lit("."), (col("c_custkey") % 100).cast("string"))
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        inetAton(ip).as("ipa"),
+        inetNtoa(col("c_custkey") * 7919 % 4294967296L).as("ipn"),
+        isIpv4(ip).as("is_ip"),
+        isIpv4(col("c_name")).as("not_ip"),
+        isUuid(lit("550e8400-e29b-41d4-a716-446655440000")).as("is_uuid"),
+        binToUuid(uuidToBin(lit("550E8400-E29B-41D4-A716-446655440000"))).as("uuid_rt"),
+        md5(col("c_name")).as("md5_name"),
+        sha2(col("c_name"), 256).as("sha_name"),
+        serial(Seq(col("c_custkey"), col("c_mktsegment"))).as("ser"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val fn5Sql =
+    """SELECT c_custkey,
+      |  10 * 16777216 + 0 * 65536 + (c_custkey % 256) * 256 + (c_custkey % 100) AS ipa,
+      |  CAST((c_custkey * 7919 % 4294967296) // 16777216 % 256 AS VARCHAR) || '.' ||
+      |    CAST((c_custkey * 7919 % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
+      |    CAST((c_custkey * 7919 % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
+      |    CAST((c_custkey * 7919 % 4294967296) % 256 AS VARCHAR) AS ipn,
+      |  regexp_matches('10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR),
+      |    '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') AS is_ip,
+      |  regexp_matches(c_name,
+      |    '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') AS not_ip,
+      |  true AS is_uuid,
+      |  '550e8400-e29b-41d4-a716-446655440000' AS uuid_rt,
+      |  md5(c_name) AS md5_name,
+      |  sha256(c_name) AS sha_name,
+      |  CAST(c_custkey AS VARCHAR) || chr(1) || c_mktsegment AS ser
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("fn1_string_funcs", fn1, Some(fn1Sql)),
+    Q("fn2_datetime_funcs", fn2, Some(fn2Sql)),
+    Q("fn3_math_funcs", fn3, Some(fn3Sql)),
+    Q("fn4_json_funcs", fn4, Some(fn4Sql)),
+    Q("fn5_misc_funcs", fn5, Some(fn5Sql)))
+}
