@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregate-function coverage (reference `pkg/sql/colexec/aggexec/`,
+  * function ids `function_id.go:21-62`): statistical aggregates, exact
+  * median/percentiles, ordered group_concat, max_by/min_by/any_value,
+  * bitmap and HLL sketch aggregates.
+  */
+object AggregateQueries extends QueryModule {
+
+  // --------------------------------------------- statistical aggregates
+  private def a1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+        round(var_samp(col("l_quantity")), 6).as("v_samp"),
+        round(var_pop(col("l_quantity")), 6).as("v_pop"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("med"),
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"))
+      .orderBy(col("l_returnflag"))
+
+  private val a1Sql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_samp,
+      |  round(stddev_pop(l_quantity), 6) AS sd_pop,
+      |  round(var_samp(l_quantity), 6) AS v_samp,
+      |  round(var_pop(l_quantity), 6) AS v_pop,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS med,
+      |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  min(l_quantity) AS mn,
+      |  max(l_quantity) AS mx
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- ordered group_concat
+  private def a2(s: SparkSession, d: String): DataFrame = {
+    val byName = array_sort(collect_list(col("c_name")))
+    val byBal = transform(
+      reverse(array_sort(collect_list(struct(col("c_acctbal"), col("c_name"))))),
+      x => x.getField("c_name"))
+    Tables.customer(s, d).filter(col("c_custkey") < 100)
+      .groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", byName).as("names_alpha"),
+        concat_ws(",", byBal).as("names_by_bal"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val a2Sql =
+    """SELECT c_mktsegment,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names_alpha,
+      |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name DESC) AS names_by_bal,
+      |  count(*) AS n
+      |FROM customer WHERE c_custkey < 100
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --------------------------------------------- max_by/min_by/any_value
+  private def a3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("c_name"), col("c_acctbal")).as("richest"),
+        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        any_value(col("n_nationkey")).cast("int").as("nk"),
+        count_if(col("c_acctbal") > 0).as("n_positive"))
+      .orderBy(col("n_name"))
+
+  private val a3Sql =
+    """SELECT n_name,
+      |  max_by(c_name, c_acctbal) AS richest,
+      |  min_by(c_name, c_acctbal) AS poorest,
+      |  CAST(any_value(n_nationkey) AS INTEGER) AS nk,
+      |  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------- bitmap aggregates
+  /** Exact distinct via bitmap sketch == COUNT(DISTINCT) oracle; also
+    * exercises the two-level merge path (bitmap_or_agg over per-segment
+    * bitmaps == global distinct).
+    */
+  private def a4(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val perSeg = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(Sketches.bitmap_construct_agg(col("o_custkey")).as("bm"))
+    val bmCount = udf((b: Array[Byte]) => Sketches.bitmapCount(b))
+    val perSegCounts = perSeg
+      .select(col("c_mktsegment"), bmCount(col("bm")).as("n_distinct"))
+    val total = perSeg
+      .agg(Sketches.bitmap_or_agg(col("bm")).as("merged"))
+      .select(lit("__ALL__").as("c_mktsegment"), bmCount(col("merged")).as("n_distinct"))
+    perSegCounts.union(total).orderBy(col("c_mktsegment"))
+  }
+
+  private val a4Sql =
+    """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_distinct
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT '__ALL__', count(DISTINCT o_custkey)
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ----------------------------------------------------- HLL aggregates
+  /** Approximate — estimate is hash-dependent, so no cross-engine value
+    * oracle (SketchSpec bounds the relative error); exercises
+    * hll_add → hll_merge re-aggregation.
+    */
+  private def a5(s: SparkSession, d: String): DataFrame = {
+    val hllCard = udf((b: Array[Byte]) => Sketches.hllEstimate(b))
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(Sketches.hll_add(col("l_orderkey")).as("sketch"))
+    val per = perFlag.select(col("l_returnflag"), hllCard(col("sketch")).as("est"))
+    val merged = perFlag.agg(Sketches.hll_merge(col("sketch")).as("m"))
+      .select(lit("__ALL__").as("l_returnflag"), hllCard(col("m")).as("est"))
+    per.union(merged).orderBy(col("l_returnflag"))
+  }
+
+  override val queries: Seq[Q] = Seq(
+    Q("a1_stats_aggs", a1, Some(a1Sql)),
+    Q("a2_group_concat", a2, Some(a2Sql)),
+    Q("a3_max_min_by", a3, Some(a3Sql)),
+    Q("a4_bitmap_aggs", a4, Some(a4Sql)),
+    Q("a5_hll_sketch", a5, None))
+}
