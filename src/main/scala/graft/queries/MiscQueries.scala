@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling + table-function + lateral coverage (reference sample operator
+  * §2.6, TableFunction §2.10, Apply/lateral §2.3).
+  */
+object MiscQueries extends QueryModule {
+
+  // ------------------------------------------- deterministic group sample
+  private def sp1(s: SparkSession, d: String): DataFrame =
+    Sampling.deterministicSample(
+        Tables.orders(s, d).withColumn("blk", (col("o_custkey") % 10).cast("long")),
+        Seq(col("blk")), 2, col("o_orderkey"))
+      .select(col("blk"), col("o_orderkey"))
+      .orderBy(col("blk"), col("o_orderkey"))
+
+  private val sp1Sql =
+    """SELECT blk, o_orderkey FROM (
+      |  SELECT o_custkey % 10 AS blk, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey % 10
+      |                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2 ORDER BY blk, o_orderkey""".stripMargin
+
+  // ------------------------------------- random sample: sizes invariant
+  private def sp2(s: SparkSession, d: String): DataFrame =
+    Sampling.randomSample(
+        Tables.customer(s, d).withColumn("blk", (col("c_custkey") % 7).cast("long")),
+        Seq(col("blk")), 5)
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("blk"))
+
+  private val sp2Sql =
+    """SELECT c_custkey % 7 AS blk,
+      |  least(count(*), 5) AS n_sampled
+      |FROM customer GROUP BY blk ORDER BY blk""".stripMargin
+
+  // -------------------------------------------------- generate_series
+  private def tf1(s: SparkSession, d: String): DataFrame =
+    s.range(1)
+      .select(explode(sequence(lit(1L), lit(1000L), lit(7L))).as("n"))
+      .select(col("n"), (col("n") * col("n")).as("sq"))
+      .filter(col("n") % 2 === 1)
+      .orderBy(col("n"))
+
+  private val tf1Sql =
+    """SELECT n, n * n AS sq FROM (
+      |  SELECT unnest(generate_series(1, 1000, 7)) AS n) t
+      |WHERE n % 2 = 1 ORDER BY n""".stripMargin
+
+  // ------------------------------------------------------ unnest (json)
+  private def tf2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_id"),
+        explode(array(col("k"), col("k") * 2, col("k") * 3)).as("kx"))
+      .groupBy(col("event_id")).agg(sum(col("kx")).as("ksum"), count(lit(1)).as("n"))
+      .orderBy(col("event_id"))
+
+  private val tf2Sql =
+    """SELECT event_id,
+      |  CAST(sum(kx) AS BIGINT) AS ksum, count(*) AS n
+      |FROM (
+      |  SELECT event_id,
+      |    unnest([CAST(json_extract_string(props, '$.k') AS BIGINT) * m]) AS kx
+      |  FROM events, (VALUES (1), (2), (3)) mult(m)) t
+      |GROUP BY event_id ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- lateral (Apply)
+  /** Correlated lateral subquery: top-2 customers per nation — the
+    * reference's Apply operator (`pkg/sql/colexec/apply/types.go:30-43`).
+    */
+  private def tf3(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
+  private val tf3Sql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("sp1_group_sample", sp1, Some(sp1Sql)),
+    Q("sp2_random_sample_sizes", sp2, Some(sp2Sql)),
+    Q("tf1_generate_series", tf1, Some(tf1Sql)),
+    Q("tf2_unnest", tf2, Some(tf2Sql)),
+    Q("tf3_lateral_topn", tf3, Some(tf3Sql)))
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.14): the reference has no
+  * continuous-query engine — its streaming-adjacent features are CDC
+  * tasks (`pkg/cdc/`) and the time-window operator (§2.8). Spark's
+  * capability-equivalent: streaming reads + watermarked window aggregates
+  * + stateful sessionization; CDC ≙ a streaming source feeding
+  * `foreachBatch` sinks.
+  */
+object StreamingWindows {
+
+  /** Schema of the events stream as stored (ts is TIMESTAMP(NANOS) in
+    * parquet → read as nanosecond long, converted after).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Watermarked tumbling-window aggregate (append-mode capable). */
+  def tumblingCounts(events: DataFrame, width: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("_wstart"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Run a streaming query over a (static) parquet dir through the memory
+    * sink until all available data is processed; returns the result table.
+    */
+  def runToCompletion(spark: SparkSession, streaming: DataFrame,
+      name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streaming.writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  final case class SessionEvent(user_id: Long, ts_micros: Long, value: Double)
+  final case class UserSession(
+      user_id: Long, session_start: Long, session_end: Long, n_events: Int,
+      total_value: Double)
+
+  /** Gap-based sessionization with explicit state —
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset custom-state
+    * surface). Emits a session when `gapMicros` of silence passes.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionEvent], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[List[SessionEvent]]) =>
+          // batch-mode usage: all rows for the key arrive at once
+          val sorted = rows.toList.sortBy(e => (e.ts_micros, e.value))
+          val sessions = scala.collection.mutable.ListBuffer[UserSession]()
+          var cur = List.empty[SessionEvent]
+          sorted.foreach { e =>
+            if (cur.nonEmpty && e.ts_micros - cur.head.ts_micros > gapMicros) {
+              sessions += close(userId, cur.reverse)
+              cur = Nil
+            }
+            cur = e :: cur
+          }
+          if (cur.nonEmpty) sessions += close(userId, cur.reverse)
+          sessions.iterator
+      }
+  }
+
+  private def close(userId: Long, evs: List[SessionEvent]): UserSession =
+    UserSession(userId, evs.head.ts_micros, evs.last.ts_micros, evs.size,
+      evs.map(_.value).sum)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.StreamingWindows
+import graft.streaming.StreamingWindows.{SessionEvent, UserSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts equal the batch computation") {
+    // streaming sources need a directory, not a file
+    val dir = java.nio.file.Files.createTempDirectory("stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streaming = StreamingWindows.tumblingCounts(
+      StreamingWindows.readEvents(spark, dir.toString))
+    val got = StreamingWindows.runToCompletion(spark, streaming, "stream_out")
+      .select(col("_wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(got == batch)
+  }
+
+  test("sessionize splits on gaps and aggregates per session") {
+    import spark.implicits._
+    val minute = 60L * 1000000
+    val events = Seq(
+      SessionEvent(1L, 0 * minute, 1.0),
+      SessionEvent(1L, 5 * minute, 2.0),
+      SessionEvent(1L, 100 * minute, 3.0), // > 30min gap → new session
+      SessionEvent(2L, 0 * minute, 4.0)).toDS()
+    val sessions = StreamingWindows.sessionize(events, gapMicros = 30 * minute)
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(sessions.length == 3)
+    assert(sessions(0) == UserSession(1L, 0, 5 * minute, 2, 3.0))
+    assert(sessions(1) == UserSession(1L, 100 * minute, 100 * minute, 1, 3.0))
+    assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
+  }
+}
