@@ -25,18 +25,32 @@ object TextFunctions {
         i => array_join(slice(tk, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"))
-
-  /** MinHash signature: k independent permutation-min approximations,
-    * h_i = min over shingles of xxhash64(shingle, i). One pass, no explode.
+  /** Exact Jaccard similarity of two (distinct-element) arrays.
+    * |A∪B| is derived as |A|+|B|-|A∩B| — one set operation per pair
+    * instead of two (2× cheaper in the all-pairs hot path).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** MinHash signature: k permutation-min approximations. Each shingle is
+    * string-hashed ONCE (xxhash64), then the k "permutations" are cheap
+    * universal-hash mixes of the 32-bit base — 64 multiply-adds instead of
+    * 64 string hashes per shingle (the classic a·x+b trick; overflow-free
+    * in the 2^32 × small-constant range, so no ANSI wrap dependence).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    // affine permutations mod prime: (a_i·x + b_i) mod p is 2-universal
+    // (a plain a·x+b WITHOUT the mod is order-preserving — every "min"
+    // would pick the same shingle). Products stay ≤ 2^40: no overflow.
+    val p = lit(1000000007L)
+    val bases = transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0xffffffffL)))
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(sh, i))))
+      i => array_min(transform(bases,
+        h => pmod(h * (i * 2 + 1) + i * lit(2654435761L), p))))
+  }
 
   /** LSH band keys: signature split into `bands` bands of `rows` hashes;
     * each band rendered as a join key string.
@@ -51,11 +65,16 @@ object TextFunctions {
     * expressions (no variable-shift gymnastics) and slices directly into
     * LSH chunks.
     */
-  def simhashBits(tk: Column): Column =
+  def simhashBits(tk: Column): Column = {
+    // one string hash per token; per-bit votes from a multiplicative mix
+    // of the 32-bit base (middle bit extracted after odd-constant multiply)
+    val bases = transform(tk, t => xxhash64(t).bitwiseAND(lit(0xffffffffL)))
     transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(tk, lit(0L), (acc, t) =>
-        acc + when(xxhash64(t, b) > 0, 1L).otherwise(-1L)) > 0, lit(1L))
-        .otherwise(lit(0L)))
+      when(aggregate(bases, lit(0L), (acc, h) =>
+        acc + when(pmod(h * (b * 2 + 1) + b * lit(2654435761L), lit(1000003L))
+          .bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+  }
 
   /** Hamming distance between two bit arrays. */
   def hammingBits(a: Column, b: Column): Column =

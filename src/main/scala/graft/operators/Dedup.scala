@@ -66,19 +66,25 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, LSH over 8 chunks of 8 bits
-    * (any pair with hamming ≤ 7 must share at least one exact chunk),
-    * verified with exact hamming distance.
+  /** SimHash near-dup pairs: 64-bit signature, LSH over `maxHamming + 1`
+    * equal chunks (pigeonhole: a pair within `maxHamming` bit flips must
+    * share at least one exact chunk), verified with exact hamming
+    * distance. Fewer/wider chunks = exponentially fewer random bucket
+    * collisions — with 8-bit chunks every corpus ≥ a few thousand docs
+    * collides on every key (2^8 keys), which goes quadratic at scale; a
+    * maxHamming of 3 gets 16-bit chunks (2^16 keys).
     */
   def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7,
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming <= 7, "8x8 chunking only guarantees recall for hamming <= 7")
+    require(maxHamming <= 7, "chunking supports maxHamming <= 7")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks // last (64 mod nChunks) bits join no chunk
     val sigs = df
       .select(col(idCol).as("_id"), simhashBits(tokens(col(textCol))).as("_bits"))
     val chunked = sigs.select(col("_id"), col("_bits"),
-        posexplode(transform(sequence(lit(0), lit(7)),
-          c => concat_ws("", slice(col("_bits"), c * 8 + 1, lit(8))))))
+        posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+          c => concat_ws("", slice(col("_bits"), c * chunkBits + 1, lit(chunkBits))))))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_key")
     val sized = chunked
       .withColumn("_bucket_n",

@@ -50,12 +50,23 @@ object Knn {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, metric: Metric = Cosine): DataFrame = {
-    val scored = corpus
-      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
-      .crossJoin(broadcast(
-        queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))))
+    // cosine: precompute norms once per row BEFORE the join so the
+    // per-pair work is a single dot product
+    val (cSide, qSide, scoreCol) = metric match {
+      case Cosine => (
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
+          l2Norm(col(corpusVec)).as("_cn")),
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
+          l2Norm(col(queryVec)).as("_qn")),
+        innerProduct(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")))
+      case L2 => (
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")),
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv")),
+        l2Distance(col("_cv"), col("_qv")))
+    }
+    val scored = cSide.crossJoin(broadcast(qSide))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_score", score(metric, col("_cv"), col("_qv")))
+      .withColumn("_score", scoreCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(rankOrder(metric), col("neighbor_id"))
     scored
@@ -69,12 +80,26 @@ object Knn {
     * the scalable near-dup path is LSH (see Dedup) or IVF cell-blocking.
     */
   def selfJoinPairs(df: DataFrame, idCol: String, vecCol: String,
-      metric: Metric = Cosine): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        score(metric, col("_va"), col("_vb")).as("score"))
+      metric: Metric = Cosine): DataFrame = metric match {
+    case Cosine =>
+      // normalize once per row (norm as its own column so it is evaluated
+      // once, not per element): per-pair cost collapses to one dot product
+      val n = df
+        .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+          l2Norm(col(vecCol)).as("_n"))
+        .select(col("_id"),
+          transform(col("_v"), x => x.cast("double") / col("_n")).as("_nv"))
+      val a = n.select(col("_id").as("a_id"), col("_nv").as("_va"))
+      val b = n.select(col("_id").as("b_id"), col("_nv").as("_vb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          innerProduct(col("_va"), col("_vb")).as("score"))
+    case L2 =>
+      val a = df.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
+      val b = df.select(col(idCol).as("b_id"), col(vecCol).as("_vb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          score(metric, col("_va"), col("_vb")).as("score"))
   }
 
   /** IVF-FLAT: k-means cells + nprobe-cell search.
