@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: at 100 TB the PLAN is the product — these pin
+  * the properties that make the queries scale (pushdown, pruning,
+  * broadcast, top-k, partial aggregation) so a refactor can't silently
+  * regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan (codegen spans visible)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filters are pushed to the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual"), p)
+  }
+
+  test("q6: scan reads only needed columns") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_partkey"), "column pruning failed: l_partkey read\n" + p)
+    assert(!p.contains("l_returnflag"), "column pruning failed: l_returnflag read\n" + p)
+  }
+
+  test("q5: dimension joins broadcast, no cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial (map-side) then final") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("*("), "no whole-stage codegen spans\n" + p)
+  }
+
+  test("q4: EXISTS compiles to a semi join, not a full join") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("knn: query side is broadcast against the corpus scan") {
+    val p = plan("v2_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
