@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with double accumulation. */
+  // Spark 4 classic bridge: Column <-> catalyst Expression
+  private def asExpr(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  /** Σ aᵢ·bᵢ — native codegen'd kernel ([[InnerProductExpr]]). */
   def innerProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    asCol(InnerProductExpr(asExpr(a), asExpr(b)))
 
   def l1Norm(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
@@ -30,18 +35,20 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
 
-  def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val dd = x.cast("double") - y.cast("double")
-      dd * dd
-    }), lit(0.0), (acc, x) => acc + x)
-
-  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
-
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0, lit(null)).otherwise(innerProduct(a, b) / denom)
+  def l2DistanceSq(a: Column, b: Column): Column = {
+    val d = l2Distance(a, b)
+    d * d
   }
+
+  /** √Σ(aᵢ−bᵢ)² — native codegen'd kernel ([[L2DistanceExpr]]). */
+  def l2Distance(a: Column, b: Column): Column =
+    asCol(L2DistanceExpr(asExpr(a), asExpr(b)))
+
+  /** Single-pass dot/(‖a‖·‖b‖) ([[CosineSimilarityExpr]]); null for zero
+    * vectors.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    asCol(CosineSimilarityExpr(asExpr(a), asExpr(b)))
 
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
