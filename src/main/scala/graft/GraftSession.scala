@@ -15,6 +15,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -27,6 +28,15 @@ object GraftSession {
   def local(threads: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$threads]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    init(s)
+    s
+  }
+
+  /** Register the UDF-surface function names on an existing session. */
+  def init(s: SparkSession): SparkSession = {
+    graft.functions.MoFunctions.registerAll(s)
+    graft.functions.Sketches.registerAll(s)
+    graft.functions.JsonMutation.registerAll(s)
     s
   }
 }

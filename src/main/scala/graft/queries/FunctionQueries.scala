@@ -182,10 +182,38 @@ object FunctionQueries extends QueryModule {
       |  CAST(c_custkey AS VARCHAR) || chr(1) || c_mktsegment AS ser
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------ json mutation
+  private def fn6(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.JsonMutation._
+    val p = col("props")
+    Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(json_insert(p, lit("$.x"), lit("42")), "$.x").cast("long").as("ins_x"),
+        get_json_object(json_insert(p, lit("$.k"), lit("99")), "$.k").cast("long").as("ins_noop"),
+        get_json_object(json_replace(p, lit("$.k"), lit("5")), "$.k").cast("long").as("repl"),
+        get_json_object(json_replace(p, lit("$.x"), lit("9")), "$.x").cast("long").as("repl_noop"),
+        json_remove(p, lit("$.k")).as("removed"),
+        get_json_object(json_merge_patch(p, lit("""{"x":7}""")), "$.x").cast("long").as("merged_x"),
+        get_json_object(json_set(p, lit("$.k"), lit("123")), "$.k").cast("long").as("set_k"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fn6Sql =
+    """SELECT event_id,
+      |  CAST(42 AS BIGINT) AS ins_x,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS ins_noop,
+      |  CAST(5 AS BIGINT) AS repl,
+      |  CAST(NULL AS BIGINT) AS repl_noop,
+      |  '{}' AS removed,
+      |  CAST(7 AS BIGINT) AS merged_x,
+      |  CAST(123 AS BIGINT) AS set_k
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("fn1_string_funcs", fn1, Some(fn1Sql)),
     Q("fn2_datetime_funcs", fn2, Some(fn2Sql)),
     Q("fn3_math_funcs", fn3, Some(fn3Sql)),
     Q("fn4_json_funcs", fn4, Some(fn4Sql)),
-    Q("fn5_misc_funcs", fn5, Some(fn5Sql)))
+    Q("fn5_misc_funcs", fn5, Some(fn5Sql)),
+    Q("fn6_json_mutation", fn6, Some(fn6Sql)))
 }
