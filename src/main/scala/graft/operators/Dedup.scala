@@ -55,15 +55,40 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    // shingling is the expensive projection and is needed by candidate
+    // generation AND both verify sides — persist so it is computed once
+    // (at cluster scale this materializes as a signature table)
     val sh = df.select(col(idCol).as("_sid"),
-      wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+        wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
     cands
       .join(sh.select(col("_sid").as("a_id"), col("_sh").as("_sha")), Seq("a_id"))
       .join(sh.select(col("_sid").as("b_id"), col("_sh").as("_shb")), Seq("b_id"))
       .withColumn("jacc", jaccard(col("_sha"), col("_shb")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** Candidate pairs from a pre-shingled (_sid, _sh) frame. */
+  private def minhashCandidatesFromShingles(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = sh
+      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+      .select(col("_sid").as("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    val sized = sigs
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_band"), col("_key"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"))
+    val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"))
+    a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature, LSH over `maxHamming + 1`
@@ -82,6 +107,7 @@ object Dedup {
     val chunkBits = 64 / nChunks // last (64 mod nChunks) bits join no chunk
     val sigs = df
       .select(col(idCol).as("_id"), simhashBits(tokens(col(textCol))).as("_bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("_id"), col("_bits"),
         posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
           c => concat_ws("", slice(col("_bits"), c * chunkBits + 1, lit(chunkBits))))))
@@ -107,6 +133,7 @@ object Dedup {
       struct(blockCols: _*).as("_block"),
       col(idCol).as("_id"),
       wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("_block"), col("_id").as("a_id"), col("_sh").as("_sha"))
     val b = base.select(col("_block"), col("_id").as("b_id"), col("_sh").as("_shb"))
     a.join(b, Seq("_block")).filter(col("a_id") < col("b_id"))

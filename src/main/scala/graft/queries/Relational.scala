@@ -303,7 +303,55 @@ object Relational extends QueryModule {
       |  JOIN t ON c.c_custkey // 4 = t.c_custkey AND c.c_custkey >= 2)
       |SELECT c_custkey, depth FROM t ORDER BY depth, c_custkey""".stripMargin
 
+  // --------------------------------------- NULL / operator edge semantics
+  /** NOT IN over a subquery containing NULL must yield zero rows (3-valued
+    * logic, MARK-join semantics — reference flatten_subquery.go:511);
+    * IN ignores the NULL for present values.
+    */
+  private def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN s_suppkey = 3 THEN NULL ELSE s_suppkey END FROM supplier)) AS n_not_in,
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN
+        |    (SELECT CASE WHEN s_suppkey = 3 THEN NULL ELSE s_suppkey END FROM supplier)) AS n_in,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey < 5)) AS n_not_in_clean""".stripMargin)
+  }
+
+  private val nullSemanticsSql =
+    """SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+      |    (SELECT CASE WHEN s_suppkey = 3 THEN NULL ELSE s_suppkey END FROM supplier)) AS n_not_in,
+      |  (SELECT count(*) FROM customer WHERE c_custkey IN
+      |    (SELECT CASE WHEN s_suppkey = 3 THEN NULL ELSE s_suppkey END FROM supplier)) AS n_in,
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_suppkey < 5)) AS n_not_in_clean""".stripMargin
+
+  /** Null-safe equality (`<=>` ≙ IS NOT DISTINCT FROM), integer division,
+    * modulo sign (follows dividend in both engines).
+    */
+  private def operatorEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("F")).eqNullSafe(lit(null)).as("was_f"),
+        expr("o_orderkey DIV 7").as("idiv"),
+        ((lit(0L) - col("o_orderkey")) % 7).as("imod"),
+        ((col("o_orderkey") % 2 === 0) =!= (col("o_custkey") % 2 === 0)).as("bxor"))
+      .orderBy(col("o_orderkey"))
+
+  private val operatorEdgesSql =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'F') IS NOT DISTINCT FROM NULL AS was_f,
+      |  o_orderkey // 7 AS idiv,
+      |  (0 - o_orderkey) % 7 AS imod,
+      |  (o_orderkey % 2 = 0) <> (o_custkey % 2 = 0) AS bxor
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("n1_null_semantics", nullSemantics, Some(nullSemanticsSql)),
+    Q("n2_operator_edges", operatorEdges, Some(operatorEdgesSql)),
     Q("w1_ranking", wRanking, Some(wRankingSql)),
     Q("w2_frames", wFrames, Some(wFramesSql)),
     Q("w3_offsets", wOffsets, Some(wOffsetsSql)),
