@@ -143,6 +143,52 @@ object Knn {
         col("neighbor_id"), col("_score").as("score"))
   }
 
+  /** Random-hyperplane LSH signature for cosine similarity: bit j is the
+    * sign of v·h_j where hyperplane components h_j[i] ∈ {−1, +1} come from
+    * a deterministic affine hash of (plane j, dim i). Same-signature
+    * probability per bit is 1 − θ/π.
+    */
+  def cosineLshBits(vec: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), j =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(1), size(vec)), (x, i) =>
+          x.cast("double") *
+            (pmod(j * 131071 + i * lit(2654435761L), lit(1000003L))
+              .bitwiseAND(lit(1L)).cast("double") * 2 - 1)),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L)))
+
+  /** Approximate cosine near-dup pairs via hyperplane-LSH banding +
+    * exact-cosine verification. Recall is probabilistic (not pigeonhole
+    * like SimHash): with 32 planes in 4 bands, pairs at cosine ≥ 0.95
+    * are found w.p. ≈ 0.95; exact duplicates always collide. The scale
+    * path beside exact [[selfJoinPairs]].
+    */
+  def cosineLshPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 32, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val bits = planes / bands
+    val sigs = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        cosineLshBits(col(vecCol), planes).as("_bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = sigs.select(col("_id"), col("_v"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          c => concat_ws("", slice(col("_bits"), c * bits + 1, lit(bits))))))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    val sized = chunked
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_band"), col("_key"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"), col("_v").as("_va"))
+    val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"), col("_v").as("_vb"))
+    a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineSimilarity(col("_va"), col("_vb")).as("score"))
+      .distinct()
+      .filter(col("score") >= threshold)
+  }
+
   /** Elementwise centroid (mean vector) per group — `summation`/avg over
     * the vector dimension via posexplode + re-assemble.
     */

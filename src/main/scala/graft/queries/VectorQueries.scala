@@ -136,7 +136,28 @@ object VectorQueries extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------- v7 embedding near-dup LSH
+  /** Hyperplane-LSH near-dup pairs at cosine ≥ 0.9 with exact
+    * verification. This corpus has no such pairs (max pair cosine < 0.8),
+    * so the oracle (brute force) and LSH must both return empty — a
+    * no-false-positives check; recall is covered by KnnSpec's planted
+    * duplicates.
+    */
+  private def v7(s: SparkSession, d: String): DataFrame =
+    Knn.cosineLshPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.9)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val v7Sql =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS a_id, q.vec_id AS b_id,
+       |         $DOT / (${norm("a")} * ${norm("q")}) AS cos
+       |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id)
+       |SELECT a_id, b_id, round(cos, 6) AS score FROM p WHERE cos >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("v7_embedding_neardup_lsh", v7, Some(v7Sql)),
     Q("v1_vector_norms", v1, Some(v1Sql)),
     Q("v2_knn_cosine", v2, Some(v2Sql)),
     Q("v3_knn_l2", v3, Some(v3Sql)),

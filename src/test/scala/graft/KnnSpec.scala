@@ -33,6 +33,17 @@ class KnnSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(p => p(0) >= p(1)), "scores not descending")
   }
 
+  test("cosine LSH finds planted duplicate embeddings") {
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val pairs = Knn.cosineLshPairs(base.union(copies), "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 20).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(found == 20, s"LSH missed exact duplicates: $found/20")
+  }
+
   test("group centroids have full dimensionality") {
     val c = Knn.groupCentroids(emb, "label", "embedding")
     assert(c.select(size(col("centroid"))).head.getInt(0) == 64)
