@@ -16,6 +16,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
+    GraftSession.init(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String): Either[String, Double] =
@@ -25,6 +26,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable => Left(e.getMessage) }
+      finally spark.catalog.clearCache() // per-query persisted frames
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup: absorb JVM/codegen/parquet-footer costs outside the timings

@@ -35,6 +35,17 @@ object TextFunctions {
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
+  /** Jaccard for SORTED distinct arrays: two-pointer native kernel
+    * ([[SortedIntersectCountExpr]]) — no per-pair hash set allocation.
+    * Use in all-pairs hot paths where inputs are pre-sorted once.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    val inter = asCol(graft.functions.SortedIntersectCountExpr(asExpr(a), asExpr(b)))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
   /** MinHash signature: k permutation-min approximations. Each shingle is
     * string-hashed ONCE (xxhash64), then the k "permutations" are cheap
     * universal-hash mixes of the 32-bit base — 64 multiply-adds instead of

@@ -59,14 +59,14 @@ object Dedup {
     // generation AND both verify sides — persist so it is computed once
     // (at cluster scale this materializes as a signature table)
     val sh = df.select(col(idCol).as("_sid"),
-        wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+        array_sort(wordShingles(tokens(col(textCol)), shingleN)).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
     cands
       .join(sh.select(col("_sid").as("a_id"), col("_sh").as("_sha")), Seq("a_id"))
       .join(sh.select(col("_sid").as("b_id"), col("_sh").as("_shb")), Seq("b_id"))
-      .withColumn("jacc", jaccard(col("_sha"), col("_shb")))
+      .withColumn("jacc", jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
   }
@@ -125,6 +125,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Jaccard histogram over all pairs within each block, via a posting
+    * -list self-join: explode shingles → join on (block, shingle) → the
+    * per-pair match count IS the intersection size. Shingle ARRAYS never
+    * cross the shuffle (only (block, shingle, id) rows), which is what
+    * makes this formulation win at scale; pairs sharing no shingle are
+    * accounted into the 0-bucket arithmetically (n·(n−1)/2 per block minus
+    * observed pairs).
+    */
+  def blockedJaccardHistogram(
+      df: DataFrame, idCol: String, textCol: String, blockCols: Seq[Column],
+      shingleN: Int = 2, buckets: Int = 10): DataFrame = {
+    val base = df.select(
+        struct(blockCols: _*).as("_block"),
+        col(idCol).as("_id"),
+        wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = base.select(col("_block"), col("_id"), size(col("_sh")).as("_sz"))
+    val posting = base.select(col("_block"), col("_id"), explode(col("_sh")).as("_g"))
+    val inter = posting.as("x").join(posting.as("y"),
+        col("x._block") === col("y._block") && col("x._g") === col("y._g") &&
+          col("x._id") < col("y._id"))
+      .groupBy(col("x._block").as("_block"), col("x._id").as("a_id"), col("y._id").as("b_id"))
+      .agg(count(lit(1)).as("_inter"))
+    val scored = inter
+      .join(sizes.select(col("_block"), col("_id").as("a_id"), col("_sz").as("_sa")),
+        Seq("_block", "a_id"))
+      .join(sizes.select(col("_block"), col("_id").as("b_id"), col("_sz").as("_sb")),
+        Seq("_block", "b_id"))
+      .withColumn("jacc",
+        col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
+    val nonzeroHist = scored
+      .groupBy(floor(col("jacc") * buckets).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // pairs with empty intersection → bucket 0
+    val totalPairs = sizes.groupBy(col("_block")).agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n") * (col("_n") - 1) / 2).as("_total")).select(col("_total"))
+    val nonzeroPairs = scored.agg(count(lit(1)).as("_nz")).select(col("_nz"))
+    val zeroRow = totalPairs.crossJoin(nonzeroPairs)
+      .select(lit(0L).as("bucket"), (col("_total") - col("_nz")).cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    nonzeroHist.union(zeroRow)
+      .groupBy(col("bucket")).agg(sum(col("n_pairs")).cast("long").as("n_pairs"))
+  }
+
   /** Blocked exact n-gram Jaccard: all pairs WITHIN a blocking key. */
   def blockedJaccard(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[Column],
@@ -132,11 +176,11 @@ object Dedup {
     val base = df.select(
       struct(blockCols: _*).as("_block"),
       col(idCol).as("_id"),
-      wordShingles(tokens(col(textCol)), shingleN).as("_sh"))
+      array_sort(wordShingles(tokens(col(textCol)), shingleN)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("_block"), col("_id").as("a_id"), col("_sh").as("_sha"))
     val b = base.select(col("_block"), col("_id").as("b_id"), col("_sh").as("_shb"))
     a.join(b, Seq("_block")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("_sha"), col("_shb")).as("jacc"))
+      .select(col("a_id"), col("b_id"), jaccardSorted(col("_sha"), col("_shb")).as("jacc"))
   }
 }

@@ -159,10 +159,8 @@ object TextQueries extends QueryModule {
 
   // ---------------------------------------- blocked n-gram Jaccard histo
   private def jaccardHisto(s: SparkSession, d: String): DataFrame =
-    Dedup.blockedJaccard(Tables.documents(s, d), "doc_id", "text",
+    Dedup.blockedJaccardHistogram(Tables.documents(s, d), "doc_id", "text",
         Seq(col("lang"), (col("n_chars") / 100).cast("long")), shingleN = 2)
-      .groupBy(floor(col("jacc") * 10).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
 
   private val jaccardHistoSql =
