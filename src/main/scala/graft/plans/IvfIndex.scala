@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** IVF-FLAT ANN index registry — the reference's vector-index build path
+  * (`pkg/vectorindex/ivfflat/`, SQL `ivf_create`): k-means centroids +
+  * a cell-assigned copy of the corpus, registered for the planner rewrite
+  * in [[IvfAnnRule]].
+  *
+  * At 100 TB the `cells` frame would be written out partitioned by
+  * `__ivf_cell` so a probe prunes at the file level; here it is persisted
+  * in memory. `build` is an explicit index DDL analog — the index is a
+  * materialized artifact, not per-query work.
+  */
+object IvfIndex {
+
+  final case class Index(
+      name: String,
+      corpusPlan: LogicalPlan,       // canonicalized analyzed plan of the corpus
+      vecCol: String,
+      nlist: Int,
+      nprobe: Int,
+      centroids: Array[Array[Double]],
+      cells: DataFrame)              // corpus columns + __ivf_cell
+
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Index]
+
+  def indexes: Seq[Index] = registry.values.toSeq
+  def drop(name: String): Unit = registry.remove(name)
+  def clear(): Unit = registry.clear()
+
+  /** Build and register an IVF index over `df` (≙ `ivf_create`). */
+  def build(name: String, df: DataFrame, vecCol: String,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): Index = {
+    val featurized = df.withColumn("__ivf_features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__ivf_features").fit(featurized)
+    val cells = model.transform(featurized)
+      .withColumnRenamed("prediction", "__ivf_cell")
+      .drop("__ivf_features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize the index now (build-time, not query-time)
+    val idx = Index(name, df.queryExecution.analyzed.canonicalized, vecCol,
+      nlist, nprobe, model.clusterCenters.map(_.toArray), cells)
+    registry.put(name, idx)
+    idx
+  }
+
+  /** Driver-side nearest cells for a literal query vector. */
+  def nearestCells(idx: Index, q: Array[Double]): Seq[Int] =
+    idx.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      val n = math.min(c.length, q.length)
+      while (j < n) { val d = c(j) - q(j); s += d * d; j += 1 }
+      (s, i)
+    }.sortBy(_._1).take(idx.nprobe).map(_._2).toSeq
+}

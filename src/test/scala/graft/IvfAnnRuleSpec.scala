@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.plans.IvfIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfAnnRuleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, sf)
+
+  private def queryVec: Array[Float] =
+    corpus.filter(col("vec_id") === 0).head.getSeq[Float](1).toArray
+
+  private def knnQuery = {
+    val q = typedlit(queryVec)
+    corpus.orderBy(VectorFunctions.l2Distance(col("embedding"), q).asc).limit(10)
+  }
+
+  test("ORDER BY l2_distance LIMIT k is rewritten to an IVF cell probe") {
+    IvfIndex.clear()
+    val before = knnQuery.queryExecution.optimizedPlan.toString
+    assert(!before.contains("__ivf_cell"), "rewrite fired without an index")
+
+    IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
+    try {
+      val after = knnQuery
+      val planStr = after.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("__ivf_cell") || planStr.contains("ivf"),
+        s"ANN rewrite did not fire:\n$planStr")
+
+      // rewritten result is a valid approximate top-k: high recall vs brute
+      val approx = after.select("vec_id").collect().map(_.getLong(0)).toSet
+      IvfIndex.clear()
+      val exact = knnQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.7, s"recall $recall")
+    } finally IvfIndex.clear()
+  }
+
+  test("queries over other tables are untouched when an index exists") {
+    IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
+    try {
+      val p = Tables.customer(spark, sf).orderBy(col("c_acctbal").desc).limit(5)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("__ivf_cell"))
+      assert(SparkEntry.queries("q1_pricing_summary")(spark, sf).count() == 6)
+    } finally IvfIndex.clear()
+  }
+}
