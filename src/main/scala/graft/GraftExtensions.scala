@@ -3,7 +3,9 @@ package graft
 import graft.functions.{CosineSimilarityExpr, InnerProductExpr, L2DistanceExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extensions: registers graft's native Catalyst expressions under
   * the reference's SQL names so `spark.sql("... l2_distance(a, b) ...")`
@@ -31,5 +33,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => InnerProductExpr(args(0), args(1)))
     register(e, "cosine_similarity", "cosine_similarity(a, b)",
       args => CosineSimilarityExpr(args(0), args(1)))
+    register(e, "fulltext_match",
+      "fulltext_match(text, query) - MATCH ... AGAINST predicate " +
+        "(natural mode: any term; boolean mode: +must / -mustnot / should)",
+      args => fulltextMatch(args(0), args(1)))
+  }
+
+  /** Expand `fulltext_match(text, query)` into token-set expressions at
+    * function-resolution time — the reference's MATCH...AGAINST predicate
+    * (relevance > 0 semantics; `pkg/fulltext/fulltext.go:731` boolean
+    * parser). Literal queries get boolean-mode parsing; non-literal
+    * queries fall back to any-term-overlap. Scoring lives in
+    * `graft.fulltext.Bm25` (needs corpus stats, not expression-local).
+    */
+  private def fulltextMatch(text: Expression, query: Expression): Expression = {
+    def tokensOf(e: Expression): Expression =
+      StringSplit(Lower(StringTrim(e)), Literal("\\s+"), Literal(-1))
+    val tk = tokensOf(text)
+    def has(term: String): Expression = ArrayContains(tk, Literal(UTF8String.fromString(term), StringType))
+    query match {
+      case Literal(s: UTF8String, StringType) =>
+        val toks = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val must = toks.filter(_.startsWith("+")).map(_.drop(1)).filter(_.nonEmpty)
+        val mustNot = toks.filter(_.startsWith("-")).map(_.drop(1)).filter(_.nonEmpty)
+        val should = toks.filterNot(t => t.startsWith("+") || t.startsWith("-"))
+        val positive: Expression =
+          if (must.nonEmpty) must.map(has).reduce[Expression](And)
+          else if (should.nonEmpty) should.map(has).reduce[Expression](Or)
+          else Literal(false)
+        mustNot.map(t => Not(has(t)): Expression).foldLeft(positive)(And)
+      case q => ArraysOverlap(tk, tokensOf(q))
+    }
   }
 }

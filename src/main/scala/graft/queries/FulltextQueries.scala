@@ -75,8 +75,28 @@ object FulltextQueries extends QueryModule {
        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
        |FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""".stripMargin
 
+  // ----------------------------------------- MATCH ... AGAINST predicate
+  /** The SQL-surface predicate form (extension-injected `fulltext_match`,
+    * expanded into token-set expressions at resolution).
+    */
+  private def ft4(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT doc_id,
+        |  fulltext_match(text, 'spark stream') AS m_natural,
+        |  fulltext_match(text, '+spark -error join') AS m_boolean
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private val ft4Sql =
+    s"""SELECT doc_id,
+       |  (list_contains($TOK, 'spark') OR list_contains($TOK, 'stream')) AS m_natural,
+       |  (list_contains($TOK, 'spark') AND NOT list_contains($TOK, 'error')) AS m_boolean
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("ft1_bm25_natural", ft1, Some(ft1Sql)),
     Q("ft2_bm25_boolean", ft2, Some(ft2Sql)),
-    Q("ft3_index_stats", ft3, Some(ft3Sql)))
+    Q("ft3_index_stats", ft3, Some(ft3Sql)),
+    Q("ft4_match_predicate", ft4, Some(ft4Sql)))
 }
