@@ -52,12 +52,27 @@ object TextFunctions {
     * 64 string hashes per shingle (the classic a·x+b trick; overflow-free
     * in the 2^32 × small-constant range, so no ANSI wrap dependence).
     */
+  /** 32-bit string-hash bases — compute ONCE per row into a column, then
+    * derive the k permutations with [[minhashSignatureFromBases]] /
+    * [[simhashBitsFromBases]]. Inlining the base hashes inside the outer
+    * per-permutation lambda re-evaluates the string hashing k times (no
+    * CSE across higher-order lambda iterations).
+    */
+  def hashBases(arr: Column): Column =
+    transform(arr, x => xxhash64(x).bitwiseAND(lit(0xffffffffL)))
+
   def minhashSignature(shingles: Column, k: Int): Column = {
-    // affine permutations mod prime: (a_i·x + b_i) mod p is 2-universal
-    // (a plain a·x+b WITHOUT the mod is order-preserving — every "min"
-    // would pick the same shingle). Products stay ≤ 2^40: no overflow.
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    asCol(MinHashSignatureExpr(asExpr(shingles), k))
+  }
+
+  /** k permutation-mins over precomputed bases: affine permutations mod
+    * prime ((a_i·x + b_i) mod p is 2-universal; a plain a·x+b WITHOUT the
+    * mod is order-preserving — every "min" would pick the same shingle).
+    * Products stay ≤ 2^40: no overflow.
+    */
+  def minhashSignatureFromBases(bases: Column, k: Int): Column = {
     val p = lit(1000000007L)
-    val bases = transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0xffffffffL)))
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(bases,
         h => pmod(h * (i * 2 + 1) + i * lit(2654435761L), p))))
@@ -77,15 +92,19 @@ object TextFunctions {
     * LSH chunks.
     */
   def simhashBits(tk: Column): Column = {
-    // one string hash per token; per-bit votes from a multiplicative mix
-    // of the 32-bit base (middle bit extracted after odd-constant multiply)
-    val bases = transform(tk, t => xxhash64(t).bitwiseAND(lit(0xffffffffL)))
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    asCol(SimHashBitsExpr(asExpr(tk)))
+  }
+
+  /** Per-bit ±1 votes from precomputed 32-bit bases (parity of an affine
+    * mix mod prime).
+    */
+  def simhashBitsFromBases(bases: Column): Column =
     transform(sequence(lit(0), lit(63)), b =>
       when(aggregate(bases, lit(0L), (acc, h) =>
         acc + when(pmod(h * (b * 2 + 1) + b * lit(2654435761L), lit(1000003L))
           .bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)) > 0,
         lit(1L)).otherwise(lit(0L)))
-  }
 
   /** Hamming distance between two bit arrays. */
   def hammingBits(a: Column, b: Column): Column =

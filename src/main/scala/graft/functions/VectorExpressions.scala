@@ -200,3 +200,96 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Shared base hashing for the signature kernels: FNV-1a over the UTF-8
+  * bytes, truncated to 32 bits (the affine permutations need headroom).
+  */
+object SignatureHash {
+  val Prime = 1000000007L
+  val Golden = 2654435761L
+
+  def base32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h & 0xffffffffL
+  }
+}
+
+/** MinHash signature over a string array in ONE interpreted call per row:
+  * Spark's higher-order functions evaluate their lambdas per element via
+  * the interpreter (no codegen), which made the expression-combinator
+  * formulation the dedup bottleneck. k affine permutations
+  * (a_i·x + b_i) mod p of the 32-bit FNV base.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val bases = new Array[Long](n)
+    var i = 0
+    while (i < n) { bases(i) = SignatureHash.base32(a.getUTF8String(i)); i += 1 }
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      val mult = j * 2 + 1
+      val add = j * SignatureHash.Golden
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) {
+        val h = (bases(i) * mult + add) % SignatureHash.Prime
+        if (h < m) m = h
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash bits (0/1 array) in one interpreted call per row. */
+case class SimHashBitsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val bases = new Array[Long](n)
+    var i = 0
+    while (i < n) { bases(i) = SignatureHash.base32(a.getUTF8String(i)); i += 1 }
+    val votes = new Array[Long](64)
+    var b = 0
+    while (b < 64) {
+      val mult = b * 2 + 1
+      val add = b * SignatureHash.Golden
+      var s = 0L
+      i = 0
+      while (i < n) {
+        val mixed = (bases(i) * mult + add) % 1000003L
+        s += (if ((mixed & 1L) != 0) 1L else -1L)
+        i += 1
+      }
+      votes(b) = if (s > 0) 1L else 0L
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(votes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

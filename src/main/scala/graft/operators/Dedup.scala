@@ -117,11 +117,17 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("_chunk"), col("_key"))))
       .filter(col("_bucket_n") <= maxBucket)
-    val a = sized.select(col("_chunk"), col("_key"), col("_id").as("a_id"), col("_bits").as("_ba"))
-    val b = sized.select(col("_chunk"), col("_key"), col("_id").as("b_id"), col("_bits").as("_bb"))
-    a.join(b, Seq("_chunk", "_key")).filter(col("a_id") < col("b_id"))
+    // dedup candidate PAIRS first (ids only — the bit arrays stay out of
+    // the band join/shuffle), then verify each pair's hamming once
+    val a = sized.select(col("_chunk"), col("_key"), col("_id").as("a_id"))
+    val b = sized.select(col("_chunk"), col("_key"), col("_id").as("b_id"))
+    val cands = a.join(b, Seq("_chunk", "_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cands
+      .join(sigs.select(col("_id").as("a_id"), col("_bits").as("_ba")), Seq("a_id"))
+      .join(sigs.select(col("_id").as("b_id"), col("_bits").as("_bb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), hammingBits(col("_ba"), col("_bb")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
