@@ -18,12 +18,13 @@ object TextFunctions {
   /** Lowercased whitespace tokens. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Distinct word n-gram shingles from a token array. */
-  def wordShingles(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(0), size(tk) - n),
-        i => array_join(slice(tk, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  /** Sorted distinct word n-gram shingles — native one-shot kernel
+    * ([[WordShinglesExpr]]).
+    */
+  def wordShingles(tk: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    asCol(WordShinglesExpr(asExpr(tk), n))
+  }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays.
     * |A∪B| is derived as |A|+|B|-|A∩B| — one set operation per pair
@@ -132,14 +133,8 @@ object TextFunctions {
     * table order wins ties; "und" = undetermined when no hits at all).
     */
   def langId(tk: Column): Column = {
-    val scored = langStopwords.map { case (lang, sw) => (lang, stopwordHits(tk, sw)) }
-    val best = scored.tail.foldLeft[Column](
-      struct(scored.head._2.as("hits"), lit(scored.head._1).as("lang"))) {
-      case (acc, (lang, hits)) =>
-        when(hits > acc.getField("hits"), struct(hits.as("hits"), lit(lang).as("lang")))
-          .otherwise(acc)
-    }
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
+    asCol(LangIdExpr(asExpr(tk), langStopwords))
   }
 
   /** BPE-ish token-count estimate: whitespace words + punctuation marks +

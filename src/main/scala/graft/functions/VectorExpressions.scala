@@ -293,3 +293,85 @@ case class SimHashBitsExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Sorted distinct word n-gram shingles from a token array, built in one
+  * eval per row (replaces an interpreted transform+array_join+distinct
+  * chain).
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    while (i + n <= m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(a.getUTF8String(i + j).toString)
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Language-ID over a token array: stopword-hit argmax in one eval
+  * (table order wins ties; "und" when nothing hits). Mirrors
+  * TextFunctions.langStopwords.
+  */
+case class LangIdExpr(child: Expression,
+    tables: Seq[(String, Seq[String])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val sets: Array[(String, java.util.HashSet[String])] =
+    tables.map { case (lang, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      (lang, s)
+    }.toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < m) {
+      val t = a.getUTF8String(i).toString
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l)._2.contains(t)) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < hits.length) { if (hits(l) > hits(best)) best = l; l += 1 }
+    if (hits(best) > 0)
+      org.apache.spark.unsafe.types.UTF8String.fromString(sets(best)._1)
+    else org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

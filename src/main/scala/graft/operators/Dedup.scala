@@ -59,7 +59,7 @@ object Dedup {
     // generation AND both verify sides — persist so it is computed once
     // (at cluster scale this materializes as a signature table)
     val sh = df.select(col(idCol).as("_sid"),
-        array_sort(wordShingles(tokens(col(textCol)), shingleN)).as("_sh"))
+        wordShingles(tokens(col(textCol)), shingleN).as("_sh") /* sorted */)
       .filter(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
@@ -182,7 +182,7 @@ object Dedup {
     val base = df.select(
       struct(blockCols: _*).as("_block"),
       col(idCol).as("_id"),
-      array_sort(wordShingles(tokens(col(textCol)), shingleN)).as("_sh"))
+      wordShingles(tokens(col(textCol)), shingleN).as("_sh") /* sorted */)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("_block"), col("_id").as("a_id"), col("_sh").as("_sha"))
     val b = base.select(col("_block"), col("_id").as("b_id"), col("_sh").as("_shb"))
