@@ -108,6 +108,29 @@ object Relational extends QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // RANGE frames: value-based window bounds (vs the ROWS frames in w2).
+  private def wRangeFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-50000L, 50000L)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_within_50k"),
+        round(sum(col("o_totalprice").cast(MONEY)).over(w), 2).cast("double")
+          .as("sum_within_50k"))
+      .filter(col("o_custkey") < 20)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val wRangeFramesSql =
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS n_within_50k,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE)
+      |    AS sum_within_50k
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |             RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------- grouping extensions
   // ROLLUP with grouping() markers; group keys coalesced so the compare
   // never sees NULL-vs-NaN dtype drift.
@@ -355,6 +378,7 @@ object Relational extends QueryModule {
     Q("w1_ranking", wRanking, Some(wRankingSql)),
     Q("w2_frames", wFrames, Some(wFramesSql)),
     Q("w3_offsets", wOffsets, Some(wOffsetsSql)),
+    Q("w4_range_frames", wRangeFrames, Some(wRangeFramesSql)),
     Q("g1_rollup", gRollup, Some(gRollupSql)),
     Q("g2_cube", gCube, Some(gCubeSql)),
     Q("g3_grouping_sets", gSets, Some(gSetsSql)),

@@ -86,4 +86,37 @@ object StreamingWindows {
   private def close(userId: Long, evs: List[SessionEvent]): UserSession =
     UserSession(userId, evs.head.ts_micros, evs.last.ts_micros, evs.size,
       evs.map(_.value).sum)
+
+  /** CDC-style sink: stream micro-batches upserted into a keyed state
+    * table via `foreachBatch` (the reference's CDC task pushes ordered
+    * changes into mysql/matrixone sinks, `pkg/cdc/sinker.go:40`; on Spark
+    * the sink contract is foreachBatch + MERGE-style upsert). Keeps the
+    * latest row per key — returns the upsert target for inspection.
+    */
+  def upsertByKey(spark: SparkSession, source: DataFrame, keyCol: String,
+      orderCol: String, targetView: String): Unit = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val q = source.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val existing =
+          if (spark.catalog.tableExists(s"global_temp.$targetView"))
+            spark.table(s"global_temp.$targetView")
+          else batch.limit(0)
+        val merged = existing.unionByName(batch)
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+            W.partitionBy(org.apache.spark.sql.functions.col(keyCol))
+              .orderBy(org.apache.spark.sql.functions.col(orderCol).desc)))
+          .filter(org.apache.spark.sql.functions.col("_rn") === 1)
+          .drop("_rn")
+        // materialize before replacing the view the next batch reads
+        merged.cache().count()
+        // foreachBatch runs in a cloned session: only GLOBAL temp views
+        // are visible to the caller's session
+        merged.createOrReplaceGlobalTempView(targetView)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -30,6 +30,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("CDC-style foreachBatch upsert keeps the latest row per key") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = StreamingWindows.readEvents(spark, dir.toString)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    StreamingWindows.upsertByKey(spark, src, "user_id", "ts", "user_latest")
+    val got = spark.table("global_temp.user_latest")
+    // compare latest event per user against the batch computation
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, sf)
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1)
+    }
+    assert(got.count() == expected.count())
+    val gotMax = got.groupBy().agg(org.apache.spark.sql.functions.max("ts")).head.get(0)
+    val expMax = expected.groupBy().agg(org.apache.spark.sql.functions.max("ts")).head.get(0)
+    assert(gotMax == expMax)
+  }
+
   test("sessionize splits on gaps and aggregates per session") {
     import spark.implicits._
     val minute = 60L * 1000000
