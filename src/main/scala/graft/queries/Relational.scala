@@ -57,8 +57,10 @@ object Relational extends QueryModule {
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice").cast(MONEY)).over(running), 2).cast("double")
           .as("running_spend"),
-        round(avg(col("o_totalprice").cast(MONEY)).over(sliding), 2).cast("double")
-          .as("sliding_avg_3"),
+        // avg as exact-decimal sum / count: engines disagree on decimal-avg
+        // result scale, double division of exact inputs is deterministic
+        round(sum(col("o_totalprice").cast(MONEY)).over(sliding).cast("double") /
+          count(lit(1)).over(sliding), 6).as("sliding_avg_3"),
         count(lit(1)).over(running).as("nth_order"))
       .filter(col("o_custkey") < 30)
       .orderBy(col("o_custkey"), col("nth_order"))
@@ -69,9 +71,11 @@ object Relational extends QueryModule {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
-      |  CAST(round(avg(CAST(o_totalprice AS DECIMAL(30,6)))
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sliding_avg_3,
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sliding_avg_3,
       |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth_order
       |FROM orders WHERE o_custkey < 30
