@@ -493,11 +493,11 @@ object Tpch extends QueryModule {
         col("l_partkey") === col("p_partkey"))
       .join(partAvg, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_threshold"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0, 6).as("avg_yearly"))
   }
 
   private val q17Sql =
-    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_type = 'MEDIUM' AND p_size < 25
       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
