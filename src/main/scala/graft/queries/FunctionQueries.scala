@@ -209,7 +209,31 @@ object FunctionQueries extends QueryModule {
       |  CAST(123 AS BIGINT) AS set_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- decimal arithmetic
+  /** Exact decimal add/sub/mul (reference decimal64/128 arithmetic,
+    * SURVEY §1.2): results compared as doubles after exact computation.
+    */
+  private def fn7(s: SparkSession, d: String): DataFrame = {
+    val p = col("o_totalprice").cast("decimal(9,2)")
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (p + p).cast("double").as("dadd"),
+        (p - lit(1000).cast("decimal(9,2)")).cast("double").as("dsub"),
+        (p * lit(3).cast("decimal(3,0)")).cast("double").as("dmul"),
+        p.cast("decimal(15,2)").cast("string").as("dstr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val fn7Sql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) + CAST(o_totalprice AS DECIMAL(9,2)) AS DOUBLE) AS dadd,
+      |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) - CAST(1000 AS DECIMAL(9,2)) AS DOUBLE) AS dsub,
+      |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) * CAST(3 AS DECIMAL(3,0)) AS DOUBLE) AS dmul,
+      |  CAST(CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(15,2)) AS VARCHAR) AS dstr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
     Q("fn1_string_funcs", fn1, Some(fn1Sql)),
     Q("fn2_datetime_funcs", fn2, Some(fn2Sql)),
     Q("fn3_math_funcs", fn3, Some(fn3Sql)),
