@@ -92,7 +92,8 @@ object Relational extends QueryModule {
         round(lead(col("value"), 1).over(w), 6).as("next_value"),
         lag(col("event_type"), 2, "none").over(w).as("type_2_back"),
         first(col("event_type")).over(wAll).as("first_type"),
-        last(col("event_type")).over(wAll).as("last_type"))
+        last(col("event_type")).over(wAll).as("last_type"),
+        nth_value(col("event_type"), 2).over(wAll).as("second_type"))
       .filter(col("user_id") < 20)
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -107,7 +108,10 @@ object Relational extends QueryModule {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
       |  last_value(event_type) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+      |  nth_value(event_type, 2) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
       |FROM events WHERE user_id < 20
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
