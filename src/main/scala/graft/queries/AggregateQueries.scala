@@ -130,7 +130,34 @@ object AggregateQueries extends QueryModule {
     per.union(merged).orderBy(col("l_returnflag"))
   }
 
+  // --------------------------------------- json_arrayagg / json_objectagg
+  /** MySQL JSON aggregates (reference `aggexec/jsonagg2.go`) as ordered
+    * compositions: deterministic element order makes the rendered JSON
+    * strings oracle-comparable.
+    */
+  private def a6(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") < 30)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        to_json(array_sort(collect_list(
+          struct(col("c_custkey").as("id"), col("c_name").as("name")))))
+          .as("arr_agg"),
+        to_json(map_from_entries(array_sort(collect_list(
+          struct(col("c_name"), col("c_custkey"))))))
+          .as("obj_agg"))
+      .orderBy(col("c_mktsegment"))
+
+  private val a6Sql =
+    """SELECT c_mktsegment,
+      |  CAST(to_json(list(struct_pack(id := c_custkey, name := c_name)
+      |                    ORDER BY c_custkey)) AS VARCHAR) AS arr_agg,
+      |  CAST(to_json(map(list(c_name ORDER BY c_name),
+      |                   list(c_custkey ORDER BY c_name))) AS VARCHAR) AS obj_agg
+      |FROM customer WHERE c_custkey < 30
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("a6_json_aggs", a6, Some(a6Sql)),
     Q("a1_stats_aggs", a1, Some(a1Sql)),
     Q("a2_group_concat", a2, Some(a2Sql)),
     Q("a3_max_min_by", a3, Some(a3Sql)),
