@@ -380,9 +380,72 @@ object Relational extends QueryModule {
       |  (o_orderkey % 2 = 0) <> (o_custkey % 2 = 0) AS bxor
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------- multi-reference CTE
+  /** One CTE consumed twice (reference materializes via SINK/SINK_SCAN,
+    * `plan.pb.go:707-708`; Spark re-executes or reuses the exchange).
+    */
+  private def multiRefCte(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH seg_stats AS (
+        |  SELECT c_mktsegment,
+        |         CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
+        |         count(*) AS n
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT a.c_mktsegment, a.total, a.n,
+        |       round(a.total / b.grand_total, 6) AS share
+        |FROM seg_stats a
+        |CROSS JOIN (SELECT sum(total) AS grand_total FROM seg_stats) b
+        |ORDER BY a.c_mktsegment""".stripMargin)
+  }
+
+  private val multiRefCteSql =
+    """WITH seg_stats AS (
+      |  SELECT c_mktsegment,
+      |         CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
+      |         count(*) AS n
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT a.c_mktsegment, a.total, a.n,
+      |       round(a.total / b.grand_total, 6) AS share
+      |FROM seg_stats a
+      |CROSS JOIN (SELECT sum(total) AS grand_total FROM seg_stats) b
+      |ORDER BY a.c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------- cast matrix
+  /** Implicit/explicit cast conformance (reference cast matrix
+    * `func_cast.go:429`): try_cast of malformed input → NULL, numeric
+    * truncation toward zero, string/date round trips, bool↔int.
+    */
+  private def castMatrix(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey,
+        |  try_cast(o_orderpriority AS INT) AS bad_int,
+        |  CAST(floor(CAST(o_totalprice AS DECIMAL(20,4))) AS BIGINT) AS price_int,
+        |  CAST(o_orderkey AS STRING) AS key_str,
+        |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
+        |  CAST(o_orderkey % 2 = 0 AS INT) AS bool_int,
+        |  CAST(try_cast('1997-13-45' AS DATE) AS STRING) AS bad_date,
+        |  CAST('42' AS BIGINT) + o_orderkey AS str_arith
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val castMatrixSql =
+    """SELECT o_orderkey,
+      |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+      |  CAST(floor(CAST(o_totalprice AS DECIMAL(20,4))) AS BIGINT) AS price_int,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+      |  CAST(o_orderkey % 2 = 0 AS INTEGER) AS bool_int,
+      |  CAST(TRY_CAST('1997-13-45' AS DATE) AS VARCHAR) AS bad_date,
+      |  CAST('42' AS BIGINT) + o_orderkey AS str_arith
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("n1_null_semantics", nullSemantics, Some(nullSemanticsSql)),
     Q("n2_operator_edges", operatorEdges, Some(operatorEdgesSql)),
+    Q("rc2_multi_ref_cte", multiRefCte, Some(multiRefCteSql)),
+    Q("n3_cast_matrix", castMatrix, Some(castMatrixSql)),
     Q("w1_ranking", wRanking, Some(wRankingSql)),
     Q("w2_frames", wFrames, Some(wFramesSql)),
     Q("w3_offsets", wOffsets, Some(wOffsetsSql)),
