@@ -28,7 +28,20 @@ object Bench {
       } catch { case e: Throwable => Left(e.getMessage) }
       finally spark.catalog.clearCache() // per-query persisted frames
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // BASELINE.md's bench set: TPC-H q1–q22 plus representative §2
+    // queries (window, time-window+fill, vector KNN/ANN, fulltext BM25,
+    // grouping sets, recursive CTE, dedup, text pipeline). The full
+    // 90+-query corpus runs under Verify; benching only the headline set
+    // keeps the emitted JSON line small enough for the driver's
+    // output-tail parser (round 1's 92-entry line was truncated →
+    // BENCH_r01 "parsed": null).
+    val headline: Seq[String] =
+      (1 to 22).map(i => SparkEntry.queries.keys.find(_.startsWith(s"q${i}_")).get) ++
+        Seq("w1_ranking", "w4_range_frames", "tw1_tumbling_day", "tw7_fill_linear",
+          "v2_knn_cosine", "v6_ivf_knn", "ft1_bm25_natural", "g3_grouping_sets",
+          "rc1_recursive_hierarchy", "dd2_minhash_lsh", "tx2_quality",
+          "a4_bitmap_aggs").filter(SparkEntry.queries.contains)
+    val names = headline.sorted
     // warmup: absorb JVM/codegen/parquet-footer costs outside the timings
     exec(names.head)
 
@@ -40,7 +53,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // emit the contract line LAST so it sits at the very end of the
+    // captured output tail
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -36,11 +36,12 @@ object JsonMutation {
     val segs = parsePath(path)
     if (segs.isEmpty) return doc
     var node = root
+    // MySQL (and the reference) treat a nonexistent PARENT path as a
+    // no-op for every mutation mode — intermediate objects are never
+    // auto-created; only the leaf member may be added.
     segs.dropRight(1).foreach { s =>
       node match {
-        case o: ObjectNode =>
-          if (!o.has(s)) { if (insert) o.set[ObjectNode](s, mapper.createObjectNode()) else return doc }
-          node = o.get(s)
+        case o: ObjectNode if o.has(s) => node = o.get(s)
         case _ => return doc
       }
     }

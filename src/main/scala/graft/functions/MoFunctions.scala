@@ -113,9 +113,26 @@ object MoFunctions {
     (((p1 / 100).cast("long") * 12 + (p1 % 100)) -
       ((p2 / 100).cast("long") * 12 + (p2 % 100))).cast("long")
 
-  /** YEARWEEK (ISO week convention). */
-  def yearweek(d: Column): Column =
-    (year(d) * 100 + weekofyear(d)).cast("long")
+  /** YEARWEEK — MySQL default mode 0 (reference
+    * `pkg/container/types/date.go:893` `YearWeek`, i.e. MySQL calc_week
+    * with WeekYear): weeks start Sunday; week 1 is the first week that
+    * begins in the year (days before the year's first Sunday belong to
+    * the previous year's week 52/53). Closed form verified against a
+    * transcription of the reference algorithm over 1970–2060: with
+    * ws = the Sunday on/before d, YEARWEEK = year(ws)*100 + (weeks from
+    * the first Sunday of year(ws) to ws) + 1.
+    */
+  def yearweek(d: Column): Column = {
+    val ws = date_sub(d, dayofweek(d) - lit(1))
+    val jan1 = trunc(ws, "year")
+    val firstSun = date_add(jan1, (lit(8) - dayofweek(jan1)) % 7)
+    (year(ws).cast("long") * 100 +
+      floor(datediff(ws, firstSun) / lit(7)).cast("long") + 1)
+  }
+
+  /** YEARWEEK ISO variant (MySQL mode 3: Monday-start ISO 8601 weeks). */
+  def yearweekIso(d: Column): Column =
+    (extract(lit("YEAROFWEEK"), d).cast("long") * 100 + weekofyear(d)).cast("long")
 
   // --------------------------------------------------------------- math
   /** MySQL TRUNCATE(x, d): toward zero. */
@@ -158,11 +175,44 @@ object MoFunctions {
       substring(h, 17, 4), substring(h, 21, 12))
   }
 
-  /** serial/serial_extract: pack columns into one sortable string key
-    * (reference `func_builtin_serial.go` packs into a binary tuple).
+  /** serial/serial_full/serial_extract: pack columns into ONE injective,
+    * order-preserving string key (reference `func_builtin_serial.go`
+    * packs a typed binary tuple via types.Packer; here fields pack as
+    * strings -- documented deviation).
+    *
+    * Encoding: fields joined by u0000; each field is a null tag ("0" =
+    * NULL, "1" = present) + the value, escaping u0001 -> u0001u0003
+    * then u0000 -> u0001u0002. The separator never appears inside an
+    * encoded field (injective), escape targets keep source byte order
+    * (u0000 -> ..u0002 < u0001 -> ..u0003), and the separator u0000
+    * sorts below every encoded byte, so the packed key sorts
+    * field-by-field. `serial` is NULL if any field is NULL (reference
+    * semantics); `serialFull` keeps NULL fields (tag "0", sorting first).
     */
-  def serial(cols: Seq[Column]): Column = concat_ws("", cols.map(_.cast("string")): _*)
-  def serialExtract(s: Column, idx: Int): Column = split(s, "").getItem(idx)
+  private def serialEnc(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c.cast("string"), "\u0001", "\u0001\u0003"),
+      "\u0000", "\u0001\u0002")
+
+  private def serialField(c: Column): Column =
+    when(c.isNull, lit("0")).otherwise(concat(lit("1"), serialEnc(c)))
+
+  def serialFull(cols: Seq[Column]): Column =
+    concat_ws("\u0000", cols.map(serialField): _*)
+
+  def serial(cols: Seq[Column]): Column =
+    when(cols.map(_.isNotNull).reduce(_ && _), serialFull(cols))
+
+  /** Inverse of the packing above: the idx-th (0-based) field as a
+    * string, NULL for NULL-tagged fields or out-of-range idx.
+    */
+  def serialExtract(s: Column, idx: Int): Column = {
+    val f = element_at(split(s, "\u0000"), idx + 1)
+    when(f.startsWith("1"),
+      regexp_replace(
+        regexp_replace(substring(f, 2, Int.MaxValue), "\u0001\u0002", "\u0000"),
+        "\u0001\u0003", "\u0001"))
+  }
 
   /** Register SQL names usable from `spark.sql` (UDF fallback surface;
     * the Column API above is the codegen'd fast path).

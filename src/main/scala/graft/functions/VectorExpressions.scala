@@ -35,6 +35,31 @@ abstract class VectorKernel extends BinaryExpression {
     case DoubleType => s"$v.getDouble($i)"
     case _ => throw new IllegalArgumentException(s"unsupported element type $t")
   }
+
+  /** Mismatched dimensions are an ERROR (reference
+    * `pkg/vectorindex/metric/metric.go` distance funcs reject them) --
+    * never silently truncate to the shorter vector.
+    */
+  protected def checkedDim(a: ArrayData, b: ArrayData): Int = {
+    if (a.numElements() != b.numElements())
+      throw VectorKernel.dimMismatch(a.numElements(), b.numElements())
+    a.numElements()
+  }
+
+  /** codegen snippet: assign checked dimension into int variable `n`. */
+  protected def dimCheckCode(a: String, b: String, n: String): String =
+    s"""
+       |if ($a.numElements() != $b.numElements()) {
+       |  throw graft.functions.VectorKernel.dimMismatch($a.numElements(), $b.numElements());
+       |}
+       |int $n = $a.numElements();
+     """.stripMargin
+}
+
+object VectorKernel {
+  def dimMismatch(n: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vector dimension mismatch: $n vs $m (both operands must have equal dimensions)")
 }
 
 /** Σ aᵢ·bᵢ (reference `inner_product`). */
@@ -42,7 +67,7 @@ case class InnerProductExpr(left: Expression, right: Expression) extends VectorK
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += getD(a, i, ta) * getD(b, i, tb); i += 1 }
@@ -55,7 +80,7 @@ case class InnerProductExpr(left: Expression, right: Expression) extends VectorK
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckCode(a, b, n)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (${getter(a, i, elemType(left))}) * (${getter(b, i, elemType(right))});
@@ -73,7 +98,7 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorKer
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -91,7 +116,7 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorKer
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckCode(a, b, n)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (${getter(a, i, elemType(left))}) - (${getter(b, i, elemType(right))});
@@ -112,7 +137,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression) extends Vec
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -137,7 +162,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression) extends Vec
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${dimCheckCode(a, b, n)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (${getter(a, i, elemType(left))});

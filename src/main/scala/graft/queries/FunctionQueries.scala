@@ -80,14 +80,20 @@ object FunctionQueries extends QueryModule {
       |    + ((202411 // 100) * 12 + (202411 % 100) - 1 + (o_orderkey % 30)) % 12 + 1 AS pa,
       |  ((202501 // 100) * 12 + 202501 % 100)
       |    - (((202411 - o_orderkey % 5) // 100) * 12 + (202411 - o_orderkey % 5) % 100) AS pd,
-      |  CAST(year(o_orderdate) * 100 + weekofyear(o_orderdate) AS BIGINT) AS yw,
+      |  CAST(year(_ws) * 100 + date_diff('day',
+      |         CAST(date_trunc('year', _ws) AS DATE)
+      |           + CAST((7 - dayofweek(date_trunc('year', _ws))) % 7 AS INTEGER),
+      |         _ws) // 7 + 1 AS BIGINT) AS yw,
       |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
       |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
       |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
       |  last_day(CAST(o_orderdate AS DATE)) AS lastd,
       |  datediff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS tsd,
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start
-      |FROM orders ORDER BY o_orderkey""".stripMargin
+      |FROM (SELECT *, CAST(o_orderdate AS DATE)
+      |               - CAST(dayofweek(o_orderdate) AS INTEGER) AS _ws
+      |      FROM orders) orders
+      |ORDER BY o_orderkey""".stripMargin
 
   // --------------------------------------------------------------- math
   private def fn3(s: SparkSession, d: String): DataFrame =
@@ -160,7 +166,17 @@ object FunctionQueries extends QueryModule {
         binToUuid(uuidToBin(lit("550E8400-E29B-41D4-A716-446655440000"))).as("uuid_rt"),
         md5(col("c_name")).as("md5_name"),
         sha2(col("c_name"), 256).as("sha_name"),
-        serial(Seq(col("c_custkey"), col("c_mktsegment"))).as("ser"))
+        // serial's packed bytes contain u0000 bytes (hostile to the parquet →
+        // DuckDB oracle path), so conformance checks the ROUND-TRIP:
+        // serial_extract(serial(a, b), i) recovers each field; nulls
+        // propagate for serial and null-tag for serial_full.
+        serialExtract(serial(Seq(col("c_custkey"), col("c_mktsegment"))), 0)
+          .as("ser_f0"),
+        serialExtract(serial(Seq(col("c_custkey"), col("c_mktsegment"))), 1)
+          .as("ser_f1"),
+        serialExtract(serialFull(Seq(
+          when(col("c_custkey") % 2 === 0, col("c_mktsegment")),
+          col("c_name"))), 0).as("ser_null"))
       .orderBy(col("c_custkey"))
   }
 
@@ -179,7 +195,9 @@ object FunctionQueries extends QueryModule {
       |  '550e8400-e29b-41d4-a716-446655440000' AS uuid_rt,
       |  md5(c_name) AS md5_name,
       |  sha256(c_name) AS sha_name,
-      |  CAST(c_custkey AS VARCHAR) || chr(1) || c_mktsegment AS ser
+      |  CAST(c_custkey AS VARCHAR) AS ser_f0,
+      |  c_mktsegment AS ser_f1,
+      |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS ser_null
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------ json mutation
@@ -194,7 +212,13 @@ object FunctionQueries extends QueryModule {
         get_json_object(json_replace(p, lit("$.x"), lit("9")), "$.x").cast("long").as("repl_noop"),
         json_remove(p, lit("$.k")).as("removed"),
         get_json_object(json_merge_patch(p, lit("""{"x":7}""")), "$.x").cast("long").as("merged_x"),
-        get_json_object(json_set(p, lit("$.k"), lit("123")), "$.k").cast("long").as("set_k"))
+        get_json_object(json_set(p, lit("$.k"), lit("123")), "$.k").cast("long").as("set_k"),
+        // MySQL parity: a nonexistent PARENT path is a no-op (no
+        // auto-creation of intermediate objects) for set and insert
+        get_json_object(json_set(p, lit("$.missing.leaf"), lit("1")), "$.missing.leaf")
+          .cast("long").as("set_deep"),
+        get_json_object(json_insert(p, lit("$.missing.leaf"), lit("1")), "$.k")
+          .cast("long").as("ins_deep_k"))
       .orderBy(col("event_id"))
   }
 
@@ -206,7 +230,9 @@ object FunctionQueries extends QueryModule {
       |  CAST(NULL AS BIGINT) AS repl_noop,
       |  '{}' AS removed,
       |  CAST(7 AS BIGINT) AS merged_x,
-      |  CAST(123 AS BIGINT) AS set_k
+      |  CAST(123 AS BIGINT) AS set_k,
+      |  CAST(NULL AS BIGINT) AS set_deep,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS ins_deep_k
       |FROM events ORDER BY event_id""".stripMargin
 
   // --------------------------------------------------- decimal arithmetic

@@ -96,6 +96,11 @@ object StreamingWindows {
   def upsertByKey(spark: SparkSession, source: DataFrame, keyCol: String,
       orderCol: String, targetView: String): Unit = {
     import org.apache.spark.sql.expressions.{Window => W}
+    // Long-running-stream hygiene: each micro-batch caches its merged
+    // state frame, so the previous batch's cache must be released once
+    // the view swap makes it unreachable — otherwise cached state grows
+    // by one full state-table copy per batch.
+    var prevCached: Option[DataFrame] = None
     val q = source.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val existing =
@@ -113,6 +118,8 @@ object StreamingWindows {
         // foreachBatch runs in a cloned session: only GLOBAL temp views
         // are visible to the caller's session
         merged.createOrReplaceGlobalTempView(targetView)
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(merged)
         ()
       }
       .start()

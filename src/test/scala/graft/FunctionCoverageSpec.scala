@@ -54,4 +54,77 @@ class FunctionCoverageSpec extends AnyFunSuite {
     assert(one("nvl(NULL, 7)") == 7)
     assert(one("coalesce(NULL, NULL, 9)") == 9)
   }
+
+  test("yearweek matches MySQL mode-0 on year-boundary dates") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MoFunctions.yearweek
+    // Expected values from the reference algorithm
+    // (pkg/container/types/date.go calcWeekFromCalendar, WeekYear mode 0):
+    // early-January dates before the year's first Sunday belong to the
+    // PREVIOUS year's week 52/53.
+    val cases = Seq(
+      "2027-01-01" -> 202652L, // Fri before first Sunday of 2027
+      "2026-01-01" -> 202552L, // Thu
+      "2025-01-05" -> 202501L, // first Sunday of 2025
+      "2025-01-04" -> 202452L, // Sat before it
+      "2023-12-31" -> 202353L, // Sunday starting week 53
+      "2024-01-06" -> 202353L, // Sat inside that same week
+      "2024-01-07" -> 202401L, // first Sunday of 2024
+      "1998-08-15" -> 199832L,
+      "2028-01-02" -> 202801L) // Jan 2 is a Sunday
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("d")
+      .select(yearweek(to_date(col("d"))).as("yw"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("serial round-trips fields, preserves order, propagates nulls") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MoFunctions.{serial, serialFull, serialExtract}
+    import spark.implicits._
+    // hostile payloads: separator and escape bytes inside the values
+    val df = Seq(
+      ("plain", "b"),
+      ("with\u0000nul", "with\u0001soh"),
+      ("\u0001\u0002", "\u0001\u0003"),
+      ("", "empty-left")).toDF("a", "b")
+    val rt = df.select(
+      serialExtract(serial(Seq(col("a"), col("b"))), 0).as("a2"),
+      serialExtract(serial(Seq(col("a"), col("b"))), 1).as("b2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rt == Seq(("plain", "b"), ("with\u0000nul", "with\u0001soh"),
+      ("\u0001\u0002", "\u0001\u0003"), ("", "empty-left")))
+    // injectivity on the advisor's collision case: ('ab','c') vs ('a','bc')
+    val packed = Seq(("ab", "c"), ("a", "bc")).toDF("a", "b")
+      .select(serial(Seq(col("a"), col("b"))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(packed.distinct.size == 2)
+    // field-by-field order: ("a","bc") sorts before ("ab","c") because
+    // field 1 "a" < "ab" and the separator sorts below every data byte
+    assert(packed(1) < packed(0))
+    // null semantics: serial -> NULL, serial_full -> null-tagged field
+    val nrow = Seq((Option.empty[String], "x")).toDF("a", "b").select(
+      serial(Seq(col("a"), col("b"))).as("s"),
+      serialExtract(serialFull(Seq(col("a"), col("b"))), 0).as("f0"),
+      serialExtract(serialFull(Seq(col("a"), col("b"))), 1).as("f1")).head
+    assert(nrow.isNullAt(0) && nrow.isNullAt(1) && nrow.getString(2) == "x")
+  }
+
+  test("vector kernels raise on dimension mismatch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.innerProduct(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(e).contains("dimension mismatch"))
+  }
 }
