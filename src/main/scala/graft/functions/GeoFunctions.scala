@@ -1,0 +1,470 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Geospatial function family (reference `pkg/geo/` + registrations
+  * `pkg/sql/plan/function/function_id.go:595-651` ST_*). The reference
+  * backs these with a GEOS-style geometry kernel; here the core surface
+  * is re-implemented pure-Scala over WKT-carried geometries so the
+  * family works with zero native dependencies:
+  *
+  *  - constructors/accessors: st_geomfromtext, st_astext, st_x, st_y,
+  *    st_srid, st_geometrytype, st_isempty, st_dimension,
+  *    st_numpoints, st_startpoint, st_endpoint, st_pointn, st_isclosed
+  *  - measures: st_length, st_area, st_distance (Cartesian),
+  *    st_distance_sphere (great-circle meters, IUGG R1 = 6371008.8 —
+  *    reference `pkg/geo/geodetic.go:30`; POINT-only operands with
+  *    lon/lat range checks per `func_binary.go:9188`)
+  *  - constructions: st_envelope, st_centroid
+  *  - predicates: st_contains, st_within, st_intersects, st_disjoint
+  *  - geohash: st_geohash, st_pointfromgeohash (reference
+  *    `func_binary.go:8668-8741`)
+  *
+  * Geometries travel as WKT strings (POINT / LINESTRING / POLYGON);
+  * ST_GeomFromText canonicalizes, everything else parses on demand.
+  * Predicate semantics follow OGC for the supported type combinations
+  * (point-in-polygon is strict-interior for contains); curve/collection
+  * types and full DE-9IM are out of scope and return null. Invalid WKT
+  * yields null (the reference raises; null keeps the UDF surface total).
+  */
+object GeoFunctions {
+
+  // ------------------------------------------------------------ geometry
+  type Pt = (Double, Double)
+
+  sealed trait Geom
+  final case class GPoint(x: Double, y: Double) extends Geom
+  final case class GLine(pts: IndexedSeq[Pt]) extends Geom
+  /** rings.head = exterior shell, tail = holes; rings are closed. */
+  final case class GPolygon(rings: IndexedSeq[IndexedSeq[Pt]]) extends Geom
+
+  // ----------------------------------------------------------- WKT parse
+  private def parseCoords(s: String): Option[IndexedSeq[Pt]] = {
+    val parts = s.split(",").map(_.trim)
+    val out = Vector.newBuilder[Pt]
+    for (p <- parts) {
+      val nums = p.split("\\s+")
+      if (nums.length != 2) return None
+      try out += ((nums(0).toDouble, nums(1).toDouble))
+      catch { case _: NumberFormatException => return None }
+    }
+    Some(out.result())
+  }
+
+  def parseWkt(wkt: String): Option[Geom] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    if (open < 0 || !s.endsWith(")")) return None
+    val tag = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open + 1, s.length - 1).trim
+    tag match {
+      case "POINT" =>
+        parseCoords(body).filter(_.size == 1).map(p => GPoint(p.head._1, p.head._2))
+      case "LINESTRING" =>
+        parseCoords(body).filter(_.size >= 2).map(GLine)
+      case "POLYGON" =>
+        // body = (ring),(ring)...
+        val rings = Vector.newBuilder[IndexedSeq[Pt]]
+        var i = 0
+        while (i < body.length) {
+          while (i < body.length && (body(i) == ',' || body(i).isWhitespace)) i += 1
+          if (i >= body.length) i = body.length
+          else {
+            if (body(i) != '(') return None
+            val close = body.indexOf(')', i)
+            if (close < 0) return None
+            parseCoords(body.substring(i + 1, close)) match {
+              case Some(r) if r.size >= 4 && r.head == r.last => rings += r
+              case _ => return None
+            }
+            i = close + 1
+          }
+        }
+        val rs = rings.result()
+        if (rs.isEmpty) None else Some(GPolygon(rs))
+      case _ => None
+    }
+  }
+
+  private def fmt(v: Double): String =
+    if (v == v.toLong && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT(${fmt(x)} ${fmt(y)})"
+    case GLine(pts) =>
+      pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString("LINESTRING(", ",", ")")
+    case GPolygon(rings) =>
+      rings.map(_.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+        .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
+  }
+
+  // ------------------------------------------------------------ measures
+  private def segLen(a: Pt, b: Pt): Double =
+    math.hypot(b._1 - a._1, b._2 - a._2)
+
+  def length(g: Geom): Option[Double] = g match {
+    case GLine(pts) => Some(pts.sliding(2).map(s => segLen(s(0), s(1))).sum)
+    case _ => None // MySQL: NULL for non-linear geometries
+  }
+
+  /** Signed shoelace area of one ring (positive = CCW). */
+  private def ringArea(r: IndexedSeq[Pt]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < r.size - 1) {
+      s += r(i)._1 * r(i + 1)._2 - r(i + 1)._1 * r(i)._2
+      i += 1
+    }
+    s / 2.0
+  }
+
+  def area(g: Geom): Option[Double] = g match {
+    case GPolygon(rings) =>
+      Some(math.abs(ringArea(rings.head)) - rings.tail.map(r => math.abs(ringArea(r))).sum)
+    case _ => Some(0.0) // MySQL: 0 for point/linestring
+  }
+
+  /** Distance from point p to segment [a,b]. */
+  private def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
+    val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+    val l2 = dx * dx + dy * dy
+    if (l2 == 0.0) segLen(p, a)
+    else {
+      val t = math.max(0.0, math.min(1.0,
+        ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / l2))
+      segLen(p, (a._1 + t * dx, a._2 + t * dy))
+    }
+  }
+
+  private def segments(g: Geom): Iterator[(Pt, Pt)] = g match {
+    case GPoint(_, _) => Iterator.empty
+    case GLine(pts) => pts.sliding(2).map(s => (s(0), s(1)))
+    case GPolygon(rings) => rings.iterator.flatMap(_.sliding(2).map(s => (s(0), s(1))))
+  }
+
+  private def vertices(g: Geom): IndexedSeq[Pt] = g match {
+    case GPoint(x, y) => Vector((x, y))
+    case GLine(pts) => pts
+    case GPolygon(rings) => rings.flatten
+  }
+
+  /** Ray-cast point-in-polygon: 1 = interior, 0 = on boundary, -1 = out. */
+  private def pipState(p: Pt, poly: GPolygon): Int = {
+    for ((a, b) <- segments(poly))
+      if (pointSegDist(p, a, b) < 1e-12) return 0
+    var inside = false
+    for (ring <- poly.rings) {
+      var i = 0
+      while (i < ring.size - 1) {
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring(i + 1)
+        if ((y1 > p._2) != (y2 > p._2)) {
+          val xint = x1 + (p._2 - y1) * (x2 - x1) / (y2 - y1)
+          if (xint > p._1) inside = !inside
+        }
+        i += 1
+      }
+    }
+    if (inside) 1 else -1
+  }
+
+  /** Proper/improper intersection of segments [a,b] and [c,d]. */
+  private def segIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    def orient(p: Pt, q: Pt, r: Pt): Double =
+      (q._1 - p._1) * (r._2 - p._2) - (q._2 - p._2) * (r._1 - p._1)
+    def onSeg(p: Pt, q: Pt, r: Pt): Boolean =
+      math.min(p._1, r._1) - 1e-12 <= q._1 && q._1 <= math.max(p._1, r._1) + 1e-12 &&
+        math.min(p._2, r._2) - 1e-12 <= q._2 && q._2 <= math.max(p._2, r._2) + 1e-12
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) true
+    else (math.abs(o1) < 1e-12 && onSeg(a, c, b)) ||
+      (math.abs(o2) < 1e-12 && onSeg(a, d, b)) ||
+      (math.abs(o3) < 1e-12 && onSeg(c, a, d)) ||
+      (math.abs(o4) < 1e-12 && onSeg(c, b, d))
+  }
+
+  /** Min Cartesian distance between any two supported geometries; 0 when
+    * they intersect (reference ST_DISTANCE with non-4326 SRID,
+    * `func_binary.go:9225` geometryDistanceBySRID Cartesian branch).
+    */
+  def distance(g1: Geom, g2: Geom): Double = {
+    if (intersects(g1, g2)) return 0.0
+    val segs1 = segments(g1).toVector
+    val segs2 = segments(g2).toVector
+    var best = Double.MaxValue
+    for (v <- vertices(g1)) {
+      if (segs2.isEmpty) for (w <- vertices(g2)) best = math.min(best, segLen(v, w))
+      else for ((a, b) <- segs2) best = math.min(best, pointSegDist(v, a, b))
+    }
+    for (v <- vertices(g2)) {
+      if (segs1.isEmpty) for (w <- vertices(g1)) best = math.min(best, segLen(v, w))
+      else for ((a, b) <- segs1) best = math.min(best, pointSegDist(v, a, b))
+    }
+    best
+  }
+
+  /** IUGG mean Earth radius R1 (reference `pkg/geo/geodetic.go:30`). */
+  val EarthRadiusMeters: Double = 6371008.8
+
+  /** Great-circle meters between POINTs; X=lon, Y=lat in degrees, range
+    * checked like the reference (`validateDistanceSphereGeometry`).
+    */
+  def distanceSphere(g1: Geom, g2: Geom): Option[Double] = (g1, g2) match {
+    case (GPoint(lon1, lat1), GPoint(lon2, lat2))
+        if math.abs(lon1) <= 180 && math.abs(lon2) <= 180 &&
+          math.abs(lat1) <= 90 && math.abs(lat2) <= 90 =>
+      val (p1, l1) = (math.toRadians(lat1), math.toRadians(lon1))
+      val (p2, l2) = (math.toRadians(lat2), math.toRadians(lon2))
+      val dp = p2 - p1
+      val dl = l2 - l1
+      val h = math.pow(math.sin(dp / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+      Some(2 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(h))))
+    case _ => None
+  }
+
+  // ---------------------------------------------------------- predicates
+  def intersects(g1: Geom, g2: Geom): Boolean = (g1, g2) match {
+    case (GPoint(x, y), GPoint(x2, y2)) => segLen((x, y), (x2, y2)) < 1e-12
+    case (p: GPoint, l: GLine) =>
+      segments(l).exists { case (a, b) => pointSegDist((p.x, p.y), a, b) < 1e-12 }
+    case (l: GLine, p: GPoint) => intersects(p, l)
+    case (p: GPoint, poly: GPolygon) => pipState((p.x, p.y), poly) >= 0
+    case (poly: GPolygon, p: GPoint) => intersects(p, poly)
+    case _ =>
+      // any edge crossing, or either containing a vertex of the other
+      segments(g1).exists { case (a, b) =>
+        segments(g2).exists { case (c, d) => segIntersect(a, b, c, d) }
+      } || ((g1, g2) match {
+        case (poly: GPolygon, o) => vertices(o).exists(pipState(_, poly) >= 0)
+        case _ => false
+      }) || ((g2, g1) match {
+        case (poly: GPolygon, o) => vertices(o).exists(pipState(_, poly) >= 0)
+        case _ => false
+      })
+  }
+
+  /** OGC-style contains for polygon ⊇ {point, line, polygon}: every
+    * vertex of b inside-or-on a, no edge of b properly crossing out, and
+    * at least one interior point.
+    */
+  def contains(a: Geom, b: Geom): Option[Boolean] = a match {
+    case poly: GPolygon =>
+      b match {
+        case GPoint(x, y) => Some(pipState((x, y), poly) == 1)
+        case _ =>
+          val vs = vertices(b)
+          val states = vs.map(pipState(_, poly))
+          if (states.exists(_ == -1)) Some(false)
+          else {
+            // midpoint states catch both failure and success modes that
+            // vertices alone miss: an edge whose endpoints touch the
+            // boundary may run outside (escape, -1) or strictly inside
+            // (the required interior point, +1), e.g. a chord
+            val midStates = segments(b).map { case (c, d) =>
+              pipState(((c._1 + d._1) / 2, (c._2 + d._2) / 2), poly)
+            }.toVector
+            Some(!midStates.contains(-1) && (states.contains(1) || midStates.contains(1)))
+          }
+      }
+    case _ => None // line/point containers out of scope
+  }
+
+  def within(a: Geom, b: Geom): Option[Boolean] = contains(b, a)
+
+  // ------------------------------------------------------- constructions
+  def envelope(g: Geom): Geom = {
+    val vs = vertices(g)
+    val (xs, ys) = (vs.map(_._1), vs.map(_._2))
+    val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
+    if (x0 == x1 && y0 == y1) GPoint(x0, y0)
+    else GPolygon(Vector(Vector((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+  }
+
+  def centroid(g: Geom): Geom = g match {
+    case p: GPoint => p
+    case GLine(pts) =>
+      // length-weighted midpoint average
+      var (sx, sy, sl) = (0.0, 0.0, 0.0)
+      for (Seq(a, b) <- pts.sliding(2)) {
+        val l = segLen(a, b)
+        sx += (a._1 + b._1) / 2 * l; sy += (a._2 + b._2) / 2 * l; sl += l
+      }
+      if (sl == 0) GPoint(pts.head._1, pts.head._2) else GPoint(sx / sl, sy / sl)
+    case GPolygon(rings) =>
+      // area-weighted centroid; holes contribute negative area
+      var (cx, cy, ta) = (0.0, 0.0, 0.0)
+      for ((ring, ri) <- rings.zipWithIndex) {
+        val a = ringArea(ring)
+        val sign = if (ri == 0) 1.0 else -1.0
+        val w = sign * math.abs(a)
+        var (rx, ry) = (0.0, 0.0)
+        var i = 0
+        while (i < ring.size - 1) {
+          val cross = ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+          rx += (ring(i)._1 + ring(i + 1)._1) * cross
+          ry += (ring(i)._2 + ring(i + 1)._2) * cross
+          i += 1
+        }
+        // rx/ry are signed by ring orientation; normalize to ring area sign
+        val norm = if (a == 0) 0.0 else 1.0 / (6 * a)
+        cx += w * rx * norm; cy += w * ry * norm; ta += w
+      }
+      if (ta == 0) GPoint(rings.head.head._1, rings.head.head._2)
+      else GPoint(cx / ta, cy / ta)
+  }
+
+  // -------------------------------------------------------------- geohash
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash encode (reference `StGeoHashFromLonLat`,
+    * `func_binary.go:8679`).
+    */
+  def geohashEncode(lon: Double, lat: Double, len: Int): Option[String] = {
+    if (math.abs(lon) > 180 || math.abs(lat) > 90 || len < 1 || len > 12) return None
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    val sb = new StringBuilder
+    var bit = 0
+    var ch = 0
+    var even = true
+    while (sb.length < len) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch <<= 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch <<= 1; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(Base32(ch)); bit = 0; ch = 0 }
+    }
+    Some(sb.toString)
+  }
+
+  /** Geohash decode to the cell-center POINT. */
+  def geohashDecode(hash: String): Option[GPoint] = {
+    if (hash == null || hash.isEmpty) return None
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    var even = true
+    for (c <- hash.toLowerCase) {
+      val idx = Base32.indexOf(c)
+      if (idx < 0) return None
+      for (shift <- 4 to 0 by -1) {
+        val bit = (idx >> shift) & 1
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        even = !even
+      }
+    }
+    Some(GPoint((lonLo + lonHi) / 2, (latLo + latHi) / 2))
+  }
+
+  // ------------------------------------------------------------ UDF layer
+  private def g1[T](f: Geom => Option[T]): String => Option[T] =
+    (w: String) => parseWkt(w).flatMap(f)
+  private def g2[T](f: (Geom, Geom) => Option[T]): (String, String) => Option[T] =
+    (w1: String, w2: String) =>
+      for { a <- parseWkt(w1); b <- parseWkt(w2); r <- f(a, b) } yield r
+
+  private val fromTextU = udf((w: String) => parseWkt(w).map(toWkt))
+  private val asTextU = fromTextU
+  private val typeU = udf(g1(g => Some(g match {
+    case _: GPoint => "POINT"
+    case _: GLine => "LINESTRING"
+    case _: GPolygon => "POLYGON"
+  })))
+  private val xU = udf(g1 { case GPoint(x, _) => Some(x); case _ => None })
+  private val yU = udf(g1 { case GPoint(_, y) => Some(y); case _ => None })
+  private val sridU = udf(g1(_ => Some(0)))
+  private val isEmptyU = udf(g1(_ => Some(false)))
+  private val dimensionU = udf(g1(g => Some(g match {
+    case _: GPoint => 0; case _: GLine => 1; case _: GPolygon => 2
+  })))
+  private val numPointsU = udf(g1 { case GLine(p) => Some(p.size); case _ => None })
+  private val startPointU =
+    udf(g1 { case GLine(p) => Some(toWkt(GPoint(p.head._1, p.head._2))); case _ => None })
+  private val endPointU =
+    udf(g1 { case GLine(p) => Some(toWkt(GPoint(p.last._1, p.last._2))); case _ => None })
+  private val pointNU = udf((w: String, n: Int) => parseWkt(w).flatMap {
+    case GLine(p) if n >= 1 && n <= p.size => Some(toWkt(GPoint(p(n - 1)._1, p(n - 1)._2)))
+    case _ => None
+  })
+  private val isClosedU = udf(g1 {
+    case GLine(p) => Some(p.head == p.last); case _ => None
+  })
+  private val lengthU = udf(g1(length))
+  private val areaU = udf(g1(area))
+  private val distanceU = udf(g2((a, b) => Some(distance(a, b))))
+  private val distanceSphereU = udf(g2(distanceSphere))
+  private val containsU = udf(g2(contains))
+  private val withinU = udf(g2(within))
+  private val intersectsU = udf(g2((a, b) => Some(intersects(a, b))))
+  private val disjointU = udf(g2((a, b) => Some(!intersects(a, b))))
+  private val envelopeU = udf(g1(g => Some(toWkt(envelope(g)))))
+  private val centroidU = udf(g1(g => Some(toWkt(centroid(g)))))
+  private val geohashU = udf((lon: Double, lat: Double, len: Int) => geohashEncode(lon, lat, len))
+  private val fromGeohashU = udf((h: String) => geohashDecode(h).map(toWkt))
+
+  def st_geomfromtext(w: Column): Column = fromTextU(w)
+  def st_astext(w: Column): Column = asTextU(w)
+  def st_geometrytype(w: Column): Column = typeU(w)
+  def st_x(w: Column): Column = xU(w)
+  def st_y(w: Column): Column = yU(w)
+  def st_srid(w: Column): Column = sridU(w)
+  def st_isempty(w: Column): Column = isEmptyU(w)
+  def st_dimension(w: Column): Column = dimensionU(w)
+  def st_numpoints(w: Column): Column = numPointsU(w)
+  def st_startpoint(w: Column): Column = startPointU(w)
+  def st_endpoint(w: Column): Column = endPointU(w)
+  def st_pointn(w: Column, n: Column): Column = pointNU(w, n)
+  def st_isclosed(w: Column): Column = isClosedU(w)
+  def st_length(w: Column): Column = lengthU(w)
+  def st_area(w: Column): Column = areaU(w)
+  def st_distance(a: Column, b: Column): Column = distanceU(a, b)
+  def st_distance_sphere(a: Column, b: Column): Column = distanceSphereU(a, b)
+  def st_contains(a: Column, b: Column): Column = containsU(a, b)
+  def st_within(a: Column, b: Column): Column = withinU(a, b)
+  def st_intersects(a: Column, b: Column): Column = intersectsU(a, b)
+  def st_disjoint(a: Column, b: Column): Column = disjointU(a, b)
+  def st_envelope(w: Column): Column = envelopeU(w)
+  def st_centroid(w: Column): Column = centroidU(w)
+  def st_geohash(lon: Column, lat: Column, len: Column): Column = geohashU(lon, lat, len)
+  def st_pointfromgeohash(h: Column): Column = fromGeohashU(h)
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("st_geomfromtext", (w: String) => parseWkt(w).map(toWkt).orNull)
+    spark.udf.register("st_astext", (w: String) => parseWkt(w).map(toWkt).orNull)
+    spark.udf.register("st_x", (w: String) =>
+      parseWkt(w).collect { case GPoint(x, _) => x })
+    spark.udf.register("st_y", (w: String) =>
+      parseWkt(w).collect { case GPoint(_, y) => y })
+    spark.udf.register("st_distance", (a: String, b: String) =>
+      for { x <- parseWkt(a); y <- parseWkt(b) } yield distance(x, y))
+    spark.udf.register("st_distance_sphere", (a: String, b: String) =>
+      for { x <- parseWkt(a); y <- parseWkt(b); d <- distanceSphere(x, y) } yield d)
+    spark.udf.register("st_length", (w: String) => parseWkt(w).flatMap(length))
+    spark.udf.register("st_area", (w: String) => parseWkt(w).flatMap(area))
+    spark.udf.register("st_contains", (a: String, b: String) =>
+      (for { x <- parseWkt(a); y <- parseWkt(b); r <- contains(x, y) } yield r))
+    spark.udf.register("st_within", (a: String, b: String) =>
+      (for { x <- parseWkt(a); y <- parseWkt(b); r <- within(x, y) } yield r))
+    spark.udf.register("st_intersects", (a: String, b: String) =>
+      (for { x <- parseWkt(a); y <- parseWkt(b) } yield intersects(x, y)))
+    spark.udf.register("st_envelope", (w: String) => parseWkt(w).map(g => toWkt(envelope(g))).orNull)
+    spark.udf.register("st_centroid", (w: String) => parseWkt(w).map(g => toWkt(centroid(g))).orNull)
+    spark.udf.register("st_geohash", (lon: Double, lat: Double, len: Int) =>
+      geohashEncode(lon, lat, len).orNull)
+    spark.udf.register("st_pointfromgeohash", (h: String) =>
+      geohashDecode(h).map(toWkt).orNull)
+  }
+}

@@ -134,6 +134,15 @@ object MoFunctions {
   def yearweekIso(d: Column): Column =
     (extract(lit("YEAROFWEEK"), d).cast("long") * 100 + weekofyear(d)).cast("long")
 
+  /** CONVERT_TZ(dt, from_tz, to_tz) — reinterpret naive wall-clock dt
+    * from from_tz and render it in to_tz (reference `convert_tz`,
+    * `list_builtIn.go:8733`). Session timezone is UTC (GraftSession), so
+    * a TimestampType's wall-clock reading IS its UTC rendering, making
+    * the to_utc/from_utc pair exactly MySQL's semantics.
+    */
+  def convertTz(ts: Column, fromTz: String, toTz: String): Column =
+    from_utc_timestamp(to_utc_timestamp(ts, fromTz), toTz)
+
   // --------------------------------------------------------------- math
   /** MySQL TRUNCATE(x, d): toward zero. */
   def truncateNum(x: Column, d: Int): Column = {
@@ -242,5 +251,13 @@ object MoFunctions {
     })
     spark.udf.register("inet_ntoa", (n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
+    spark.udf.register("convert_tz",
+      (ts: java.sql.Timestamp, from: String, to: String) =>
+        if (ts == null || from == null || to == null) null
+        else {
+          val zoned = ts.toLocalDateTime.atZone(java.time.ZoneId.of(from))
+          java.sql.Timestamp.valueOf(
+            zoned.withZoneSameInstant(java.time.ZoneId.of(to)).toLocalDateTime)
+        })
   }
 }

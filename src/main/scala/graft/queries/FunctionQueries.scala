@@ -258,8 +258,71 @@ object FunctionQueries extends QueryModule {
       |  CAST(CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(15,2)) AS VARCHAR) AS dstr
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------------------------- convert_tz
+  /** CONVERT_TZ across fixed-offset, DST, and half-hour-offset zones.
+    * Hours are pinned to 12–23 so the source wall-clock never falls in a
+    * spring-forward gap (whose repair policy differs across engines).
+    */
+  private def fn8(s: SparkSession, d: String): DataFrame = {
+    val ts = expr("timestampadd(HOUR, CAST(o_orderkey % 12 AS INT) + 12, CAST(o_orderdate AS TIMESTAMP))")
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        M.convertTz(ts, "America/New_York", "Asia/Tokyo").as("ny_tokyo"),
+        M.convertTz(ts, "UTC", "America/Los_Angeles").as("utc_la"),
+        M.convertTz(ts, "UTC", "Asia/Kolkata").as("utc_kolkata"),
+        M.convertTz(ts, "Europe/Paris", "UTC").as("paris_utc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val fn8Sql =
+    """SELECT o_orderkey,
+      |  timezone('Asia/Tokyo', timezone('America/New_York', ts)) AS ny_tokyo,
+      |  timezone('America/Los_Angeles', timezone('UTC', ts)) AS utc_la,
+      |  timezone('Asia/Kolkata', timezone('UTC', ts)) AS utc_kolkata,
+      |  timezone('UTC', timezone('Europe/Paris', ts)) AS paris_utc
+      |FROM (SELECT o_orderkey,
+      |        CAST(o_orderdate AS TIMESTAMP) + to_hours(o_orderkey % 12 + 12) AS ts
+      |      FROM orders) orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ collation
+  /** Case-insensitive collation via binary sort keys: grouping and
+    * ordering a mixed-case column under `utf8mb4_general_ci` must match
+    * DuckDB's lower()-normalized grouping (ASCII corpus).
+    */
+  private def fn9(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Collations.collation_key
+    import org.apache.spark.sql.expressions.Window
+    val mixed = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+      .otherwise(lower(col("c_mktsegment")))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), mixed.as("mixed"),
+        collation_key(mixed, lit("utf8mb4_general_ci")).as("ck"))
+      .groupBy(col("ck"))
+      .agg(
+        min(upper(col("mixed"))).as("seg"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("mixed")).as("variants"))
+      .withColumn("rnk", dense_rank().over(Window.orderBy(col("ck"))))
+      .select(col("seg"), col("cnt"), col("variants"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("seg"))
+  }
+
+  private val fn9Sql =
+    """SELECT min(upper(mixed)) AS seg,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(count(DISTINCT mixed) AS BIGINT) AS variants,
+      |  CAST(dense_rank() OVER (ORDER BY lower(mixed)) AS BIGINT) AS rnk
+      |FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+      |             ELSE lower(c_mktsegment) END AS mixed
+      |      FROM customer)
+      |GROUP BY lower(mixed)
+      |ORDER BY seg""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
+    Q("fn8_convert_tz", fn8, Some(fn8Sql)),
+    Q("fn9_collation_ci", fn9, Some(fn9Sql)),
     Q("fn1_string_funcs", fn1, Some(fn1Sql)),
     Q("fn2_datetime_funcs", fn2, Some(fn2Sql)),
     Q("fn3_math_funcs", fn3, Some(fn3Sql)),
