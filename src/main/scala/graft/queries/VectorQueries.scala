@@ -156,7 +156,41 @@ object VectorQueries extends QueryModule {
        |SELECT a_id, b_id, round(cos, 6) AS score FROM p WHERE cos >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------- v8 HNSW KNN
+  /** Approximate — graph walk order is engine-local, so rows-only check;
+    * KnnSpec asserts recall vs brute force (sharded HNSW, one graph per
+    * partition, global top-k merge).
+    */
+  private def v8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Hnsw.hnswTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, m = 16, efConstruction = 100, efSearch = 80)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------- v9 IVF-PQ KNN
+  /** Approximate (quantized) — rows-only check; KnnSpec asserts recall
+    * with exact refine vs brute force.
+    */
+  private def v9(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (codes, model) = graft.operators.IvfPq.build(emb, "vec_id", "embedding",
+      nlist = 16, mSub = 8, codebookSize = 16)
+    graft.operators.IvfPq.search(codes, model,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nprobe = 12, refine = 100, corpus = emb,
+        corpusId = "vec_id", corpusVec = "embedding")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   override val queries: Seq[Q] = Seq(
+    Q("v9_ivfpq_knn", v9, None),
+    Q("v8_hnsw_knn", v8, None),
     Q("v7_embedding_neardup_lsh", v7, Some(v7Sql)),
     Q("v1_vector_norms", v1, Some(v1Sql)),
     Q("v2_knn_cosine", v2, Some(v2Sql)),
