@@ -74,6 +74,7 @@ object IvfPq {
     val featurized = corpus.select(col(idCol).cast("long").as("_id"),
       col(vecCol).as("_v"), array_to_vector(col(vecCol)).as("_features"))
     val coarse = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .setMaxIter(8).setInitMode("random")
       .fit(featurized)
     val centroids = coarse.clusterCenters.map(_.toArray)
     val dim = centroids.head.length
@@ -97,6 +98,7 @@ object IvfPq {
       val slices = residRows.select(
         array_to_vector(expr(s"slice(_res, ${s * dsub + 1}, $dsub)")).as("_features"))
       new KMeans().setK(codebookSize).setSeed(seed + s + 1).setFeaturesCol("_features")
+        .setMaxIter(8).setInitMode("random")
         .fit(slices).clusterCenters.map(_.toArray)
     }.toArray
 
