@@ -37,6 +37,7 @@ object GraftSession {
     graft.functions.MoFunctions.registerAll(s)
     graft.functions.Sketches.registerAll(s)
     graft.functions.JsonMutation.registerAll(s)
+    graft.functions.JsonExtras.registerAll(s)
     graft.functions.GeoFunctions.registerAll(s)
     graft.functions.Collations.registerAll(s)
     s

@@ -134,6 +134,147 @@ object MoFunctions {
   def yearweekIso(d: Column): Column =
     (extract(lit("YEAROFWEEK"), d).cast("long") * 100 + weekofyear(d)).cast("long")
 
+  /** SEC_TO_TIME(n): non-negative seconds → 'HH:MM:SS' (MySQL TIME
+    * rendering; hours may exceed 24, zero-padded to 2).
+    */
+  def secToTime(n: Column): Column = {
+    val s = n.cast("long")
+    concat(
+      lpad((s / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((s % 60).cast("string"), 2, "0"))
+  }
+
+  /** TIME_TO_SEC('HH:MM:SS') — inverse of secToTime. */
+  def timeToSec(t: Column): Column = {
+    val p = split(t, ":")
+    (element_at(p, 1).cast("long") * 3600 +
+      element_at(p, 2).cast("long") * 60 + element_at(p, 3).cast("long"))
+  }
+
+  /** MAKETIME(h, m, s). */
+  def makeTime(h: Column, m: Column, s: Column): Column =
+    concat(lpad(h.cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(m.cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(s.cast("long").cast("string"), 2, "0"))
+
+  /** GET_FORMAT(type, standard) → MySQL format pattern (static lookup,
+    * MySQL reference table).
+    */
+  def getFormat(kind: String, standard: String): Option[String] = {
+    val key = (kind.toUpperCase, standard.toUpperCase)
+    val table = Map(
+      ("DATE", "USA") -> "%m.%d.%Y", ("DATE", "JIS") -> "%Y-%m-%d",
+      ("DATE", "ISO") -> "%Y-%m-%d", ("DATE", "EUR") -> "%d.%m.%Y",
+      ("DATE", "INTERNAL") -> "%Y%m%d",
+      ("TIME", "USA") -> "%h:%i:%s %p", ("TIME", "JIS") -> "%H:%i:%s",
+      ("TIME", "ISO") -> "%H:%i:%s", ("TIME", "EUR") -> "%H.%i.%s",
+      ("TIME", "INTERNAL") -> "%H%i%s",
+      ("DATETIME", "USA") -> "%Y-%m-%d %H.%i.%s",
+      ("DATETIME", "JIS") -> "%Y-%m-%d %H:%i:%s",
+      ("DATETIME", "ISO") -> "%Y-%m-%d %H:%i:%s",
+      ("DATETIME", "EUR") -> "%Y-%m-%d %H.%i.%s",
+      ("DATETIME", "INTERNAL") -> "%Y%m%d%H%i%s")
+    table.get(key)
+  }
+
+  // -------------------------------------------------------------- inet6
+  /** Parse an IPv6 literal (with :: compression and embedded IPv4) to 16
+    * bytes; dotted-quad IPv4 to 4 bytes (MySQL INET6_ATON). Pure parser —
+    * never touches the resolver.
+    */
+  def inet6AtonBytes(s: String): Array[Byte] = {
+    if (s == null) return null
+    if (!s.contains(':')) {
+      val q = s.split("\\.")
+      if (q.length != 4) return null
+      val out = new Array[Byte](4)
+      try {
+        for (i <- 0 until 4) {
+          val v = q(i).toInt
+          if (v < 0 || v > 255) return null
+          out(i) = v.toByte
+        }
+      } catch { case _: NumberFormatException => return null }
+      return out
+    }
+    // IPv6: split on "::" (at most one), expand the gap with zero groups
+    val dc = s.indexOf("::")
+    if (dc >= 0 && s.indexOf("::", dc + 1) >= 0) return null
+    def groups(part: String): Option[Array[Int]] = {
+      if (part.isEmpty) return Some(Array.empty)
+      val raw = part.split(":", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for ((g, i) <- raw.zipWithIndex) {
+        if (g.contains('.')) {
+          // embedded IPv4 must be the final group
+          if (i != raw.length - 1) return None
+          val v4 = inet6AtonBytes(g)
+          if (v4 == null || v4.length != 4) return None
+          out += ((v4(0) & 0xff) << 8 | (v4(1) & 0xff))
+          out += ((v4(2) & 0xff) << 8 | (v4(3) & 0xff))
+        } else {
+          if (g.isEmpty || g.length > 4) return None
+          try out += Integer.parseInt(g, 16)
+          catch { case _: NumberFormatException => return None }
+        }
+      }
+      Some(out.toArray)
+    }
+    val (headS, tailS) =
+      if (dc >= 0) (s.substring(0, dc), s.substring(dc + 2)) else (s, "")
+    (groups(headS), groups(tailS)) match {
+      case (Some(h), Some(t)) =>
+        val fill = 8 - h.length - t.length
+        if (dc < 0 && h.length != 8) null
+        else if (dc >= 0 && fill < 1) null
+        else {
+          val gs = h ++ Array.fill(math.max(fill, 0))(0) ++ t
+          if (gs.length != 8) null
+          else {
+            val out = new Array[Byte](16)
+            for (i <- 0 until 8) {
+              out(2 * i) = ((gs(i) >> 8) & 0xff).toByte
+              out(2 * i + 1) = (gs(i) & 0xff).toByte
+            }
+            out
+          }
+        }
+      case _ => null
+    }
+  }
+
+  /** 16 bytes → RFC 5952 compressed IPv6 text; 4 bytes → dotted quad
+    * (MySQL INET6_NTOA).
+    */
+  def inet6NtoaStr(b: Array[Byte]): String = {
+    if (b == null) return null
+    if (b.length == 4) return b.map(_ & 0xff).mkString(".")
+    if (b.length != 16) return null
+    val gs = (0 until 8).map(i => ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+    // longest run of zero groups (length >= 2) compresses to ::
+    var bestStart = -1
+    var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (gs(i) == 0) {
+        var j = i
+        while (j < 8 && gs(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) gs.map(g => Integer.toHexString(g)).mkString(":")
+    else {
+      val head = gs.take(bestStart).map(g => Integer.toHexString(g)).mkString(":")
+      val tail = gs.drop(bestStart + bestLen).map(g => Integer.toHexString(g)).mkString(":")
+      s"$head::$tail"
+    }
+  }
+
+  def isIpv6Str(s: String): Boolean =
+    s != null && s.contains(':') && inet6AtonBytes(s) != null
+
   /** CONVERT_TZ(dt, from_tz, to_tz) — reinterpret naive wall-clock dt
     * from from_tz and render it in to_tz (reference `convert_tz`,
     * `list_builtIn.go:8733`). Session timezone is UTC (GraftSession), so
@@ -251,6 +392,20 @@ object MoFunctions {
     })
     spark.udf.register("inet_ntoa", (n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
+    spark.udf.register("sec_to_time", (n: Long) =>
+      f"${n / 3600}%02d:${n % 3600 / 60}%02d:${n % 60}%02d")
+    spark.udf.register("time_to_sec", (t: String) => {
+      val p = if (t == null) Array.empty[String] else t.split(":")
+      if (p.length != 3) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(p(0).toLong * 3600 + p(1).toLong * 60 + p(2).toLong)
+    })
+    spark.udf.register("maketime", (h: Long, m: Long, s: Long) =>
+      f"$h%02d:$m%02d:$s%02d")
+    spark.udf.register("get_format", (k: String, std: String) =>
+      if (k == null || std == null) null else getFormat(k, std).orNull)
+    spark.udf.register("inet6_aton", inet6AtonBytes _)
+    spark.udf.register("inet6_ntoa", inet6NtoaStr _)
+    spark.udf.register("is_ipv6", (s: String) => isIpv6Str(s))
     spark.udf.register("convert_tz",
       (ts: java.sql.Timestamp, from: String, to: String) =>
         if (ts == null || from == null || to == null) null

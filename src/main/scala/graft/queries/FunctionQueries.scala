@@ -319,10 +319,90 @@ object FunctionQueries extends QueryModule {
       |GROUP BY lower(mixed)
       |ORDER BY seg""".stripMargin
 
+  // ----------------------------------------------------- json inspection
+  /** JSON_TYPE/VALID/QUOTE/UNQUOTE/CONTAINS/DEPTH/MERGE_PRESERVE — the
+    * oracle uses DuckDB's json functions where semantics agree (arrays,
+    * object⊇object) and recomputes with plain SQL elsewhere; the
+    * MySQL-vs-DuckDB divergent case (bare scalar inside object values)
+    * is covered in FunctionCoverageSpec instead.
+    */
+  private def fn10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.JsonExtras._
+    val p = col("props")
+    val arr = concat(lit("[1,2,"), (col("event_id") % 7).cast("string"), lit("]"))
+    val cand = (col("event_id") % 9).cast("string")
+    val str = concat(lit("x\""), col("event_id").cast("string"))
+    Tables.events(s, d).select(
+        col("event_id"),
+        json_type(p).as("jt"),
+        json_type(get_json_object(p, "$.k")).as("jt_k"),
+        json_valid(p).as("jv"),
+        json_valid(concat(p, lit("x"))).as("jv_bad"),
+        json_quote(str).as("jq"),
+        json_unquote(json_quote(str)).as("junq"),
+        json_contains(arr, cand).as("jc_arr"),
+        json_contains(p, p).as("jc_obj"),
+        json_depth(p).as("jd1"),
+        json_depth(concat(lit("""{"a":"""), p, lit("}"))).as("jd2"),
+        get_json_object(json_merge_preserve(lit("""{"k":1}"""), p), "$.k[1]")
+          .cast("long").as("jmp_k"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fn10Sql =
+    """SELECT event_id,
+      |  'OBJECT' AS jt,
+      |  CASE json_type(CAST(json_extract(props, '$.k') AS VARCHAR))
+      |    WHEN 'UBIGINT' THEN 'INTEGER' WHEN 'BIGINT' THEN 'INTEGER'
+      |    WHEN 'VARCHAR' THEN 'STRING' ELSE json_type(CAST(json_extract(props, '$.k') AS VARCHAR))
+      |  END AS jt_k,
+      |  json_valid(props) AS jv,
+      |  json_valid(props || 'x') AS jv_bad,
+      |  to_json('x"' || CAST(event_id AS VARCHAR))::VARCHAR AS jq,
+      |  'x"' || CAST(event_id AS VARCHAR) AS junq,
+      |  json_contains('[1,2,' || CAST(event_id % 7 AS VARCHAR) || ']',
+      |                CAST(event_id % 9 AS VARCHAR)) AS jc_arr,
+      |  json_contains(props, props) AS jc_obj,
+      |  CAST(2 AS INTEGER) AS jd1,
+      |  CAST(3 AS INTEGER) AS jd2,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS jmp_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ time fns
+  /** SEC_TO_TIME/TIME_TO_SEC/MAKETIME/GET_FORMAT. */
+  private def fn11(s: SparkSession, d: String): DataFrame = {
+    val n = col("o_orderkey") % 86400
+    Tables.orders(s, d).select(
+        col("o_orderkey"),
+        secToTime(n).as("stt"),
+        timeToSec(secToTime(n)).as("tts"),
+        makeTime(col("o_orderkey") % 24, col("o_orderkey") % 60,
+          (col("o_orderkey") * 7) % 60).as("mkt"),
+        M.elt((col("o_orderkey") % 3) + 1,
+          Seq(getFormat("DATE", "USA"), getFormat("DATE", "EUR"),
+            getFormat("DATETIME", "ISO")).map(f => lit(f.get))).as("gf"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val fn11Sql =
+    """SELECT o_orderkey,
+      |  lpad(CAST(n // 3600 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST((n % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(n % 60 AS VARCHAR), 2, '0') AS stt,
+      |  n AS tts,
+      |  lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0') AS mkt,
+      |  (['%m.%d.%Y', '%d.%m.%Y', '%Y-%m-%d %H:%i:%s'])[CAST(o_orderkey % 3 + 1 AS INT)] AS gf
+      |FROM (SELECT o_orderkey, o_orderkey % 86400 AS n FROM orders) orders
+      |ORDER BY o_orderkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
     Q("fn8_convert_tz", fn8, Some(fn8Sql)),
     Q("fn9_collation_ci", fn9, Some(fn9Sql)),
+    Q("fn10_json_extras", fn10, Some(fn10Sql)),
+    Q("fn11_time_funcs", fn11, Some(fn11Sql)),
     Q("fn1_string_funcs", fn1, Some(fn1Sql)),
     Q("fn2_datetime_funcs", fn2, Some(fn2Sql)),
     Q("fn3_math_funcs", fn3, Some(fn3Sql)),

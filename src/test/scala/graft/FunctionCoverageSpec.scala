@@ -111,6 +111,43 @@ class FunctionCoverageSpec extends AnyFunSuite {
     assert(nrow.isNullAt(0) && nrow.isNullAt(1) && nrow.getString(2) == "x")
   }
 
+  test("json extras: MySQL semantics incl. DuckDB-divergent containment") {
+    import graft.functions.JsonExtras._
+    // MySQL: a bare scalar is NOT contained in an object's values
+    assert(jsonContains("""{"k":5}""", "5").contains(false))
+    assert(jsonContains("""{"a":1,"b":2}""", """{"b":2}""").contains(true))
+    assert(jsonContains("[1,[2,3],4]", "[3,1]").contains(true))
+    assert(jsonContains("[1,2]", "[3]").contains(false))
+    assert(jsonContains("5", "5.0").contains(true)) // numeric coercion
+    assert(jsonType("[]") == "ARRAY" && jsonType("2.5") == "DOUBLE" &&
+      jsonType("null") == "NULL")
+    assert(jsonValid("""{"k":1}x""").contains(false)) // trailing junk
+    assert(jsonDepth("[]").contains(1))
+    assert(jsonDepth("""[1,{"a":[2]}]""").contains(4))
+    assert(jsonUnquote("\"a\\nb\"") == "a\nb")
+    assert(jsonMergePreserve("""{"a":[1]}""", """{"a":2}""") == """{"a":[1,2]}""")
+  }
+
+  test("inet6 and time helpers") {
+    import graft.functions.MoFunctions._
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(hex(inet6AtonBytes("::1")) == "0" * 31 + "1")
+    assert(hex(inet6AtonBytes("2001:db8::8a2e:370:7334")) ==
+      "20010db80000000000008a2e03707334")
+    assert(hex(inet6AtonBytes("::ffff:192.0.2.128")) ==
+      "00000000000000000000ffffc0000280")
+    assert(hex(inet6AtonBytes("10.0.5.9")) == "0a000509")
+    for (bad <- Seq("1::2::3", "12345::", "::g", "1.2.3", "1:2:3:4:5:6:7:8:9"))
+      assert(inet6AtonBytes(bad) == null, s"accepted $bad")
+    // ntoa is aton's inverse, RFC 5952 compressed
+    for (ip <- Seq("::1", "2001:db8::8a2e:370:7334", "fe80::", "1:0:0:2::3"))
+      assert(inet6NtoaStr(inet6AtonBytes(ip)) == ip, ip)
+    assert(isIpv6Str("::1") && !isIpv6Str("10.0.0.1") && !isIpv6Str("nope"))
+    assert(getFormat("DATE", "ISO").contains("%Y-%m-%d"))
+    assert(getFormat("TIME", "USA").contains("%h:%i:%s %p"))
+    assert(getFormat("DATE", "XXX").isEmpty)
+  }
+
   test("vector kernels raise on dimension mismatch") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
