@@ -91,6 +91,30 @@ object JsonExtras {
   def jsonContains(target: String, cand: String): Option[Boolean] =
     for { t <- parse(target); c <- parse(cand) } yield containsNode(t, c)
 
+  /** MySQL JSON_CONTAINS_PATH(doc, 'one'|'all', paths...): member paths
+    * of the `$.a.b` form (array subscripts out of scope, as in
+    * [[JsonMutation]]).
+    */
+  def jsonContainsPath(doc: String, mode: String, paths: Seq[String]): Option[Boolean] = {
+    if (mode == null || paths == null || paths.exists(_ == null)) return None
+    parse(doc).map { root =>
+      def exists(path: String): Boolean = {
+        if (!path.startsWith("$")) return false
+        val segs = path.stripPrefix("$").split("\\.").filter(_.nonEmpty)
+        var node = root
+        for (s <- segs) {
+          if (!node.isObject || !node.has(s)) return false
+          node = node.get(s)
+        }
+        true
+      }
+      mode.toLowerCase match {
+        case "one" => paths.exists(exists)
+        case _ => paths.forall(exists)
+      }
+    }
+  }
+
   /** MySQL JSON_DEPTH: scalar or empty container = 1, else 1 + max child. */
   def jsonDepth(doc: String): Option[Int] = {
     def depth(n: JsonNode): Int =
@@ -157,6 +181,11 @@ object JsonExtras {
   def json_depth(doc: Column): Column = depthU(doc)
   def json_merge_preserve(a: Column, b: Column): Column = mergePreserveU(a, b)
 
+  private val containsPathU =
+    udf((doc: String, mode: String, paths: Seq[String]) => jsonContainsPath(doc, mode, paths))
+  def json_contains_path(doc: Column, mode: Column, paths: Column): Column =
+    containsPathU(doc, mode, paths)
+
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("json_type", jsonType _)
     spark.udf.register("json_valid", jsonValid _)
@@ -165,5 +194,7 @@ object JsonExtras {
     spark.udf.register("json_contains", jsonContains _)
     spark.udf.register("json_depth", jsonDepth _)
     spark.udf.register("json_merge_preserve", jsonMergePreserve _)
+    spark.udf.register("json_contains_path",
+      (doc: String, mode: String, paths: Seq[String]) => jsonContainsPath(doc, mode, paths))
   }
 }

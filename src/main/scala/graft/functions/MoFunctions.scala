@@ -158,6 +158,20 @@ object MoFunctions {
       lpad(m.cast("long").cast("string"), 2, "0"), lit(":"),
       lpad(s.cast("long").cast("string"), 2, "0"))
 
+  /** ADDTIME(t, delta) / SUBTIME on 'HH:MM:SS' strings. */
+  def addTime(t: Column, delta: Column): Column =
+    secToTime(timeToSec(t) + timeToSec(delta))
+  def subTime(t: Column, delta: Column): Column =
+    secToTime(timeToSec(t) - timeToSec(delta))
+
+  /** TIMEDIFF(ts1, ts2) → signed 'HH:MM:SS' of the timestamp delta
+    * (MySQL renders negative diffs with a leading '-').
+    */
+  def timeDiff(ts1: Column, ts2: Column): Column = {
+    val secs = unix_timestamp(ts1) - unix_timestamp(ts2)
+    when(secs < 0, concat(lit("-"), secToTime(-secs))).otherwise(secToTime(secs))
+  }
+
   /** GET_FORMAT(type, standard) → MySQL format pattern (static lookup,
     * MySQL reference table).
     */

@@ -345,7 +345,9 @@ object FunctionQueries extends QueryModule {
         json_depth(p).as("jd1"),
         json_depth(concat(lit("""{"a":"""), p, lit("}"))).as("jd2"),
         get_json_object(json_merge_preserve(lit("""{"k":1}"""), p), "$.k[1]")
-          .cast("long").as("jmp_k"))
+          .cast("long").as("jmp_k"),
+        json_contains_path(p, lit("one"), array(lit("$.k"), lit("$.nope"))).as("jcp_one"),
+        json_contains_path(p, lit("all"), array(lit("$.k"), lit("$.nope"))).as("jcp_all"))
       .orderBy(col("event_id"))
   }
 
@@ -365,7 +367,11 @@ object FunctionQueries extends QueryModule {
       |  json_contains(props, props) AS jc_obj,
       |  CAST(2 AS INTEGER) AS jd1,
       |  CAST(3 AS INTEGER) AS jd2,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS jmp_k
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS jmp_k,
+      |  (json_extract(props, '$.k') IS NOT NULL
+      |    OR json_extract(props, '$.nope') IS NOT NULL) AS jcp_one,
+      |  (json_extract(props, '$.k') IS NOT NULL
+      |    AND json_extract(props, '$.nope') IS NOT NULL) AS jcp_all
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ time fns
@@ -380,7 +386,13 @@ object FunctionQueries extends QueryModule {
           (col("o_orderkey") * 7) % 60).as("mkt"),
         M.elt((col("o_orderkey") % 3) + 1,
           Seq(getFormat("DATE", "USA"), getFormat("DATE", "EUR"),
-            getFormat("DATETIME", "ISO")).map(f => lit(f.get))).as("gf"))
+            getFormat("DATETIME", "ISO")).map(f => lit(f.get))).as("gf"),
+        addTime(secToTime(n), lit("01:30:15")).as("adt"),
+        subTime(secToTime(n + 10000), lit("01:00:00")).as("sbt"),
+        timeDiff(expr("timestampadd(SECOND, CAST(o_orderkey % 500 AS INT), CAST(o_orderdate AS TIMESTAMP))"),
+          col("o_orderdate").cast("timestamp")).as("tdf_pos"),
+        timeDiff(col("o_orderdate").cast("timestamp"),
+          expr("timestampadd(SECOND, 90, CAST(o_orderdate AS TIMESTAMP))")).as("tdf_neg"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -393,8 +405,22 @@ object FunctionQueries extends QueryModule {
       |  lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
       |    || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
       |    || lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0') AS mkt,
-      |  (['%m.%d.%Y', '%d.%m.%Y', '%Y-%m-%d %H:%i:%s'])[CAST(o_orderkey % 3 + 1 AS INT)] AS gf
-      |FROM (SELECT o_orderkey, o_orderkey % 86400 AS n FROM orders) orders
+      |  (['%m.%d.%Y', '%d.%m.%Y', '%Y-%m-%d %H:%i:%s'])[CAST(o_orderkey % 3 + 1 AS INT)] AS gf,
+      |  lpad(CAST(a1 // 3600 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST((a1 % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(a1 % 60 AS VARCHAR), 2, '0') AS adt,
+      |  lpad(CAST(s1 // 3600 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST((s1 % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(s1 % 60 AS VARCHAR), 2, '0') AS sbt,
+      |  lpad(CAST(d1 // 3600 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST((d1 % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+      |    || lpad(CAST(d1 % 60 AS VARCHAR), 2, '0') AS tdf_pos,
+      |  '-00:01:30' AS tdf_neg
+      |FROM (SELECT o_orderkey, o_orderkey % 86400 AS n,
+      |        o_orderkey % 86400 + 5415 AS a1,
+      |        o_orderkey % 86400 + 6400 AS s1,
+      |        o_orderkey % 500 AS d1
+      |      FROM orders) orders
       |ORDER BY o_orderkey""".stripMargin
 
   override val queries: Seq[Q] = Seq(

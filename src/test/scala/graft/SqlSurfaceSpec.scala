@@ -33,6 +33,51 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(3) == "1997/06/15 10:30")
   }
 
+  test("new SQL names resolve: geo, collation, json extras, time, inet6") {
+    val r = spark.sql(
+      """SELECT st_x(st_geomfromtext('POINT(3 4)')) AS x,
+        |       st_distance('POINT(0 0)', 'POINT(3 4)') AS d,
+        |       st_contains('POLYGON((0 0,10 0,0 10,0 0))', 'POINT(1 1)') AS cont,
+        |       st_geohash(CAST(-5.6 AS DOUBLE), CAST(42.6 AS DOUBLE), 5) AS gh,
+        |       collated_strcmp('ABC', 'abc', 'utf8mb4_general_ci') AS ci_cmp,
+        |       json_type('{"a":1}') AS jt,
+        |       json_contains('[1,2,3]', '2') AS jc,
+        |       sec_to_time(3725L) AS stt,
+        |       time_to_sec('01:02:05') AS tts,
+        |       hex(inet6_aton('::1')) AS i6,
+        |       is_ipv6('2001:db8::1') AS v6,
+        |       convert_tz(timestamp'2024-01-15 08:30:00', 'America/New_York', 'Asia/Tokyo') AS tz
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getBoolean(2))
+    assert(r.getString(3) == "ezs42")
+    assert(r.getInt(4) == 0)
+    assert(r.getString(5) == "OBJECT")
+    assert(r.getBoolean(6))
+    assert(r.getString(7) == "01:02:05")
+    assert(r.getLong(8) == 3725L)
+    assert(r.getString(9).endsWith("01") && r.getString(9).length == 32)
+    assert(r.getBoolean(10))
+    assert(r.getTimestamp(11).toString.startsWith("2024-01-15 22:30"))
+  }
+
+  /** Prepared-statement analog (reference COM_STMT_PREPARE/EXECUTE,
+    * SURVEY §3.2): Spark's parameterized SQL binds named/positional
+    * params without string splicing — plan template + bound values.
+    */
+  test("parameterized sql is the prepared-statement analog") {
+    val named = spark.sql("SELECT :a + :b AS s, upper(:name) AS n",
+      Map("a" -> 40, "b" -> 2, "name" -> "graft")).head
+    assert(named.getInt(0) == 42 && named.getString(1) == "GRAFT")
+    val positional = spark.sql("SELECT ? * ? AS p", Array(6, 7)).head
+    assert(positional.getInt(0) == 42)
+    // re-execution with new bindings reuses the same text (the EXECUTE path)
+    val again = spark.sql("SELECT :a + :b AS s, upper(:name) AS n",
+      Map("a" -> 1, "b" -> 2, "name" -> "x")).head
+    assert(again.getInt(0) == 3 && again.getString(1) == "X")
+  }
+
   test("csv and json sources round-trip a table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
     val src = Tables.nation(spark, "/root/testdata/sf0.001")
