@@ -40,6 +40,7 @@ object GraftSession {
     graft.functions.JsonExtras.registerAll(s)
     graft.functions.GeoFunctions.registerAll(s)
     graft.functions.Collations.registerAll(s)
+    graft.functions.Jq.registerAll(s)
     s
   }
 }

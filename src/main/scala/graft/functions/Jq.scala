@@ -261,7 +261,9 @@ object Jq {
       case Some(TNum(s)) =>
         next()
         if (s.contains('.') || s.contains('e') || s.contains('E')) Lit(nf.numberNode(s.toDouble))
-        else Lit(nf.numberNode(s.toLong))
+        else
+          try Lit(nf.numberNode(s.toLong))
+          catch { case _: NumberFormatException => Lit(nf.numberNode(s.toDouble)) }
       case Some(TStr(s)) => next(); Lit(nf.textNode(s))
       case Some(TPunct("[")) =>
         next()
@@ -292,6 +294,42 @@ object Jq {
           } else Nil
         Call(name, args)
       case Some(t) => fail(s"""unexpected token "$t"""")
+    }
+
+    /** Object construction body: `{` already consumed. Entries are
+      * `ident`, `"str"`, `{user}` shorthand, computed `(expr)` keys;
+      * values after `:` parse at jq's ExpD level (pipes of unary
+      * terms — `{a: 1 + 2}` needs parens, as in jq itself).
+      */
+    private def parseObject(): F = {
+      val entries = ListBuffer.empty[(Either[String, F], Option[F])]
+      if (at("}")) { next(); return ObjF(Nil) }
+      var going = true
+      while (going) {
+        val key: Either[String, F] = peek match {
+          case Some(TIdent(name)) => next(); Left(name)
+          case Some(TStr(s)) => next(); Left(s)
+          case Some(TPunct("(")) => next(); val kf = parsePipe(); expect(")"); Right(kf)
+          case other => fail(s"""unexpected token in object construction: $other""")
+        }
+        val value: Option[F] =
+          if (at(":")) { next(); Some(parseObjVal()) }
+          else key match {
+            case Left(_) => None
+            case Right(_) => fail("computed object key requires a value")
+          }
+        entries += ((key, value))
+        if (at(",")) next() else going = false
+      }
+      expect("}")
+      ObjF(entries.toList)
+    }
+
+    /** jq ExpD: `-`-prefixed / postfix terms joined by `|` only. */
+    private def parseObjVal(): F = {
+      var f = parseUnary()
+      while (at("|")) { next(); f = Pipe(f, parseUnary()) }
+      f
     }
 
     private def parseIf(): F = {
@@ -726,7 +764,7 @@ object Jq {
     val root =
       try mapper.readTree(doc)
       catch { case e: Exception => fail(e.getMessage) }
-    if (root == null) fail("unexpected end of JSON input")
+    if (root == null || root.isMissingNode) fail("unexpected end of JSON input")
     val ast = new Parser(tokenize(program)).parseProgram()
     run(ast, root).map(render).mkString
   }
