@@ -466,5 +466,28 @@ object GeoFunctions {
       geohashEncode(lon, lat, len).orNull)
     spark.udf.register("st_pointfromgeohash", (h: String) =>
       geohashDecode(h).map(toWkt).orNull)
+    spark.udf.register("st_geometrytype", g1(g => Some(g match {
+      case _: GPoint => "POINT"
+      case _: GLine => "LINESTRING"
+      case _: GPolygon => "POLYGON"
+    })))
+    spark.udf.register("st_srid", g1(_ => Some(0)))
+    spark.udf.register("st_isempty", g1(_ => Some(false)))
+    spark.udf.register("st_dimension", g1(g => Some(g match {
+      case _: GPoint => 0; case _: GLine => 1; case _: GPolygon => 2
+    })))
+    spark.udf.register("st_numpoints",
+      g1 { case GLine(p) => Some(p.size); case _ => None })
+    spark.udf.register("st_startpoint",
+      g1 { case GLine(p) => Some(toWkt(GPoint(p.head._1, p.head._2))); case _ => None })
+    spark.udf.register("st_endpoint",
+      g1 { case GLine(p) => Some(toWkt(GPoint(p.last._1, p.last._2))); case _ => None })
+    spark.udf.register("st_pointn", (w: String, n: Int) => parseWkt(w).flatMap {
+      case GLine(p) if n >= 1 && n <= p.size => Some(toWkt(GPoint(p(n - 1)._1, p(n - 1)._2)))
+      case _ => None
+    })
+    spark.udf.register("st_isclosed",
+      g1 { case GLine(p) => Some(p.head == p.last); case _ => None })
+    spark.udf.register("st_disjoint", g2((a, b) => Some(!intersects(a, b))))
   }
 }

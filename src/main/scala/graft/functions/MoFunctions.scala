@@ -134,22 +134,33 @@ object MoFunctions {
   def yearweekIso(d: Column): Column =
     (extract(lit("YEAROFWEEK"), d).cast("long") * 100 + weekofyear(d)).cast("long")
 
-  /** SEC_TO_TIME(n): non-negative seconds → 'HH:MM:SS' (MySQL TIME
-    * rendering; hours may exceed 24, zero-padded to 2).
+  /** SEC_TO_TIME(n) → 'HH:MM:SS' (MySQL TIME rendering). Hours are
+    * zero-padded to 2 but never truncated (360001 → '100:00:01'), and
+    * negative totals render with a leading '-' ('-00:00:01'), matching
+    * MySQL.
     */
   def secToTime(n: Column): Column = {
-    val s = n.cast("long")
-    concat(
-      lpad((s / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+    val total = n.cast("long")
+    val s = abs(total)
+    val hh = (s / 3600).cast("long").cast("string")
+    val body = concat(
+      when(length(hh) < 2, lpad(hh, 2, "0")).otherwise(hh), lit(":"),
       lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"), lit(":"),
       lpad((s % 60).cast("string"), 2, "0"))
+    when(total < 0, concat(lit("-"), body)).otherwise(body)
   }
 
-  /** TIME_TO_SEC('HH:MM:SS') — inverse of secToTime. */
+  /** TIME_TO_SEC('HH:MM:SS') — inverse of secToTime. A leading '-'
+    * negates the WHOLE value ('-01:30:00' → -5400), per MySQL; the
+    * sign is not just applied to the hours field.
+    */
   def timeToSec(t: Column): Column = {
-    val p = split(t, ":")
-    (element_at(p, 1).cast("long") * 3600 +
-      element_at(p, 2).cast("long") * 60 + element_at(p, 3).cast("long"))
+    val neg = substring(t, 1, 1) === "-"
+    val u = when(neg, substring(t, 2, 1000000)).otherwise(t)
+    val p = split(u, ":")
+    val total = element_at(p, 1).cast("long") * 3600 +
+      element_at(p, 2).cast("long") * 60 + element_at(p, 3).cast("long")
+    when(neg, -total).otherwise(total)
   }
 
   /** MAKETIME(h, m, s). */
@@ -406,12 +417,20 @@ object MoFunctions {
     })
     spark.udf.register("inet_ntoa", (n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
-    spark.udf.register("sec_to_time", (n: Long) =>
-      f"${n / 3600}%02d:${n % 3600 / 60}%02d:${n % 60}%02d")
+    spark.udf.register("sec_to_time", (n: Long) => {
+      val a = math.abs(n)
+      val body = f"${a / 3600}%02d:${a % 3600 / 60}%02d:${a % 60}%02d"
+      if (n < 0) "-" + body else body
+    })
     spark.udf.register("time_to_sec", (t: String) => {
-      val p = if (t == null) Array.empty[String] else t.split(":")
+      val neg = t != null && t.startsWith("-")
+      val u = if (neg) t.substring(1) else t
+      val p = if (u == null) Array.empty[String] else u.split(":")
       if (p.length != 3) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(p(0).toLong * 3600 + p(1).toLong * 60 + p(2).toLong)
+      else {
+        val v = p(0).toLong * 3600 + p(1).toLong * 60 + p(2).toLong
+        java.lang.Long.valueOf(if (neg) -v else v)
+      }
     })
     spark.udf.register("maketime", (h: Long, m: Long, s: Long) =>
       f"$h%02d:$m%02d:$s%02d")

@@ -128,7 +128,13 @@ object IvfPq {
     val schema = StructType(Seq(
       StructField("_id", LongType), StructField("_cell", IntegerType),
       StructField("_codes", ArrayType(IntegerType, containsNull = false))))
-    (spark.createDataFrame(codesRdd, schema), model)
+    // Materialize the (small) codes table, then release the cached
+    // full-width residual frame — holding id+vector+residual for the
+    // session would dwarf the index itself.
+    val codes = spark.createDataFrame(codesRdd, schema).persist()
+    codes.count()
+    residRows.unpersist()
+    (codes, model)
   }
 
   /** ADC search over the coded corpus; if `refine` > 0, the top-`refine`

@@ -148,6 +148,28 @@ class FunctionCoverageSpec extends AnyFunSuite {
     assert(getFormat("DATE", "XXX").isEmpty)
   }
 
+  test("sec_to_time/time_to_sec: >=100h never truncates, negatives are signed whole values") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MoFunctions
+    import spark.implicits._
+    val df = Seq(360001L, -1L, -5400L, 3725L).toDF("s")
+    val r = df.select(MoFunctions.secToTime(col("s"))).as[String].collect()
+    assert(r.sameElements(Array("100:00:01", "-00:00:01", "-01:30:00", "01:02:05")))
+    val t = Seq("100:00:01", "-00:00:01", "-01:30:00", "01:02:05").toDF("t")
+    val back = t.select(MoFunctions.timeToSec(col("t"))).as[Long].collect()
+    assert(back.sameElements(Array(360001L, -1L, -5400L, 3725L)))
+    // SQL names agree with the Column API on the same inputs
+    val sqlRow = spark.sql(
+      "select sec_to_time(360001), sec_to_time(-1), time_to_sec('-01:30:00')").head
+    assert(sqlRow.getString(0) == "100:00:01")
+    assert(sqlRow.getString(1) == "-00:00:01")
+    assert(sqlRow.getLong(2) == -5400L)
+    // addTime/subTime compose through the signed forms
+    val comp = Seq(("00:00:01", "00:00:02")).toDF("a", "b")
+      .select(MoFunctions.subTime(col("a"), col("b"))).as[String].head()
+    assert(comp == "-00:00:01")
+  }
+
   test("vector kernels raise on dimension mismatch") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

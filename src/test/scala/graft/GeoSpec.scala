@@ -85,6 +85,26 @@ class GeoSpec extends AnyFunSuite {
     assert(c.x == 2.0 && c.y == 0.0)
   }
 
+  test("full geo accessor/predicate family is reachable from SQL") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """select st_geometrytype('LINESTRING(0 0,1 1,2 2)') gt,
+        |       st_srid('POINT(1 2)') srid,
+        |       st_isempty('POINT(1 2)') ie,
+        |       st_dimension('POLYGON((0 0,1 0,1 1,0 0))') dim,
+        |       st_numpoints('LINESTRING(0 0,1 1,2 2)') np,
+        |       st_startpoint('LINESTRING(0 0,1 1)') sp,
+        |       st_endpoint('LINESTRING(0 0,1 1)') ep,
+        |       st_pointn('LINESTRING(0 0,1 1,2 2)', 2) pn,
+        |       st_isclosed('LINESTRING(0 0,1 1,0 0)') ic,
+        |       st_disjoint('POINT(9 9)', 'POLYGON((0 0,1 0,1 1,0 1,0 0))') dj
+        |""".stripMargin).head
+    assert(r.getString(0) == "LINESTRING" && r.getInt(1) == 0 && !r.getBoolean(2))
+    assert(r.getInt(3) == 2 && r.getInt(4) == 3)
+    assert(r.getString(5) == "POINT(0 0)" && r.getString(6) == "POINT(1 1)")
+    assert(r.getString(7) == "POINT(1 1)" && r.getBoolean(8) && r.getBoolean(9))
+  }
+
   test("collation keys: ci equality/order, cs distinction, bin bytes") {
     assert(Collations.strcmp("HELLO", "hello", "utf8mb4_general_ci").contains(0))
     assert(Collations.strcmp("HELLO", "hello", "utf8mb4_0900_as_cs").exists(_ != 0))
