@@ -423,7 +423,49 @@ object FunctionQueries extends QueryModule {
       |      FROM orders) orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------ jq
+  /** jq/try_jq over a synthesized document; each program's output is
+    * re-derived in the oracle with DuckDB json_extract + string
+    * building (DuckDB has no jq). gojq-divergent/unsupported forms are
+    * covered in JqSpec.
+    */
+  private def fn12(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Jq
+    val doc = concat(lit("""{"id":"""), col("event_id").cast("string"),
+      lit(""","tags":[1,2,"""), (col("event_id") % 7).cast("string"),
+      lit("""],"o":"""), col("props"), lit("}"))
+    Tables.events(s, d).select(
+        col("event_id"),
+        Jq.jq(doc, lit(".o.k")).as("jk"),
+        Jq.jq(doc, lit(".tags[1]")).as("jt1"),
+        Jq.jq(doc, lit("[.tags[] | . * 2]")).as("jmap"),
+        Jq.jq(doc, lit(".tags | length")).as("jlen"),
+        Jq.jq(doc, lit(".o.k + 10")).as("jadd"),
+        Jq.jq(doc, lit("{key: .o.k, n: 3}")).as("jobj"),
+        Jq.jq(doc, lit(".tags | add")).as("jsum"),
+        Jq.try_jq(doc, lit(".o.k & .id")).as("jbad"),
+        Jq.jq(doc, lit("""if .o.k > 50 then "hi" else "lo" end""")).as("jif"),
+        Jq.jq(doc, lit("[.tags[] | select(. >= 2)] | length")).as("jsel"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fn12Sql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS VARCHAR) AS jk,
+      |  '2' AS jt1,
+      |  '[2,4,' || CAST((event_id % 7) * 2 AS VARCHAR) || ']' AS jmap,
+      |  '3' AS jlen,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) + 10 AS VARCHAR) AS jadd,
+      |  '{"key":' || CAST(json_extract(props, '$.k') AS VARCHAR) || ',"n":3}' AS jobj,
+      |  CAST(3 + event_id % 7 AS VARCHAR) AS jsum,
+      |  CAST(NULL AS VARCHAR) AS jbad,
+      |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+      |       THEN '"hi"' ELSE '"lo"' END AS jif,
+      |  CAST(1 + CASE WHEN event_id % 7 >= 2 THEN 1 ELSE 0 END AS VARCHAR) AS jsel
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("fn12_jq", fn12, Some(fn12Sql)),
     Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
     Q("fn8_convert_tz", fn8, Some(fn8Sql)),
     Q("fn9_collation_ci", fn9, Some(fn9Sql)),
