@@ -41,6 +41,7 @@ object GraftSession {
     graft.functions.GeoFunctions.registerAll(s)
     graft.functions.Collations.registerAll(s)
     graft.functions.Jq.registerAll(s)
+    graft.functions.JsonTail.registerAll(s)
     s
   }
 }

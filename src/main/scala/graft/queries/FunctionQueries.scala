@@ -464,8 +464,65 @@ object FunctionQueries extends QueryModule {
       |  CAST(1 + CASE WHEN event_id % 7 >= 2 THEN 1 ELSE 0 END AS VARCHAR) AS jsel
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------- json long tail
+  /** JSON_VALUE/LENGTH/KEYS/PRETTY/OVERLAPS/SCHEMA_VALID(+report) —
+    * every output re-derived arithmetically in DuckDB from the known
+    * document shape, including the schema-valid flag (k >= 50) and the
+    * failing keyword of the validation report.
+    */
+  private def fn13(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.JsonTail._
+    val doc = concat(lit("""{"id":"""), col("event_id").cast("string"),
+      lit(""","tags":[1,2,"""), (col("event_id") % 7).cast("string"),
+      lit("""],"o":"""), col("props"), lit("}"))
+    val otherArr = concat(lit("["), (col("event_id") % 5).cast("string"), lit(",9]"))
+    val otherObj = concat(lit("""{"k":"""), (col("event_id") % 9).cast("string"), lit("}"))
+    val schema = lit("""{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":50}}}""")
+    val report = json_schema_validation_report(schema, col("props"))
+    Tables.events(s, d).select(
+        col("event_id"),
+        json_value(doc, lit("$.o.k")).as("jv1"),
+        json_value(doc, lit("$.tags")).as("jv2"),
+        json_value(doc, lit("$.tags[1]")).as("jv3"),
+        json_length(col("props")).as("jl1"),
+        json_length(doc, lit("$.tags")).as("jl2"),
+        json_length(doc, lit("$.nope")).as("jl3"),
+        json_keys(col("props")).as("jk1"),
+        json_keys(doc).as("jk2"),
+        json_pretty(col("props")).as("jp"),
+        json_overlaps(concat(lit("[1,2,"), (col("event_id") % 7).cast("string"), lit("]")),
+          otherArr).as("jo1"),
+        json_overlaps(col("props"), otherObj).as("jo2"),
+        json_schema_valid(schema, col("props")).as("jsv"),
+        get_json_object(report, "$.valid").as("jsvr_valid"),
+        get_json_object(report, "$['schema-failed-keyword']").as("jsvr_kw"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fn13Sql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS VARCHAR) AS jv1,
+      |  CAST(NULL AS VARCHAR) AS jv2,
+      |  '2' AS jv3,
+      |  CAST(1 AS BIGINT) AS jl1,
+      |  CAST(3 AS BIGINT) AS jl2,
+      |  CAST(NULL AS BIGINT) AS jl3,
+      |  '["k"]' AS jk1,
+      |  '["id", "o", "tags"]' AS jk2,
+      |  '{' || chr(10) || '  "k": ' || CAST(json_extract(props, '$.k') AS VARCHAR)
+      |      || chr(10) || '}' AS jp,
+      |  (event_id % 5 IN (1, 2) OR event_id % 5 = event_id % 7) AS jo1,
+      |  (CAST(json_extract(props, '$.k') AS BIGINT) = event_id % 9) AS jo2,
+      |  (CAST(json_extract(props, '$.k') AS BIGINT) >= 50) AS jsv,
+      |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+      |       THEN 'true' ELSE 'false' END AS jsvr_valid,
+      |  CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+      |       THEN NULL ELSE 'minimum' END AS jsvr_kw
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("fn12_jq", fn12, Some(fn12Sql)),
+    Q("fn13_json_tail", fn13, Some(fn13Sql)),
     Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
     Q("fn8_convert_tz", fn8, Some(fn8Sql)),
     Q("fn9_collation_ci", fn9, Some(fn9Sql)),
