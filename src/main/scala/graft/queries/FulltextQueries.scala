@@ -26,11 +26,21 @@ object FulltextQueries extends QueryModule {
        |       JOIN dl USING (doc_id) CROSS JOIN stats
        |  GROUP BY tf.doc_id)""".stripMargin
 
+  /** Build-once persisted index per corpus dir (the reference's
+    * materialized fulltext-index table) — every ft query below probes
+    * it instead of re-tokenizing the corpus.
+    */
+  private def index(s: SparkSession, d: String) =
+    Bm25.FulltextIndex.forCorpus(Tables.documents(s, d), "doc_id", "text", key = d)
+  private def ngramIndex(s: SparkSession, d: String) =
+    Bm25.FulltextIndex.forCorpus(Tables.documents(s, d), "doc_id", "text", key = d,
+      ngram = true)
+
   // --------------------------------------------- natural language mode
   private val nlQuery = "spark join stream window"
 
   private def ft1(s: SparkSession, d: String): DataFrame =
-    Bm25.matchAgainst(Tables.documents(s, d), "doc_id", "text", nlQuery)
+    Bm25.searchNatural(index(s, d), nlQuery)
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -43,8 +53,7 @@ object FulltextQueries extends QueryModule {
   // --------------------------------------------------------- boolean mode
   // +spark (must) -error (must not) join (should)
   private def ft2(s: SparkSession, d: String): DataFrame =
-    Bm25.matchAgainst(Tables.documents(s, d), "doc_id", "text",
-        "+spark -error join", booleanMode = true)
+    Bm25.searchBoolean(index(s, d), "+spark -error join")
       .orderBy(desc("score"), col("doc_id"))
       .limit(20)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -94,9 +103,103 @@ object FulltextQueries extends QueryModule {
        |  (list_contains($TOK, 'spark') AND NOT list_contains($TOK, 'error')) AS m_boolean
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ phrase search
+  /** `"stream spark" -error` — positional adjacency from the index's
+    * positions column (reference `ParsePhrase`, `fulltext.go:733`).
+    * Oracle re-derives adjacency over the token array with a lambda.
+    */
+  private def ft5(s: SparkSession, d: String): DataFrame =
+    Bm25.searchBoolean(index(s, d), "\"stream spark\" -error")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  private val ft5Sql =
+    s"""SELECT doc_id FROM (SELECT doc_id, $TOK AS arr FROM documents)
+       |WHERE len(list_filter(range(1, len(arr)),
+       |        i -> arr[i] = 'stream' AND arr[i+1] = 'spark')) > 0
+       |  AND NOT list_contains(arr, 'error')
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- ngram substring
+  /** Substring search via the 3-gram index ('strea' → grams str/tre/rea
+    * at consecutive char offsets). Oracle is the brute-force LIKE scan
+    * the index replaces.
+    */
+  private def ft6(s: SparkSession, d: String): DataFrame =
+    Bm25.searchNgram(ngramIndex(s, d), "strea")
+      .orderBy(col("doc_id"))
+
+  private val ft6Sql =
+    """SELECT doc_id FROM documents
+      |WHERE lower(text) LIKE '%strea%'
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- tf-idf mode
+  /** The reference's ALGO_TFIDF scoring (`fulltext.go:208-213`):
+    * w · tf · log10(N/df)².
+    */
+  private def ft7(s: SparkSession, d: String): DataFrame =
+    Bm25.searchNatural(index(s, d), nlQuery, algo = "tfidf")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private val ft7Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs FROM dl),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT unnest(['spark','join','stream','window']) AS term),
+       |scored AS (
+       |  SELECT tf.doc_id, sum(tf * pow(log10(n_docs / df), 2)) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------- wildcard + rank modifiers
+  /** `spark str* >window ~slow` — STAR prefix expansion against the
+    * term dictionary, `>` boosts 1.1, `~` weights -1.0 without
+    * excluding (reference `GetWeight`, `fulltext.go:347-357`).
+    */
+  private def ft8(s: SparkSession, d: String): DataFrame =
+    Bm25.searchBoolean(index(s, d), "spark str* >window ~slow")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(30)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private val ft8Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |term_leaf AS (
+       |  SELECT tf.doc_id,
+       |    CASE tf.term WHEN 'window' THEN 1.1 WHEN 'slow' THEN -1.0 ELSE 1.0 END
+       |      * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE tf.term IN ('spark', 'window', 'slow')),
+       |star_tf AS (
+       |  SELECT doc_id, sum(tf) AS tf FROM tf WHERE term LIKE 'str%' GROUP BY doc_id),
+       |star_df AS (SELECT count(*) AS df FROM star_tf),
+       |star_leaf AS (
+       |  SELECT s.doc_id,
+       |    ln((n_docs - star_df.df + 0.5) / (star_df.df + 0.5) + 1.0)
+       |      * (s.tf * 2.5) / (s.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS w
+       |  FROM star_tf s JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN star_df),
+       |allw AS (SELECT * FROM term_leaf UNION ALL SELECT * FROM star_leaf)
+       |SELECT doc_id, round(sum(w), 6) AS score FROM allw GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("ft1_bm25_natural", ft1, Some(ft1Sql)),
     Q("ft2_bm25_boolean", ft2, Some(ft2Sql)),
     Q("ft3_index_stats", ft3, Some(ft3Sql)),
-    Q("ft4_match_predicate", ft4, Some(ft4Sql)))
+    Q("ft4_match_predicate", ft4, Some(ft4Sql)),
+    Q("ft5_phrase", ft5, Some(ft5Sql)),
+    Q("ft6_ngram_substring", ft6, Some(ft6Sql)),
+    Q("ft7_tfidf", ft7, Some(ft7Sql)),
+    Q("ft8_boolean_ops", ft8, Some(ft8Sql)))
 }
