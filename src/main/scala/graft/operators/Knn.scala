@@ -149,6 +149,38 @@ object Knn {
         col("neighbor_id"), col("_score").as("score"))
   }
 
+  /** Probe-only IVF search against a prebuilt [[graft.plans.IvfIndex]]
+    * (≙ `ivf_search`): rank cells per query against the broadcast
+    * centroid table, scan just those cell partitions, exact distances
+    * within. The KMeans build is never charged to the query.
+    */
+  def ivfProbe(idx: graft.plans.IvfIndex.Index,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, corpusId: String, nprobe: Int = 0): DataFrame = {
+    val np = if (nprobe > 0) nprobe else idx.nprobe
+    val centroidDf = queries.sparkSession
+      .createDataFrame(idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("__ivf_cell", "_centroid")
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("_cdist", l2Distance(col("_qv"), col("_centroid")))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("_cdist"), col("__ivf_cell"))))
+      .filter(col("_crank") <= np)
+      .select(col("query_id"), col("_qv"), col("__ivf_cell"))
+    val scored = broadcast(probes)
+      .join(idx.cells, Seq("__ivf_cell"))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("_score", l2Distance(col(idx.vecCol), col("_qv")))
+    scored
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("_score"), col(corpusId))))
+      .filter(col("_rank") <= k)
+      .select(col("query_id"), col("_rank").as("rank"),
+        col(corpusId).as("neighbor_id"), col("_score").as("score"))
+  }
+
   /** Random-hyperplane LSH signature for cosine similarity: bit j is the
     * sign of v·h_j where hyperplane components h_j[i] ∈ {−1, +1} come from
     * a deterministic affine hash of (plane j, dim i). Same-signature

@@ -51,6 +51,35 @@ object IvfIndex {
     idx
   }
 
+  /** Build-once-per-corpus cache with the cells MATERIALIZED to a
+    * parquet table (survives `clearCache`; at 100 TB this is the
+    * partitioned-by-cell index table the probe prunes on). Also
+    * registers the index for [[IvfAnnRule]]. ≙ `ivf_create` once +
+    * many `ivf_search` (`pkg/vectorindex/ivfflat/`).
+    */
+  def forCorpus(key: String, df: DataFrame, vecCol: String,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxIter: Int = 8): Index =
+    built.getOrElseUpdate(s"$key#$nlist#$nprobe", {
+      val spark = df.sparkSession
+      val featurized = df.withColumn("__ivf_features", array_to_vector(col(vecCol)))
+      val model = new KMeans().setK(nlist).setSeed(seed)
+        .setMaxIter(maxIter).setInitMode("random")
+        .setFeaturesCol("__ivf_features").fit(featurized)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      model.transform(featurized)
+        .withColumnRenamed("prediction", "__ivf_cell")
+        .drop("__ivf_features")
+        .write.mode("overwrite").partitionBy("__ivf_cell").parquet(dir)
+      val cells = spark.read.parquet(dir)
+      val idx = Index(key, df.queryExecution.analyzed.canonicalized, vecCol,
+        nlist, nprobe, model.clusterCenters.map(_.toArray), cells)
+      registry.put(key, idx)
+      idx
+    })
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Index]
+
   /** Driver-side nearest cells for a literal query vector. */
   def nearestCells(idx: Index, q: Array[Double]): Seq[Int] =
     idx.centroids.zipWithIndex.map { case (c, i) =>

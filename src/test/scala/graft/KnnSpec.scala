@@ -24,6 +24,22 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall $recall too low")
   }
 
+  test("prebuilt ivf index probe matches the recall bound too") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, metric = Knn.L2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.plans.IvfIndex.forCorpus("knnspec", emb, "embedding",
+      nlist = 16, nprobe = 8)
+    val probed = Knn.ivfProbe(idx, queries, "vec_id", "embedding",
+        k = 10, corpusId = "vec_id")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect probed).size.toDouble / brute.size
+    assert(recall >= 0.7, s"indexed IVF recall $recall too low")
+  }
+
   test("hnsw recall vs brute force is high") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Knn.bruteForceTopK(emb, "vec_id", "embedding",
