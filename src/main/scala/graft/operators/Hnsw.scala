@@ -27,7 +27,7 @@ object Hnsw {
   /** One in-memory HNSW graph (L2 metric). Deterministic level draws
     * (splitmix on the insertion index) keep runs reproducible.
     */
-  final class Graph(m: Int, efConstruction: Int) {
+  final class Graph(m: Int, efConstruction: Int) extends Serializable {
     private val mL = 1.0 / math.log(m.toDouble)
     private val maxM0 = 2 * m
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
@@ -152,6 +152,65 @@ object Hnsw {
     }
 
     def size: Int = vecs.length
+  }
+
+  private[graft] def serializeGraph(g: Graph): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(g); oos.close()
+    bos.toByteArray
+  }
+
+  private[graft] def deserializeGraph(b: Array[Byte]): Graph = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    val g = ois.readObject().asInstanceOf[Graph]
+    ois.close(); g
+  }
+
+  /** Build one graph per corpus partition and return them as a
+    * DataFrame of serialized shards — the persistable form of the
+    * reference's per-chunk usearch model files
+    * (`pkg/vectorindex/hnsw/build.go` writes model parts to index
+    * tables). Search deserializes each shard once per task and probes
+    * all queries against it.
+    */
+  def buildShardedGraphs(corpus: DataFrame, corpusId: String, corpusVec: String,
+      m: Int = 16, efConstruction: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    val src = corpus.select(col(corpusId).cast("long"), col(corpusVec))
+    val rows = src.rdd.mapPartitions { it =>
+      val g = new Graph(m, efConstruction)
+      it.foreach(r => g.insert(r.getLong(0), r.getSeq[Float](1).toArray))
+      if (g.size == 0) Iterator.empty
+      else Iterator(Row(serializeGraph(g)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("graph",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Probe prebuilt shard graphs with one literal query vector; returns
+    * (neighbor_id, score) of the global top-k.
+    */
+  def searchShards(graphs: DataFrame, q: Array[Float], k: Int,
+      efSearch: Int = 64): DataFrame = {
+    val spark = graphs.sparkSession
+    val qB = spark.sparkContext.broadcast(q)
+    val rows = graphs.select(col("graph")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        deserializeGraph(r.getAs[Array[Byte]](0))
+          .search(qB.value, k, efSearch)
+          .map { case (id, d) => Row(id, d) }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema)
+      .orderBy(asc("score"), col("neighbor_id")).limit(k)
   }
 
   /** Approximate top-k join: same output schema as `Knn.bruteForceTopK`

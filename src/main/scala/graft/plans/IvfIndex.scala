@@ -80,13 +80,25 @@ object IvfIndex {
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Index]
 
-  /** Driver-side nearest cells for a literal query vector. */
-  def nearestCells(idx: Index, q: Array[Double]): Seq[Int] =
+  /** Driver-side nearest cells for a literal query vector, ranked by
+    * the query's metric (cosine probes rank by angular distance to the
+    * centroid; distances inside probed cells are always the query's own
+    * metric via the preserved outer sort).
+    */
+  def nearestCells(idx: Index, q: Array[Double], metric: String = "l2"): Seq[Int] =
     idx.centroids.zipWithIndex.map { case (c, i) =>
-      var s = 0.0
-      var j = 0
       val n = math.min(c.length, q.length)
-      while (j < n) { val d = c(j) - q(j); s += d * d; j += 1 }
+      var j = 0
+      val s = metric match {
+        case "cosine" =>
+          var dot = 0.0; var nc = 0.0; var nq = 0.0
+          while (j < n) { dot += c(j) * q(j); nc += c(j) * c(j); nq += q(j) * q(j); j += 1 }
+          if (nc == 0 || nq == 0) 2.0 else 1.0 - dot / math.sqrt(nc * nq)
+        case _ =>
+          var acc = 0.0
+          while (j < n) { val d = c(j) - q(j); acc += d * d; j += 1 }
+          acc
+      }
       (s, i)
     }.sortBy(_._1).take(idx.nprobe).map(_._2).toSeq
 }

@@ -40,6 +40,54 @@ class IvfAnnRuleSpec extends AnyFunSuite {
     } finally IvfIndex.clear()
   }
 
+  test("ORDER BY cosine_distance LIMIT k also takes the IVF probe") {
+    IvfIndex.clear()
+    val q = typedlit(queryVec)
+    def cosQuery = corpus
+      .orderBy(VectorFunctions.cosineDistance(col("embedding"), q).asc).limit(10)
+    assert(!cosQuery.queryExecution.optimizedPlan.toString.contains("__ivf_cell"))
+
+    IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
+    try {
+      val after = cosQuery
+      assert(after.queryExecution.optimizedPlan.toString.contains("__ivf_cell"),
+        "cosine ANN rewrite did not fire")
+      val approx = after.select("vec_id").collect().map(_.getLong(0)).toSet
+      IvfIndex.clear()
+      val exact = cosQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.6, s"cosine recall $recall")
+    } finally IvfIndex.clear()
+  }
+
+  test("ORDER BY cosine_similarity DESC LIMIT k matches the same pattern") {
+    IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
+    try {
+      val q = typedlit(queryVec)
+      val plan = corpus
+        .orderBy(VectorFunctions.cosineSimilarity(col("embedding"), q).desc).limit(10)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__ivf_cell"), s"similarity-DESC rewrite did not fire:\n$plan")
+    } finally IvfIndex.clear()
+  }
+
+  test("HNSW rule: l2 top-k over an hnsw-indexed corpus becomes a graph probe") {
+    IvfIndex.clear()
+    graft.plans.HnswIndex.clear()
+    graft.plans.HnswIndex.forCorpus("emb_hnsw", corpus, "vec_id", "embedding",
+      m = 16, efConstruction = 100, efSearch = 80)
+    try {
+      val planStr = knnQuery.queryExecution.optimizedPlan.toString
+      assert(planStr.toLowerCase.contains("join"),
+        s"HNSW rewrite did not fire (no candidate semi-join):\n$planStr")
+      val approx = knnQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      graft.plans.HnswIndex.clear()
+      val exact = knnQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"HNSW rewrite recall $recall")
+    } finally graft.plans.HnswIndex.clear()
+  }
+
   test("queries over other tables are untouched when an index exists") {
     IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
     try {
