@@ -34,6 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => InnerProductExpr(args(0), args(1)))
     register(e, "cosine_similarity", "cosine_similarity(a, b)",
       args => CosineSimilarityExpr(args(0), args(1)))
+    // single-pass JSON mutation program (chains fuse at build time)
+    register(e, "json_insert", "json_insert(doc, path, value)",
+      args => graft.functions.JsonMutateExpr.insert(args(0), args(1), args(2)))
+    register(e, "json_replace", "json_replace(doc, path, value)",
+      args => graft.functions.JsonMutateExpr.replace(args(0), args(1), args(2)))
+    register(e, "json_set", "json_set(doc, path, value)",
+      args => graft.functions.JsonMutateExpr.set(args(0), args(1), args(2)))
+    register(e, "json_remove", "json_remove(doc, path)",
+      args => graft.functions.JsonMutateExpr.remove(args(0), args(1)))
+    register(e, "json_merge_patch", "json_merge_patch(target, patch)",
+      args => graft.functions.JsonMutateExpr.mergePatch(args(0), args(1)))
     register(e, "fulltext_match",
       "fulltext_match(text, query) - MATCH ... AGAINST predicate " +
         "(natural mode: any term; boolean mode: +must / -mustnot / should)",

@@ -100,24 +100,24 @@ object JsonMutation {
     mapper.writeValueAsString(merge(mapper.readTree(target), mapper.readTree(patch)))
   }
 
-  // Column API
-  private val insertUdf = udf(jsonInsert _)
-  private val replaceUdf = udf(jsonReplace _)
-  private val setUdf = udf(jsonSet _)
-  private val removeUdf = udf(jsonRemove _)
-  private val mergeUdf = udf(jsonMergePatch _)
+  // Column API — native single-pass [[JsonMutateExpr]]: chained
+  // mutations fuse into one parse + one serialize (the functions above
+  // remain as the driver-side scalar reference used by specs)
+  import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
 
-  def json_insert(doc: Column, path: Column, value: Column): Column = insertUdf(doc, path, value)
-  def json_replace(doc: Column, path: Column, value: Column): Column = replaceUdf(doc, path, value)
-  def json_set(doc: Column, path: Column, value: Column): Column = setUdf(doc, path, value)
-  def json_remove(doc: Column, path: Column): Column = removeUdf(doc, path)
-  def json_merge_patch(a: Column, b: Column): Column = mergeUdf(a, b)
+  def json_insert(doc: Column, path: Column, value: Column): Column =
+    asCol(JsonMutateExpr.insert(asExpr(doc), asExpr(path), asExpr(value)))
+  def json_replace(doc: Column, path: Column, value: Column): Column =
+    asCol(JsonMutateExpr.replace(asExpr(doc), asExpr(path), asExpr(value)))
+  def json_set(doc: Column, path: Column, value: Column): Column =
+    asCol(JsonMutateExpr.set(asExpr(doc), asExpr(path), asExpr(value)))
+  def json_remove(doc: Column, path: Column): Column =
+    asCol(JsonMutateExpr.remove(asExpr(doc), asExpr(path)))
+  def json_merge_patch(a: Column, b: Column): Column =
+    asCol(JsonMutateExpr.mergePatch(asExpr(a), asExpr(b)))
 
-  def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("json_insert", jsonInsert _)
-    spark.udf.register("json_replace", jsonReplace _)
-    spark.udf.register("json_set", jsonSet _)
-    spark.udf.register("json_remove", jsonRemove _)
-    spark.udf.register("json_merge_patch", jsonMergePatch _)
-  }
+  /** SQL names are injected as native expression builders in
+    * [[graft.GraftExtensions]] — nothing to register here anymore.
+    */
+  def registerAll(spark: SparkSession): Unit = ()
 }
