@@ -42,6 +42,7 @@ object GraftSession {
     graft.functions.Collations.registerAll(s)
     graft.functions.Jq.registerAll(s)
     graft.functions.JsonTail.registerAll(s)
+    graft.operators.JsonUnnest.registerAll(s)
     s
   }
 }

@@ -93,7 +93,51 @@ object MiscQueries extends QueryModule {
       |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
+  // ------------------------------------- generic unnest(json, path) TF
+  /** The reference's full unnest output shape (index/key/path/value/
+    * this, `table_function/unnest.go`): object members of `props` at
+    * `$` plus array elements of a synthesized doc at `$.tags`, stacked.
+    * Every column is re-derived arithmetically in DuckDB from the known
+    * document shape.
+    */
+  private def tf4(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.JsonUnnest
+    val ev = Tables.events(s, d)
+    val objRows = JsonUnnest.unnest(
+        ev.select(col("event_id"), col("props")), col("props"), "$",
+        keep = Seq(col("event_id")))
+      .withColumn("kind", lit("obj"))
+    val doc = concat(lit("""{"tags":[1,2,"""), (col("event_id") % 7).cast("string"),
+      lit("]}"))
+    val arrRows = JsonUnnest.unnest(
+        ev.select(col("event_id"), doc.as("doc")), col("doc"), "$.tags",
+        keep = Seq(col("event_id")))
+      .withColumn("kind", lit("arr"))
+    objRows.unionByName(arrRows)
+      .select(col("event_id"), col("kind"), col("index"), col("key"),
+        col("path"), col("value"), col("this"))
+      .orderBy(col("event_id"), col("kind"), col("index"))
+  }
+
+  private val tf4Sql =
+    """SELECT event_id, kind, "index", key, path, value, this FROM (
+      |  SELECT event_id, 'obj' AS kind, CAST(NULL AS INTEGER) AS "index",
+      |    'k' AS key, '$.k' AS path,
+      |    CAST(json_extract(props, '$.k') AS VARCHAR) AS value,
+      |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS this
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, 'arr' AS kind, CAST(i AS INTEGER) AS "index",
+      |    CAST(NULL AS VARCHAR) AS key,
+      |    '$.tags[' || CAST(i AS VARCHAR) || ']' AS path,
+      |    CASE i WHEN 0 THEN '1' WHEN 1 THEN '2'
+      |           ELSE CAST(event_id % 7 AS VARCHAR) END AS value,
+      |    '[1,2,' || CAST(event_id % 7 AS VARCHAR) || ']' AS this
+      |  FROM events CROSS JOIN range(0, 3) r(i))
+      |ORDER BY event_id, kind, "index"""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("tf4_unnest_json", tf4, Some(tf4Sql)),
     Q("sp1_group_sample", sp1, Some(sp1Sql)),
     Q("sp2_random_sample_sizes", sp2, Some(sp2Sql)),
     Q("tf1_generate_series", tf1, Some(tf1Sql)),
