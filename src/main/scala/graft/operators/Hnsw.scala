@@ -222,6 +222,7 @@ object Hnsw {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
+    QueryGuard.check(queries, "Hnsw.hnswTopK")
     val qRows: Array[(Long, Array[Float])] = queries
       .select(col(queryId).cast("long"), col(queryVec))
       .collect()

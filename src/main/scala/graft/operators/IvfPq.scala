@@ -148,6 +148,7 @@ object IvfPq {
       refine: Int = 0,
       corpus: DataFrame = null, corpusId: String = null, corpusVec: String = null): DataFrame = {
     val spark = codes.sparkSession
+    QueryGuard.check(queries, "IvfPq.search")
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(queryId).cast("long"), col(queryVec))
       .collect()

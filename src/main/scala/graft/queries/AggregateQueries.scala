@@ -156,7 +156,35 @@ object AggregateQueries extends QueryModule {
       |FROM customer WHERE c_custkey < 30
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------- approx_percentile + bit aggs
+  /** approx_percentile at exact accuracy (summary holds every distinct
+    * rank at this scale, so discrete-quantile semantics match DuckDB's
+    * quantile_disc) and the bit_and/or/xor aggregate family.
+    */
+  private def a7(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 100000)").cast("double").as("p50"),
+        expr("approx_percentile(l_quantity, 0.37, 100000)").cast("double").as("p37"),
+        expr("approx_percentile(l_quantity, 0.83, 100000)").cast("double").as("p83"),
+        expr("bit_and(CAST(l_partkey AS BIGINT))").as("ba"),
+        expr("bit_or(CAST(l_partkey AS BIGINT))").as("bo"),
+        expr("bit_xor(CAST(l_partkey AS BIGINT))").as("bx"))
+      .orderBy(col("l_returnflag"))
+
+  private val a7Sql =
+    """SELECT l_returnflag,
+      |  CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50,
+      |  CAST(quantile_disc(l_quantity, 0.37) AS DOUBLE) AS p37,
+      |  CAST(quantile_disc(l_quantity, 0.83) AS DOUBLE) AS p83,
+      |  bit_and(CAST(l_partkey AS BIGINT)) AS ba,
+      |  bit_or(CAST(l_partkey AS BIGINT)) AS bo,
+      |  bit_xor(CAST(l_partkey AS BIGINT)) AS bx
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("a7_percentile_bit_aggs", a7, Some(a7Sql)),
     Q("a6_json_aggs", a6, Some(a6Sql)),
     Q("a1_stats_aggs", a1, Some(a1Sql)),
     Q("a2_group_concat", a2, Some(a2Sql)),
