@@ -43,6 +43,7 @@ object GraftSession {
     graft.functions.Jq.registerAll(s)
     graft.functions.JsonTail.registerAll(s)
     graft.operators.JsonUnnest.registerAll(s)
+    graft.functions.DocText.registerAll(s)
     s
   }
 }

@@ -74,7 +74,58 @@ object MultimodalQueries extends QueryModule {
       |            / least(16, len(text)) / 255.0), 6) AS avg_brightness
       |FROM documents""".stripMargin
 
+  // -------------------------------------- datalink document round-trip
+  /** Wrap each document's text into REAL containers (a zip+document.xml
+    * DOCX and a Flate-compressed-stream PDF) and parse them back with
+    * the datalink extractors ([[graft.functions.DocText]]) — the oracle
+    * is simply the original text, so the whole container+parser path is
+    * verified end-to-end cross-engine.
+    */
+  private def mm5(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DocText
+    val wrapDocx = udf { (text: String) =>
+      val xmlSafe = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val xml = "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+        s"<w:body><w:p><w:r><w:t>$xmlSafe</w:t></w:r></w:p></w:body></w:document>"
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write(xml.getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val wrapPdf = udf { (text: String) =>
+      val esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val content = s"BT /F1 12 Tf ($esc) Tj ET".getBytes("ISO-8859-1")
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(content); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      val body = out.toByteArray
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(("%PDF-1.4\n4 0 obj\n<< /Length " + body.length +
+        " /Filter /FlateDecode >>\nstream\n").getBytes("ISO-8859-1"))
+      bos.write(body)
+      bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
+      bos.toByteArray
+    }
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        DocText.parse_document_text(wrapDocx(col("text")),
+          lit("application/vnd.openxmlformats-officedocument.wordprocessingml.document"))
+          .as("docx_text"),
+        DocText.parse_document_text(wrapPdf(col("text")), lit("application/pdf"))
+          .as("pdf_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mm5Sql =
+    """SELECT doc_id, text AS docx_text, text AS pdf_text
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("mm5_datalink_roundtrip", mm5, Some(mm5Sql)),
     Q("mm1_media_meta", mm1, Some(mm1Sql)),
     Q("mm2_decode_stub", mm2, Some(mm2Sql)),
     Q("mm3_frame_checksums", mm3, Some(mm3Sql)),
