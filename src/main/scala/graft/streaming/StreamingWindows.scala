@@ -51,6 +51,19 @@ object StreamingWindows {
     spark.table(name)
   }
 
+  /** Streaming exact dedup for ingest pipelines: watermarked
+    * `dropDuplicates` on a fingerprint column — late arrivals beyond
+    * the watermark age out of state, so memory is bounded by the
+    * watermark horizon instead of the stream's lifetime (the batch
+    * analog is `Dedup.exact`; in an LLM ingest DAG this is the
+    * keep-first-seen stage).
+    */
+  def dedupByFingerprint(stream: DataFrame, fingerprintCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(fingerprintCol)
+
   final case class SessionEvent(user_id: Long, ts_micros: Long, value: Double)
   final case class UserSession(
       user_id: Long, session_start: Long, session_end: Long, n_events: Int,

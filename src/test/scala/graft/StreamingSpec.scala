@@ -30,6 +30,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming watermarked dedup keeps one row per fingerprint, like batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    // fingerprint with heavy collisions so dedup actually drops rows
+    val src = StreamingWindows.readEvents(spark, dir.toString)
+      .withColumn("fp", expr("event_id % 97"))
+    val got = StreamingWindows.runToCompletion(spark,
+      StreamingWindows.dedupByFingerprint(src, "fp"),
+      "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(got.count() == 97)
+    assert(got.select("fp").distinct().count() == 97)
+  }
+
   test("CDC-style foreachBatch upsert keeps the latest row per key") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_events")
     java.nio.file.Files.copy(
