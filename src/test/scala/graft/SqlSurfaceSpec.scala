@@ -78,6 +78,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(again.getInt(0) == 3 && again.getString(1) == "X")
   }
 
+  test("native WITH RECURSIVE works on the SQL surface (Spark 4.1 UnionLoop)") {
+    val sum = spark.sql(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
+        |SELECT CAST(sum(n) AS BIGINT) FROM t""".stripMargin).head.getLong(0)
+    assert(sum == 55L)
+  }
+
+  test("generate_random_int64/float64 analogs: seeded, deterministic, in range") {
+    // the reference's generators map to seeded rand over a range; same
+    // seed → same draw, and bounds hold
+    def draw() = spark.range(100)
+      .selectExpr("CAST(floor(rand(42) * 1000) AS BIGINT) AS i",
+        "rand(7) AS f")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = draw()
+    val b = draw()
+    assert(a == b)
+    assert(a.forall { case (i, f) => i >= 0 && i < 1000 && f >= 0.0 && f < 1.0 })
+    assert(a.map(_._1).distinct.size > 50) // actually random, not constant
+  }
+
   test("csv and json sources round-trip a table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
     val src = Tables.nation(spark, "/root/testdata/sf0.001")
