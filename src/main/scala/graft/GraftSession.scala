@@ -44,6 +44,7 @@ object GraftSession {
     graft.functions.JsonTail.registerAll(s)
     graft.operators.JsonUnnest.registerAll(s)
     graft.functions.DocText.registerAll(s)
+    graft.operators.Llm.registerAll(s)
     s
   }
 }

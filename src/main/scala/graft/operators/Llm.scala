@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `llm_chat` / `llm_embedding` — the reference's LLM builtins
+  * (`pkg/sql/plan/function/func_builtin_llm.go`: signature
+  * `(server, addr, model, options, query)`, one `llm.LLMClient` built
+  * lazily per operator and reused for every row,
+  * `pkg/monlp/llm/`). The Spark-side plumbing here is real — pluggable
+  * backend registry, one client per (config, executor) reused across
+  * rows, batched `mapPartitions` pipeline form — while the only
+  * backend shipped is the deterministic `stub` (this container has no
+  * model endpoint; an HTTP backend plugs in via [[LlmBackend]] without
+  * touching the operator).
+  */
+object Llm {
+
+  /** One logical client, built once per config per executor. */
+  trait LlmClient extends Serializable {
+    def chat(query: String): String
+    def embed(text: String): Array[Float]
+  }
+
+  /** Backend factory, keyed by the `server` argument ("stub" here;
+    * "ollama"/"openai" would construct HTTP clients from addr/model).
+    */
+  trait LlmBackend extends Serializable {
+    def create(addr: String, model: String, options: String): LlmClient
+  }
+
+  /** Deterministic stand-in: chat answers are a stable digest-derived
+    * summary of the query; embeddings are unit-norm pseudo-vectors
+    * hashed from the text — same text, same vector, every run.
+    */
+  final class StubBackend extends LlmBackend {
+    override def create(addr: String, model: String, options: String): LlmClient =
+      new LlmClient {
+        override def chat(query: String): String = {
+          if (query == null) return null
+          val words = query.trim.split("\\s+").take(4).mkString(" ")
+          val h = java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(query))
+          s"[$model@$addr] re: $words… ($h)"
+        }
+        override def embed(text: String): Array[Float] = {
+          if (text == null) return null
+          val dim = 64
+          val out = new Array[Float](dim)
+          var i = 0
+          var norm = 0.0
+          while (i < dim) {
+            val v = scala.util.hashing.MurmurHash3.stringHash(text, i * 2654435761L.toInt)
+            out(i) = (v % 1000) / 1000.0f
+            norm += out(i) * out(i)
+            i += 1
+          }
+          val n = math.sqrt(norm).toFloat
+          if (n > 0) { i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+          out
+        }
+      }
+  }
+
+  private val backends = new java.util.concurrent.ConcurrentHashMap[String, LlmBackend]()
+  backends.put("stub", new StubBackend)
+
+  /** Register a backend under a server name (cluster-wide: call before
+    * jobs run, or ship the backend in the application jar).
+    */
+  def registerBackend(server: String, b: LlmBackend): Unit = backends.put(server, b)
+
+  // per-executor client cache: one client per configuration, like the
+  // reference's lazily-initialized op.llmClient
+  @transient private lazy val clients =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), LlmClient]()
+
+  private def client(server: String, addr: String, model: String, options: String): LlmClient =
+    clients.computeIfAbsent((server, addr, model, options), _ => {
+      val b = backends.get(server)
+      require(b != null, s"llm: unknown server backend '$server' (registered: stub)")
+      b.create(addr, model, options)
+    })
+
+  def chatOnce(server: String, addr: String, model: String, options: String,
+      query: String): String =
+    client(server, addr, model, options).chat(query)
+
+  def embedOnce(server: String, addr: String, model: String, options: String,
+      text: String): Array[Float] =
+    client(server, addr, model, options).embed(text)
+
+  /** Pipeline form: append a chat-completion column, ONE client per
+    * partition, rows streamed through it (the shape a real HTTP backend
+    * needs for connection reuse/batching).
+    */
+  def chatColumn(df: DataFrame, queryCol: String, outCol: String,
+      server: String = "stub", addr: String = "local", model: String = "stub-1",
+      options: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.StringType))
+    val qIdx = df.schema.fieldIndex(queryCol)
+    val rows = df.rdd.mapPartitions { it =>
+      val c = client(server, addr, model, options)
+      it.map { r =>
+        val q = if (r.isNullAt(qIdx)) null else r.getString(qIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c.chat(q))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private val chatU = udf(chatOnce _)
+  private val embedU = udf(embedOnce _)
+
+  def llm_chat(server: Column, addr: Column, model: Column, options: Column,
+      query: Column): Column = chatU(server, addr, model, options, query)
+  def llm_embedding(server: Column, addr: Column, model: Column, options: Column,
+      text: Column): Column = embedU(server, addr, model, options, text)
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("llm_chat", chatOnce _)
+    spark.udf.register("llm_embedding", embedOnce _)
+  }
+}
