@@ -39,12 +39,14 @@ object Dedup {
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .select(col("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
-    // drop degenerate buckets before the self-join (skew guard)
-    val sized = sigs
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_band"), col("_key"))))
+    // drop degenerate buckets before the self-join (skew guard): bucket
+    // sizes via hash AGGREGATE + semi-join on the small survivor set —
+    // no per-partition sort, unlike a count-over-window
+    val okBuckets = sigs.groupBy(col("_band"), col("_key"))
+      .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
+      .select(col("_band"), col("_key"))
+    val sized = sigs.join(okBuckets, Seq("_band", "_key"), "left_semi")
     val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"))
     val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"))
     a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
@@ -80,11 +82,11 @@ object Dedup {
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .select(col("_sid").as("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
-    val sized = sigs
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_band"), col("_key"))))
+    val okBuckets = sigs.groupBy(col("_band"), col("_key"))
+      .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
+      .select(col("_band"), col("_key"))
+    val sized = sigs.join(okBuckets, Seq("_band", "_key"), "left_semi")
     val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"))
     val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"))
     a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
