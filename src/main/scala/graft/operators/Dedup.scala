@@ -114,11 +114,11 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
           c => concat_ws("", slice(col("_bits"), c * chunkBits + 1, lit(chunkBits))))))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_key")
-    val sized = chunked
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_chunk"), col("_key"))))
+    val okBuckets = chunked.groupBy(col("_chunk"), col("_key"))
+      .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
+      .select(col("_chunk"), col("_key"))
+    val sized = chunked.join(okBuckets, Seq("_chunk", "_key"), "left_semi")
     // dedup candidate PAIRS first (ids only — the bit arrays stay out of
     // the band join/shuffle), then verify each pair's hamming once
     val a = sized.select(col("_chunk"), col("_key"), col("_id").as("a_id"))

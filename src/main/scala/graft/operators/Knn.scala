@@ -213,11 +213,11 @@ object Knn {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           c => concat_ws("", slice(col("_bits"), c * bits + 1, lit(bits))))))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
-    val sized = chunked
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_band"), col("_key"))))
+    val okBuckets = chunked.groupBy(col("_band"), col("_key"))
+      .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
+      .select(col("_band"), col("_key"))
+    val sized = chunked.join(okBuckets, Seq("_band", "_key"), "left_semi")
     val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"), col("_v").as("_va"))
     val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"), col("_v").as("_vb"))
     a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))
