@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANN top-k pushdown over registered IVF/HNSW indexes (no-op when none)
     e.injectPostHocResolutionRule(session => new graft.plans.IvfAnnRule(session))
     e.injectPostHocResolutionRule(session => new graft.plans.HnswAnnRule(session))
+    e.injectPostHocResolutionRule(session => new graft.plans.IvfPqAnnRule(session))
     register(e, "l2_distance", "l2_distance(a, b) - euclidean distance of two vectors",
       args => L2DistanceExpr(args(0), args(1)))
     register(e, "inner_product", "inner_product(a, b) - dot product of two vectors",

@@ -182,7 +182,11 @@ object IvfPq {
     val mSub = model.mSub
     val fetch = math.max(k, refine)
 
-    val candRdd = codes.select(col("_id"), col("_cell"), col("_codes")).rdd
+    // scan only the union of probed cells — on a codes table partitioned
+    // by `_cell` (IvfPqIndex.forCorpus) this prunes at the file level
+    val probedCells = luts.flatMap(_._2.keys).distinct.toIndexedSeq
+    val candRdd = codes.filter(col("_cell").isin(probedCells: _*))
+      .select(col("_id"), col("_cell"), col("_codes")).rdd
       .mapPartitions { it =>
         val ls = lutB.value
         // per-query bounded top-`fetch` buffers (max-heap by dist)

@@ -88,6 +88,43 @@ class IvfAnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** IVF-PQ top-k pushdown (reference `apply_indices_ivfpq.go`): the same
+  * sort shape over a PQ-indexed corpus becomes a semi-join of the corpus
+  * against the ADC probe's candidate ids. The probe scans only the
+  * quantized codes of the `nprobe` nearest cells (file-pruned on the
+  * `_cell` partition column); the preserved outer sort re-ranks the
+  * over-fetched candidates EXACTLY against the original vectors — the
+  * reference's ADC-then-refine split.
+  */
+class IvfPqAnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (IvfPqIndex.indexes.isEmpty) return plan
+    plan.transformDown {
+      case limit @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(_, sort @ Sort(Seq(AnnSortPattern(attr, q, "l2")), true, child, _))) =>
+        val rewritten = for {
+          idx <- IvfPqIndex.indexes.find(ix =>
+            ix.vecCol == attr.name && child.canonicalized == ix.corpusPlan)
+          idAttr <- child.output.find(_.name == idx.idCol)
+          // over-fetch ADC candidates so the exact re-rank recovers
+          // quantization error (the reference's refine factor)
+          candPlan = IvfPqIndex.probe(idx, q, math.max(idx.refineFactor * k, 100))
+            .queryExecution.analyzed
+          nAttr <- candPlan.output.headOption
+        } yield {
+          val cond =
+            if (idAttr.dataType == nAttr.dataType) EqualTo(idAttr, nAttr)
+            else EqualTo(Cast(idAttr, nAttr.dataType), nAttr)
+          GlobalLimit(Literal(k), LocalLimit(Literal(k),
+            Sort(sort.order, global = true,
+              Join(child, candPlan, LeftSemi, Some(cond), JoinHint.NONE))))
+        }
+        rewritten.getOrElse(limit)
+    }
+  }
+}
+
 /** HNSW top-k pushdown (reference `apply_indices_hnsw.go`): the same
   * sort shape over an HNSW-indexed corpus becomes a semi-join of the
   * corpus against the shard-parallel graph probe's candidate ids — the

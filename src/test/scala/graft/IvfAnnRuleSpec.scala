@@ -88,6 +88,27 @@ class IvfAnnRuleSpec extends AnyFunSuite {
     } finally graft.plans.HnswIndex.clear()
   }
 
+  test("IVF-PQ rule: l2 top-k over a pq-indexed corpus becomes an ADC probe semi-join") {
+    IvfIndex.clear()
+    graft.plans.HnswIndex.clear()
+    graft.plans.IvfPqIndex.clear()
+    val before = knnQuery.queryExecution.optimizedPlan.toString
+    assert(!before.toLowerCase.contains("join"), "rewrite fired without an index")
+
+    graft.plans.IvfPqIndex.forCorpus("emb_pq_spec", corpus, "vec_id", "embedding",
+      nlist = 8, mSub = 8, codebookSize = 16, nprobe = 6)
+    try {
+      val planStr = knnQuery.queryExecution.optimizedPlan.toString
+      assert(planStr.toLowerCase.contains("join"),
+        s"IVF-PQ rewrite did not fire (no candidate semi-join):\n$planStr")
+      val approx = knnQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      graft.plans.IvfPqIndex.clear()
+      val exact = knnQuery.select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.7, s"IVF-PQ rewrite recall $recall")
+    } finally graft.plans.IvfPqIndex.clear()
+  }
+
   test("queries over other tables are untouched when an index exists") {
     IvfIndex.build("emb_ivf", corpus, "embedding", nlist = 8, nprobe = 3)
     try {
