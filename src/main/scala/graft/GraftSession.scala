@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // testdata events.ts is TIMESTAMP(NANOS); the vectorized reader
+      // needs the legacy long form (Tables.load truncates to micros)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(threads: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
@@ -31,6 +34,13 @@ object GraftSession {
     init(s)
     s
   }
+
+  /** Reference-dialect SQL entry point: accepts the non-standard syntax
+    * (`interval()/sliding()/fill()`, scored MATCH...AGAINST,
+    * `sample(N rows)`) and standard SQL alike — see [[graft.sql.GraftSql]].
+    */
+  def sql(spark: SparkSession, query: String): org.apache.spark.sql.DataFrame =
+    graft.sql.GraftSql.sql(spark, query)
 
   /** Register the UDF-surface function names on an existing session. */
   def init(s: SparkSession): SparkSession = {

@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query modules, each covering a slice of SURVEY.md §2. */
   def modules: Seq[QueryModule] =
     Seq(Tpch, Relational, TimeSeries, TextQueries, VectorQueries, FulltextQueries,
-      FunctionQueries, AggregateQueries, MiscQueries, MultimodalQueries, GeoQueries)
+      FunctionQueries, AggregateQueries, MiscQueries, MultimodalQueries, GeoQueries,
+      SqlDialectQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

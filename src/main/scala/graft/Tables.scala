@@ -26,7 +26,11 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // session-level nanosAsLong is set once in GraftSession.builder;
+      // set here only if the caller built its own session (library-safe:
+      // no repeated conf writes on the hot read path)
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -76,10 +76,46 @@ object Knn {
         col("neighbor_id"), col("_score").as("score"))
   }
 
-  /** Exact all-pairs scoring (a_id < b_id) — small/blocked inputs only;
-    * the scalable near-dup path is LSH (see Dedup) or IVF cell-blocking.
+  /** Exact all-pairs scoring WITHIN a blocking key: the self-join
+    * shuffles on `blockCol` (plain hash join, never a cartesian), so the
+    * quadratic cost is bounded per block — the standard blocked-dedup
+    * shape that survives a 100× scale-up as long as blocks stay bounded.
+    * Pairs span a block; cross-block pairs are out of scope by contract.
+    */
+  def blockedPairs(df: DataFrame, idCol: String, blockCol: String,
+      vecCol: String, metric: Metric = Cosine): DataFrame = {
+    val base = metric match {
+      case Cosine =>
+        // normalize once per row: per-pair cost is one dot product
+        df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+            col(vecCol).as("_v"), l2Norm(col(vecCol)).as("_n"))
+          .select(col("_blk"), col("_id"),
+            transform(col("_v"), x => x.cast("double") / col("_n")).as("_nv"))
+      case L2 =>
+        df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+          col(vecCol).as("_nv"))
+    }
+    val a = base.select(col("_blk"), col("_id").as("a_id"), col("_nv").as("_va"))
+    val b = base.select(col("_blk"), col("_id").as("b_id"), col("_nv").as("_vb"))
+    val scoreCol = metric match {
+      case Cosine => innerProduct(col("_va"), col("_vb"))
+      case L2 => l2Distance(col("_va"), col("_vb"))
+    }
+    a.join(b, Seq("_blk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), scoreCol.as("score"))
+  }
+
+  /** Exact all-pairs scoring (a_id < b_id) — an UNBLOCKED cartesian,
+    * guarded to small inputs; the scale paths are [[blockedPairs]],
+    * LSH (see Dedup / [[cosineLshPairs]]) or IVF cell-blocking.
     */
   def selfJoinPairs(df: DataFrame, idCol: String, vecCol: String,
+      metric: Metric = Cosine): DataFrame = {
+    QueryGuard.check(df, "selfJoinPairs", max = 100000L)
+    selfJoinPairsUnguarded(df, idCol, vecCol, metric)
+  }
+
+  private def selfJoinPairsUnguarded(df: DataFrame, idCol: String, vecCol: String,
       metric: Metric = Cosine): DataFrame = metric match {
     case Cosine =>
       // normalize once per row (norm as its own column so it is evaluated

@@ -70,9 +70,25 @@ object TimeWindow {
     if (mode == FillNone) return df
     if (keys.nonEmpty) return gapFillKeyed(df, ws, step, valueCol, mode, keys)
 
+    // One tiny eager job on the (already-aggregated, persisted) frame
+    // decides the path: a spine that fits in one bucket takes the
+    // single-window formulation — the bucketed machinery pays ~6 extra
+    // stages that only amortize on timelines longer than a bucket.
+    val dfp = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = dfp.agg(min(col(ws)).cast("long").as("mn"),
+      max(col(ws)).cast("long").as("mx")).head
+    if (b.isNullAt(0)) return dfp
+    val slots = (b.getLong(1) - b.getLong(0)) / step + 1
+    // pmod(ws, 1) is a constant key the optimizer can't fold away: it
+    // states "deliberately single-partition over bounded input" without
+    // tripping WindowExec's all-data-one-task warning
+    if (slots <= slotsPerBucket)
+      return gapFillKeyed(dfp.withColumn("_gk", pmod(col(ws).cast("long"), lit(1L))),
+        ws, step, valueCol, mode, Seq("_gk")).drop("_gk")
+
     val v = col(valueCol)
     val span = lit(step * slotsPerBucket)
-    val bounds = df.agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
+    val bounds = dfp.agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
     // distributed spine: explode bucket ids first, then each bucket's
     // slots — no single task ever holds the whole timeline
     val buckets = bounds
@@ -85,7 +101,7 @@ object TimeWindow {
         col("mn") + col("_b") * span,
         least(col("mx"), col("mn") + (col("_b") + 1) * span - lit(step)),
         lit(step))).as(ws))
-    val joined = spine.join(df, Seq(ws), "left")
+    val joined = spine.join(dfp, Seq(ws), "left")
 
     val wB = Window.partitionBy(col("_b")).orderBy(col(ws))
     val back = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)

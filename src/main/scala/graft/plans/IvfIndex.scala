@@ -26,13 +26,18 @@ object IvfIndex {
       nlist: Int,
       nprobe: Int,
       centroids: Array[Array[Double]],
-      cells: DataFrame)              // corpus columns + __ivf_cell
+      cells: DataFrame,              // corpus columns + __ivf_cell
+      dir: String = "")              // materialized location ("" = in-memory)
 
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Index]
 
   def indexes: Seq[Index] = registry.values.toSeq
-  def drop(name: String): Unit = registry.remove(name)
-  def clear(): Unit = registry.clear()
+  def drop(name: String): Unit =
+    registry.remove(name).foreach { idx =>
+      built.filterInPlace((_, v) => v.name != name)
+      if (idx.dir.nonEmpty) IndexStore.delete(idx.cells.sparkSession, idx.dir)
+    }
+  def clear(): Unit = registry.keys.toSeq.foreach(drop)
 
   /** Build and register an IVF index over `df` (≙ `ivf_create`). */
   def build(name: String, df: DataFrame, vecCol: String,
@@ -59,24 +64,27 @@ object IvfIndex {
     */
   def forCorpus(key: String, df: DataFrame, vecCol: String,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      maxIter: Int = 8): Index =
-    built.getOrElseUpdate(s"$key#$nlist#$nprobe", {
+      maxIter: Int = 8): Index = {
+    val idx = built.getOrElseUpdate(s"$key#$nlist#$nprobe#$seed#$maxIter", {
       val spark = df.sparkSession
       val featurized = df.withColumn("__ivf_features", array_to_vector(col(vecCol)))
       val model = new KMeans().setK(nlist).setSeed(seed)
         .setMaxIter(maxIter).setInitMode("random")
         .setFeaturesCol("__ivf_features").fit(featurized)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val dir = IndexStore.path(spark, "ivf", s"$key-$nlist-$seed-$maxIter")
       model.transform(featurized)
         .withColumnRenamed("prediction", "__ivf_cell")
         .drop("__ivf_features")
         .write.mode("overwrite").partitionBy("__ivf_cell").parquet(dir)
+      // pin the partition-column type (inference may be disabled)
       val cells = spark.read.parquet(dir)
-      val idx = Index(key, df.queryExecution.analyzed.canonicalized, vecCol,
-        nlist, nprobe, model.clusterCenters.map(_.toArray), cells)
-      registry.put(key, idx)
-      idx
+        .withColumn("__ivf_cell", col("__ivf_cell").cast("int"))
+      Index(key, df.queryExecution.analyzed.canonicalized, vecCol,
+        nlist, nprobe, model.clusterCenters.map(_.toArray), cells, dir)
     })
+    registry.put(key, idx)
+    idx
+  }
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Index]
 

@@ -25,35 +25,51 @@ object IvfPqIndex {
       nprobe: Int,
       refineFactor: Int,             // ADC over-fetch multiple of k for exact re-rank
       model: IvfPq.Model,
-      codes: DataFrame)              // (_id, _cell, _codes) partitioned by _cell
+      codes: DataFrame,              // (_id, _cell, _codes) partitioned by _cell
+      dir: String)
 
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Index]
   private val built = scala.collection.concurrent.TrieMap.empty[String, Index]
 
   def indexes: Seq[Index] = registry.values.toSeq
-  def drop(name: String): Unit = registry.remove(name)
-  def clear(): Unit = registry.clear()
+  def drop(name: String): Unit =
+    registry.remove(name).foreach { idx =>
+      built.filterInPlace((_, v) => v.name != name)
+      probeCache.filterInPlace((k, _) => k._1 != name)
+      IndexStore.delete(idx.codes.sparkSession, idx.dir)
+    }
+  def clear(): Unit = registry.keys.toSeq.foreach(drop)
 
   /** Build ONCE per corpus (≙ `ivfpq_create`): KMeans coarse quantizer +
     * subspace codebooks fit distributed, codes written to parquet
-    * partitioned by `_cell`, index registered for [[IvfPqAnnRule]].
+    * partitioned by `_cell` in [[IndexStore]] (shared FS, dropped with
+    * the index), index registered for [[IvfPqAnnRule]]. Every
+    * build/probe-affecting parameter is part of the cache key, and
+    * re-registration happens on every call so a drop()/clear() followed
+    * by the same forCorpus leaves the planner rule armed again.
     */
   def forCorpus(key: String, df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, mSub: Int = 8, codebookSize: Int = 16,
-      nprobe: Int = 4, refineFactor: Int = 10, seed: Long = 42L): Index =
-    built.getOrElseUpdate(s"$key#$nlist#$mSub#$codebookSize", {
-      val spark = df.sparkSession
-      val (codesMem, model) = IvfPq.build(df, idCol, vecCol, nlist, mSub,
-        codebookSize, seed)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
-      codesMem.write.mode("overwrite").partitionBy("_cell").parquet(dir)
-      codesMem.unpersist()
-      val codes = spark.read.parquet(dir)
-      val idx = Index(key, df.queryExecution.analyzed.canonicalized,
-        idCol, vecCol, nprobe, refineFactor, model, codes)
-      registry.put(key, idx)
-      idx
-    })
+      nprobe: Int = 4, refineFactor: Int = 10, seed: Long = 42L): Index = {
+    val idx = built.getOrElseUpdate(
+      s"$key#$nlist#$mSub#$codebookSize#$nprobe#$refineFactor#$seed", {
+        val spark = df.sparkSession
+        val (codesMem, model) = IvfPq.build(df, idCol, vecCol, nlist, mSub,
+          codebookSize, seed)
+        val dir = IndexStore.path(spark, "ivfpq",
+          s"$key-$nlist-$mSub-$codebookSize-$seed")
+        codesMem.write.mode("overwrite").partitionBy("_cell").parquet(dir)
+        codesMem.unpersist()
+        // pin the partition-column type: with partitionColumnTypeInference
+        // off it would come back as string and every probe would CCE
+        val codes = spark.read.parquet(dir)
+          .withColumn("_cell", col("_cell").cast("int"))
+        Index(key, df.queryExecution.analyzed.canonicalized,
+          idCol, vecCol, nprobe, refineFactor, model, codes, dir)
+      })
+    registry.put(key, idx)
+    idx
+  }
 
   /** ADC probe for one literal query vector: scan the `nprobe` nearest
     * cells of the codes table (file-level pruning on the `_cell`
@@ -62,7 +78,18 @@ object IvfPqIndex {
     * candidate ids. Callers re-rank exactly (the planner rule keeps the
     * original metric sort above the semi-join).
     */
-  def probe(idx: Index, q: Array[Double], fetch: Int): DataFrame = {
+  /** Probe results cached per (index, query vector, fetch): the analyzer
+    * may re-run [[IvfPqAnnRule]] on every analysis of a matching plan
+    * (explain, re-resolution), and without the cache each pass would
+    * plan a fresh probe lineage.
+    */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[Double], Int), DataFrame]
+
+  def probe(idx: Index, q: Array[Double], fetch: Int): DataFrame =
+    probeCache.getOrElseUpdate((idx.name, q.toSeq, fetch), doProbe(idx, q, fetch))
+
+  private def doProbe(idx: Index, q: Array[Double], fetch: Int): DataFrame = {
     val spark = idx.codes.sparkSession
     val m = idx.model
     val kk = m.codebooks(0).length
@@ -93,13 +120,14 @@ object IvfPqIndex {
       }
       cell -> t
     }.toMap
-    val lutB = spark.sparkContext.broadcast(luts)
-
+    // the LUT is nprobe × mSub × k doubles (~tens of KB): ship it in the
+    // task closure instead of a broadcast — a broadcast created inside an
+    // analyzer rule is never destroyed and leaks per analysis (ADVICE r4)
     val cand = idx.codes
       .filter(col("_cell").isin(ranked.toIndexedSeq: _*))
       .select(col("_id"), col("_cell"), col("_codes")).rdd
       .mapPartitions { it =>
-        val ls = lutB.value
+        val ls = luts
         val heap = collection.mutable.PriorityQueue
           .empty[(Double, Long)](Ordering.by(_._1))
         it.foreach { r =>

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import graft.sql.GraftSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's NON-standard SQL syntax, exercised as raw SQL strings
+  * through [[graft.sql.GraftSql]] — `interval()/sliding()/fill()` time
+  * windows, scored `MATCH...AGAINST`, and `sample(N rows)`, each mapped
+  * onto the existing operators and oracle-checked. A reference user's
+  * query text runs as-is; only the epoch/rounding projections below are
+  * post-stages for cross-engine hash stability.
+  */
+object SqlDialectQueries extends QueryModule {
+
+  private def run(s: SparkSession, d: String, q: String): DataFrame = {
+    Tables.registerAll(s, d)
+    GraftSql.sql(s, q)
+  }
+
+  // ------------------------------------------- tws1: interval + fill(prev)
+  /** `test/distributed/cases/window/time_window.sql:13` shape: tumbling
+    * 6-hour windows over sparse 'error' events, gaps carried forward.
+    */
+  private def tws1(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT _wstart, _wend,
+        |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS v
+        |FROM events
+        |WHERE event_type = 'error'
+        |interval(ts, 6, hour) fill(prev)""".stripMargin)
+      .select(unix_timestamp(col("_wstart")).as("ws"),
+        unix_timestamp(col("_wend")).as("we"),
+        round(col("v"), 6).as("v"))
+      .orderBy(col("ws"))
+
+  private val tws1Sql =
+    """WITH agg AS (
+      |  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
+      |         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS v
+      |  FROM events WHERE event_type = 'error' GROUP BY ws),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(ws) FROM agg),
+      |                                (SELECT max(ws) FROM agg), 21600)) AS ws),
+      |j AS (SELECT s.ws, a.v FROM spine s LEFT JOIN agg a ON s.ws = a.ws)
+      |SELECT ws, ws + 21600 AS we,
+      |       round(last_value(v IGNORE NULLS) OVER
+      |         (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+      |FROM j ORDER BY ws""".stripMargin
+
+  // ------------------------------------- tws2: interval + sliding, no fill
+  /** `time_window.sql:23` shape: 1-day windows sliding every 12 hours. */
+  private def tws2(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT _wstart, count(event_id) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+        |FROM events
+        |interval(ts, 1, day) sliding(12, hour)""".stripMargin)
+      .select(unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
+      .orderBy(col("ws"))
+
+  private val tws2Sql =
+    """SELECT CAST(floor(epoch(ts) / 43200) * 43200 - k.k * 43200 AS BIGINT) AS ws,
+      |       count(*) AS n,
+      |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+      |FROM events, (VALUES (0), (1)) k(k)
+      |GROUP BY ws ORDER BY ws""".stripMargin
+
+  // --------------------------------------- fts1: scored MATCH ... AGAINST
+  /** `fulltext.sql:353` shape: MATCH in projection (scored) AND in WHERE
+    * (MySQL "relevance > 0" predicate), boolean mode.
+    */
+  private def fts1(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |       round(MATCH(text) AGAINST('+spark -error join' IN BOOLEAN MODE), 6) AS score
+        |FROM documents
+        |WHERE MATCH(text) AGAINST('+spark -error join' IN BOOLEAN MODE)
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin)
+
+  private val TOK = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val fts1Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT unnest(['spark','join']) AS term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT s.doc_id, round(s.score, 6) AS score FROM scored s
+       |WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = 'spark')
+       |  AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = 'error')
+       |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin
+
+  // ----------------------------------------- sps1: sample(N rows) grouped
+  /** `sample.sql:16` shape: per-group N-row sample inside GROUP BY,
+    * determinized by md5 rank (see GraftSql.sampleRewrite).
+    */
+  private def sps1(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT l_returnflag, sample(l_shipmode, 3 rows) AS m
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag, m""".stripMargin)
+
+  private val sps1Sql =
+    """SELECT l_returnflag, m FROM (
+      |  SELECT l_returnflag, l_shipmode AS m,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY (l_shipmode IS NULL), md5(CAST(l_shipmode AS VARCHAR))) AS _rn,
+      |    count(l_shipmode) OVER (PARTITION BY l_returnflag) AS _nn
+      |  FROM lineitem)
+      |WHERE (_nn > 0 AND m IS NOT NULL AND _rn <= 3) OR (_nn = 0 AND _rn = 1)
+      |ORDER BY l_returnflag, m""".stripMargin
+
+  // ------------------------------------- sps2: global sample over an expr
+  private def sps2(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT sample(lower(p_type), 5 rows) AS t
+        |FROM part
+        |ORDER BY t""".stripMargin)
+
+  private val sps2Sql =
+    """SELECT t FROM (
+      |  SELECT lower(p_type) AS t,
+      |    row_number() OVER (
+      |      ORDER BY (lower(p_type) IS NULL), md5(CAST(lower(p_type) AS VARCHAR))) AS _rn,
+      |    count(lower(p_type)) OVER () AS _nn
+      |  FROM part)
+      |WHERE (_nn > 0 AND t IS NOT NULL AND _rn <= 5) OR (_nn = 0 AND _rn = 1)
+      |ORDER BY t""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+    Q("tws1_interval_sql", tws1, Some(tws1Sql)),
+    Q("tws2_sliding_sql", tws2, Some(tws2Sql)),
+    Q("fts1_match_sql", fts1, Some(fts1Sql)),
+    Q("sps1_sample_sql", sps1, Some(sps1Sql)),
+    Q("sps2_sample_expr_sql", sps2, Some(sps2Sql)))
+}

@@ -107,8 +107,16 @@ object VectorQueries extends QueryModule {
       |FROM x GROUP BY label ORDER BY label""".stripMargin
 
   // -------------------------------------------------- v5 similar pairs
+  /** Top most-similar pairs WITHIN each label block: exact scores, but
+    * candidate generation is a hash self-join on the blocking key — no
+    * cartesian anywhere in the plan (asserted in PlanSpec), so the
+    * quadratic cost is bounded per block at any corpus size. The
+    * unblocked exact variant lives behind a guard
+    * ([[graft.operators.Knn.selfJoinPairs]]).
+    */
   private def v5(s: SparkSession, d: String): DataFrame =
-    Knn.selfJoinPairs(Tables.embeddings(s, d), "vec_id", "embedding", Knn.Cosine)
+    Knn.blockedPairs(Tables.embeddings(s, d), "vec_id", "label", "embedding",
+        Knn.Cosine)
       .orderBy(desc("score"), col("a_id"), col("b_id"))
       .limit(20)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
@@ -117,7 +125,8 @@ object VectorQueries extends QueryModule {
     s"""WITH p AS (
        |  SELECT a.vec_id AS a_id, q.vec_id AS b_id,
        |         $DOT / (${norm("a")} * ${norm("q")}) AS cos
-       |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id)
+       |  FROM embeddings a JOIN embeddings q
+       |    ON a.label = q.label AND a.vec_id < q.vec_id)
        |SELECT a_id, b_id, round(cos, 6) AS score FROM p
        |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin
 

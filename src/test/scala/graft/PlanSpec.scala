@@ -57,4 +57,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("v2_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("v5: blocked pair generation joins on the block key, no cartesian") {
+    val p = plan("v5_similar_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -88,4 +88,16 @@ class TimeWindowSpec extends AnyFunSuite {
     // the row-level window must be partitioned by the bucket column
     assert(plan.contains("_b"), s"expected bucketed window in plan:\n$plan")
   }
+
+  test("small-input fast path and bucketed path produce identical fills") {
+    for (mode <- Seq(FillNull, FillPrev, FillNext, FillLinear, FillValue(-1.0))) {
+      def run(spb: Long) =
+        TimeWindow.gapFill(keyless, "ws", 10L, "v", mode, slotsPerBucket = spb)
+          .collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+          .toMap
+      // spb=4 → bucketed, spb=8192 (default regime) → single-window fast path
+      assert(run(4L) == run(8192L), s"paths diverge for $mode")
+    }
+  }
 }
