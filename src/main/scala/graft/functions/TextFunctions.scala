@@ -111,6 +111,31 @@ object TextFunctions {
   def hammingBits(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0L), (acc, x) => acc + x)
 
+  /** PORTABLE 64-bit SimHash: per-token hash = the md5 digest's second
+    * half read little-endian — exactly DuckDB's `md5_number_lower`, so an
+    * oracle can re-derive every signature bit in SQL and hash-compare the
+    * near-dup pair set across engines (the xxhash64 variant above is
+    * engine-local). Bit b votes +1/−1 by the b-th bit of each token's
+    * hash; tie (sum 0) resolves to 0.
+    */
+  def simhashBitsMd5(tk: Column): Column = {
+    // per-token little-endian byte values of digest bytes 8..15
+    val tokBytes = transform(tk, t => {
+      val h = substring(md5(t), 17, 16)
+      transform(sequence(lit(0), lit(7)),
+        k => conv(h.substr(k * 2 + lit(1), lit(2)), 16, 10).cast("long"))
+    })
+    transform(sequence(lit(0), lit(63)), j => {
+      val byteIdx = floor(j.cast("double") / 8.0).cast("int") + 1
+      val bitInByte = pmod(j, lit(8)).cast("int")
+      val votes = aggregate(tokBytes, lit(0L), (acc, by) =>
+        acc + when(
+          pmod(floor(element_at(by, byteIdx) / pow(lit(2.0), bitInByte)), lit(2L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L)).otherwise(lit(0L))
+    })
+  }
+
   /** Deterministic document fingerprint: md5 of whitespace-normalized
     * lowercase text (cross-engine reproducible).
     */

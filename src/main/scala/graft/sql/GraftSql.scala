@@ -75,7 +75,7 @@ object GraftSql {
   }
 
   /** Split a select list on top-level commas (paren-aware). */
-  private[sql] def splitTop(s: String): Seq[String] = {
+  private[graft] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var inStr = false
@@ -309,12 +309,15 @@ object GraftSql {
       sb.replace(h.start, h.end, repl)
     }
 
-    // splice the LEFT JOINs right after the FROM table reference
+    // splice the LEFT JOINs right after the FROM table reference — found
+    // again in the REWRITTEN text (the replacements above shifted offsets)
     val joins = views.values.toSeq.sortBy(_._2).map { case (v, _) =>
       s" LEFT JOIN $v ON $tblRef.$pk = $v.__ft_id"
     }.mkString
-    val fromEnd = from.start + from.matched.length
-    val rewritten = sb.substring(0, fromEnd) + joins + sb.substring(fromEnd)
+    val replaced = sb.toString
+    val from2 = FromRe.findFirstMatchIn(replaced).get
+    val fromEnd = from2.start + from2.matched.length
+    val rewritten = replaced.substring(0, fromEnd) + joins + replaced.substring(fromEnd)
     Some(spark.sql(rewritten))
   }
 }
