@@ -29,14 +29,24 @@ object Bm25 {
   // ------------------------------------------------------------ index
   /** Posting lists: one row per (doc, term) with term frequency + doc
     * length. Reused across queries — persist/write once per corpus.
+    * `tokenizer = "chinese"` segments Han runs with the dictionary DP
+    * ([[CjkSegmenter]], ≙ the reference's `with parser gojieba`); the
+    * default is the whitespace/lowercase tokenizer.
     */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: String = "simple"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+        posexplode(tokensOf(col(textCol), tokenizer)).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+
+  private[fulltext] def tokensOf(c: Column, tokenizer: String): Column =
+    tokenizer match {
+      case "chinese" => CjkSegmenter.tokensCol(c)
+      case _ => tokens(c)
+    }
 
   /** MySQL-ngram-style postings: overlapping character n-grams over
     * lowercase alphanumeric runs, positions are global char offsets so
@@ -164,6 +174,19 @@ object Bm25 {
     * window-count df per leaf. STAR aggregates every matching term
     * (tf summed, df = docs matching any term with the prefix).
     */
+  /** Driver-side replica of `pmod(hash(term), TermBuckets)` — the same
+    * Murmur3(seed 42) Catalyst uses — so an exact-term probe can carry a
+    * LITERAL partition filter and prune the bucketed postings at file
+    * level (`PartitionFilters` in the scan, asserted in PlanSpec).
+    */
+  private[graft] def termBucket(term: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType)), 42).eval(null).asInstanceOf[Int]
+    val m = h % FulltextIndex.TermBuckets
+    if (m < 0) m + FulltextIndex.TermBuckets else m
+  }
+
   private def leafScores(index: FulltextIndex, leaves: Seq[Leaf], algo: String): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
@@ -171,13 +194,21 @@ object Bm25 {
     // exact terms take the broadcast HASH join; only STAR prefixes fall
     // back to the nested-loop probe (predicate join), so the common
     // no-wildcard query never scans postings with a non-equi condition
-    val textDf = leaves.filter(_.kind == "text").toDF("leaf_id", "kind", "pat", "weight", "phrase_pos")
+    val textLeaves = leaves.filter(_.kind == "text")
+    val textDf = textLeaves.toDF("leaf_id", "kind", "pat", "weight", "phrase_pos")
     val starDf = leaves.filter(_.kind == "star").toDF("leaf_id", "kind", "pat", "weight", "phrase_pos")
-    val textJoined = index.postings.join(broadcast(textDf), col("term") === col("pat"))
+    // bucketed postings: exact probes touch only their terms' buckets
+    val exactSide =
+      if (index.postings.columns.contains("_tb") && textLeaves.nonEmpty)
+        index.postings.filter(
+          col("_tb").isin(textLeaves.map(l => termBucket(l.pat)).distinct: _*))
+      else index.postings
+    val textJoined = exactSide.join(broadcast(textDf), col("term") === col("pat"))
     val joined =
       if (leaves.exists(_.kind == "star"))
         textJoined.unionByName(
-          index.postings.join(broadcast(starDf), col("term").startsWith(col("pat"))))
+          index.postings.join(broadcast(starDf), col("term").startsWith(col("pat"))),
+          allowMissingColumns = true)
       else textJoined
     val posAgg =
       if (needPos) sort_array(flatten(collect_list(col("positions")))).as("positions")
@@ -316,9 +347,16 @@ object Bm25 {
     result
   }
 
-  /** Natural-language mode: every distinct query token is a should-term. */
-  def searchNatural(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
-    val terms = query.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+  /** Natural-language mode: every distinct query token is a should-term.
+    * With `tokenizer = "chinese"` the query is segmented with the same
+    * dictionary DP as the index.
+    */
+  def searchNatural(index: FulltextIndex, query: String, algo: String = "bm25",
+      tokenizer: String = "simple"): DataFrame = {
+    val terms = (tokenizer match {
+      case "chinese" => CjkSegmenter.tokenize(query)
+      case _ => query.trim.toLowerCase.split("\\s+").toSeq
+    }).filter(_.nonEmpty).distinct
     val leaves = terms.zipWithIndex.map { case (t, i) => Leaf(i, "text", t, 1.0, -1) }
     leafScores(index, leaves, algo)
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
@@ -359,31 +397,43 @@ object Bm25 {
       * [[forCorpus]] for anything probed more than once.
       */
     def build(docs: DataFrame, idCol: String, textCol: String,
-        ngram: Boolean = false, n: Int = 3): FulltextIndex = {
+        ngram: Boolean = false, n: Int = 3,
+        tokenizer: String = "simple"): FulltextIndex = {
       val postings =
         (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
-         else buildIndex(docs, idCol, textCol)).persist()
+         else buildIndex(docs, idCol, textCol, tokenizer)).persist()
       val row = postings.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)), avg(col("dl"))).head()
       FulltextIndex(postings, row.getLong(0), row.getDouble(1))
     }
 
+    /** Number of hash buckets the materialized postings are partitioned
+      * into by term: a query leaf probes only its own bucket's files —
+      * the file-level pruning a 100 TB postings table needs.
+      */
+    val TermBuckets = 32
+
     /** Build-once-per-corpus: the postings are MATERIALIZED to a parquet
       * table (the reference's model — the fulltext index is a real
-      * table, `pkg/sql/plan/apply_indices_fulltext.go`), so probes
-      * survive `spark.catalog.clearCache()` and never re-tokenize the
-      * corpus. At 100 TB this table would be written bucketed by term
-      * for file-level pruning.
+      * table, `pkg/sql/plan/apply_indices_fulltext.go`), partitioned by
+      * a term-hash bucket so exact-term probes prune at file level, in
+      * [[graft.plans.IndexStore]] (shared FS on a real cluster), so
+      * probes survive `spark.catalog.clearCache()` and never re-tokenize
+      * the corpus.
       */
     def forCorpus(docs: DataFrame, idCol: String, textCol: String, key: String,
-        ngram: Boolean = false, n: Int = 3): FulltextIndex =
-      cache.computeIfAbsent(s"$key#$ngram#$n", _ => {
+        ngram: Boolean = false, n: Int = 3,
+        tokenizer: String = "simple"): FulltextIndex =
+      cache.computeIfAbsent(s"$key#$ngram#$n#$tokenizer", _ => {
         val spark = docs.sparkSession
-        val dir = java.nio.file.Files.createTempDirectory("graft-ft-index").toString
+        val dir = graft.plans.IndexStore.path(spark, "fulltext",
+          s"$key-$ngram-$n-$tokenizer")
         (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
-         else buildIndex(docs, idCol, textCol))
-          .write.mode("overwrite").parquet(dir)
+         else buildIndex(docs, idCol, textCol, tokenizer))
+          .withColumn("_tb", pmod(hash(col("term")), lit(TermBuckets)))
+          .write.mode("overwrite").partitionBy("_tb").parquet(dir)
         val postings = spark.read.parquet(dir)
+          .withColumn("_tb", col("_tb").cast("int"))
         val row = postings.select(col("doc_id"), col("dl")).distinct()
           .agg(count(lit(1)), avg(col("dl"))).head()
         FulltextIndex(postings, row.getLong(0), row.getDouble(1))

@@ -193,7 +193,63 @@ object FulltextQueries extends QueryModule {
        |SELECT doc_id, round(sum(w), 6) AS score FROM allw GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin
 
+  // ------------------------------------------- CJK natural-language mode
+  /** Chinese fulltext with dictionary segmentation (≙ `with parser
+    * gojieba`, reference `test/distributed/cases/fulltext/gojieba.sql`).
+    * The corpus is derived deterministically from `documents`: each
+    * English token maps to a 2-char dictionary word and the words are
+    * concatenated WITHOUT separators — so the segmenter must recover the
+    * word sequence for tf/dl/df (and hence every BM25 score) to match
+    * the oracle, which re-derives scores from the mapped tokens. The
+    * mapping words have pairwise-disjoint characters, making the
+    * segmentation uniquely recoverable.
+    */
+  private val zhMap: Seq[(String, String)] = Seq(
+    "spark" -> "火花", "stream" -> "流式", "window" -> "窗口",
+    "join" -> "连接", "data" -> "数据", "query" -> "查询",
+    "fast" -> "快速", "slow" -> "缓慢", "error" -> "错误",
+    "system" -> "系统", "index" -> "索引", "table" -> "表格",
+    "memory" -> "内存", "network" -> "网络", "model" -> "模型",
+    "test" -> "测试", "result" -> "结果", "time" -> "时间",
+    "text" -> "文本", "search" -> "寻找")
+
+  private def ft9(s: SparkSession, d: String): DataFrame = {
+    val m = map(zhMap.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val zhDocs = Tables.documents(s, d).select(col("doc_id"),
+      array_join(filter(
+        transform(split(lower(trim(col("text"))), "\\s+"), t => element_at(m, t)),
+        x => x.isNotNull), "").as("zh_text"))
+    val idx = Bm25.FulltextIndex.forCorpus(zhDocs, "doc_id", "zh_text",
+      key = s"zh-$d", tokenizer = "chinese")
+    Bm25.searchNatural(idx, "火花连接流式窗口", tokenizer = "chinese")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  private val ft9Sql = {
+    val values = zhMap.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    s"""WITH m(term, zh) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest($TOK) AS term FROM documents),
+       |ztok AS (SELECT doc_id, zh FROM tok JOIN m USING (term)),
+       |tf AS (SELECT doc_id, zh, count(*) AS tf FROM ztok GROUP BY doc_id, zh),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM ztok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dfreq AS (SELECT zh, count(*) AS df FROM tf GROUP BY zh),
+       |q(zh) AS (VALUES ('火花'), ('连接'), ('流式'), ('窗口')),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf JOIN q USING (zh) JOIN dfreq USING (zh)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   override val queries: Seq[Q] = Seq(
+    Q("ft9_cjk_natural", ft9, Some(ft9Sql)),
     Q("ft1_bm25_natural", ft1, Some(ft1Sql)),
     Q("ft2_bm25_boolean", ft2, Some(ft2Sql)),
     Q("ft3_index_stats", ft3, Some(ft3Sql)),

@@ -110,4 +110,29 @@ class FulltextSpec extends AnyFunSuite {
     assert(a.nDocs == 5L)
     FulltextIndex.invalidate("spec-corpus")
   }
+
+  test("cjk segmentation: dictionary DP recovers words, longest compounds win") {
+    import graft.fulltext.CjkSegmenter.tokenize
+    // plain 2-char words, no separators
+    assert(tokenize("火花连接流式窗口") == Seq("火花", "连接", "流式", "窗口"))
+    // one 4-char compound beats two 2-char words (机器 + 学习 are in dict too)
+    assert(tokenize("机器学习模型") == Seq("机器学习", "模型"))
+    assert(tokenize("时间序列数据库") == Seq("时间序列", "数据库"))
+    // out-of-dictionary chars fall back to single-char tokens
+    assert(tokenize("鑫数据") == Seq("鑫", "数据"))
+    // mixed text: latin runs keep the default lowercase rule
+    assert(tokenize("Spark处理数据 fast") == Seq("spark", "处理", "数据", "fast"))
+    assert(tokenize("") == Nil && tokenize(null) == Nil)
+  }
+
+  test("cjk natural mode scores CJK docs through the segmenting index") {
+    import spark.implicits._
+    val zhDocs = Seq(
+      (1L, "火花流式处理"), (2L, "数据库查询优化"), (3L, "火花火花连接")).toDF("doc_id", "text")
+    val idx = FulltextIndex.build(zhDocs, "doc_id", "text", tokenizer = "chinese")
+    val scores = Bm25.searchNatural(idx, "火花", tokenizer = "chinese")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 3L))
+    assert(scores(3L) > scores(1L)) // tf=2 beats tf=1
+  }
 }

@@ -63,4 +63,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ft1: exact-term probe prunes the bucketed postings at file level") {
+    val p = plan("ft1_bm25_natural")
+    assert(p.contains("_tb"), p)
+    // a non-empty PartitionFilters entry on the postings scan
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+  }
 }
