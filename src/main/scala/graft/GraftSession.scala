@@ -55,6 +55,7 @@ object GraftSession {
     graft.operators.JsonUnnest.registerAll(s)
     graft.functions.DocText.registerAll(s)
     graft.operators.Llm.registerAll(s)
+    graft.operators.Onnx.registerAll(s)
     s
   }
 }

@@ -61,8 +61,51 @@ object Llm {
       }
   }
 
+  /** REAL HTTP backend (ollama-shaped JSON protocol): `chat` POSTs
+    * `{"model":…,"query":…}` to `addr/chat` and reads `{"text":…}`;
+    * `embed` POSTs to `addr/embed` and reads `{"embedding":[…]}`.
+    * One keep-alive client per (config, executor) via the registry;
+    * LlmSpec drives it end-to-end against an in-process JDK HttpServer,
+    * proving the seam carries a real backend unchanged.
+    */
+  final class HttpBackend extends LlmBackend {
+    override def create(addr: String, model: String, options: String): LlmClient =
+      new LlmClient {
+        private def post(path: String, bodyJson: String): String = {
+          val url = java.net.URI.create(s"$addr/$path").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/json")
+          val bytes = bodyJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          conn.getOutputStream.write(bytes)
+          val in = conn.getInputStream
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally { in.close(); conn.disconnect() }
+        }
+        private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        private def req(q: String): String = {
+          val n = mapper.createObjectNode()
+          n.put("model", model)
+          n.put("query", q)
+          if (options.nonEmpty) n.put("options", options)
+          n.toString
+        }
+        override def chat(query: String): String = {
+          if (query == null) return null
+          mapper.readTree(post("chat", req(query))).get("text").asText()
+        }
+        override def embed(text: String): Array[Float] = {
+          if (text == null) return null
+          val arr = mapper.readTree(post("embed", req(text))).get("embedding")
+          Array.tabulate(arr.size())(i => arr.get(i).floatValue())
+        }
+      }
+  }
+
   private val backends = new java.util.concurrent.ConcurrentHashMap[String, LlmBackend]()
   backends.put("stub", new StubBackend)
+  backends.put("http", new HttpBackend)
 
   /** Register a backend under a server name (cluster-wide: call before
     * jobs run, or ship the backend in the application jar).
@@ -77,7 +120,8 @@ object Llm {
   private def client(server: String, addr: String, model: String, options: String): LlmClient =
     clients.computeIfAbsent((server, addr, model, options), _ => {
       val b = backends.get(server)
-      require(b != null, s"llm: unknown server backend '$server' (registered: stub)")
+      require(b != null, s"llm: unknown server backend '$server' " +
+        s"(registered: ${java.util.Collections.list(backends.keys()).toArray.mkString(", ")})")
       b.create(addr, model, options)
     })
 

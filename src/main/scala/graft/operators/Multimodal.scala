@@ -34,27 +34,67 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
 
-  /** STUB decode: deterministic metadata from leading bytes (would be the
-    * codec call). One pass per partition; rows stream through an iterator
-    * exactly like an Arrow batch would.
+  /** Decoder seam: the codec call a partition iterator maps rows
+    * through. Two implementations ship — the deterministic [[StubDecoder]]
+    * (payloads here are synthetic text, not real images) and the REAL
+    * [[ImageIoDecoder]] on the JDK's javax.imageio (PNG/JPEG/GIF/BMP),
+    * exercised end-to-end in MultimodalSpec on generated PNGs — proving
+    * the seam is load-bearing, not decorative.
     */
-  private def stubDecode(id: Long, bytes: Array[Byte]): Decoded = {
-    val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
-    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
-    val n = math.min(16, bytes.length)
-    var sum = 0.0
-    var i = 0
-    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
-    Decoded(id, 64 + b0 % 64, 64 + b1 % 64, 3,
-      if (n == 0) 0.0 else sum / n / 255.0)
+  trait ImageDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): Decoded
   }
 
-  def decodeImages(media: DataFrame): Dataset[Decoded] = {
+  /** Deterministic metadata from leading bytes (no codec needed). */
+  object StubDecoder extends ImageDecoder {
+    override def decode(id: Long, bytes: Array[Byte]): Decoded = {
+      val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      val n = math.min(16, bytes.length)
+      var sum = 0.0
+      var i = 0
+      while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+      Decoded(id, 64 + b0 % 64, 64 + b1 % 64, 3,
+        if (n == 0) 0.0 else sum / n / 255.0)
+    }
+  }
+
+  /** Real image decode via the JDK's ImageIO: width/height/channels from
+    * the decoded raster, brightness = mean RGB over all pixels / 255.
+    * Undecodable payloads yield a zeroed record (a real pipeline would
+    * route them to a quarantine sink).
+    */
+  object ImageIoDecoder extends ImageDecoder {
+    override def decode(id: Long, bytes: Array[Byte]): Decoded = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return Decoded(id, 0, 0, 0, 0.0)
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val px = img.getWidth.toLong * img.getHeight
+      Decoded(id, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents,
+        if (px == 0) 0.0 else sum / (px * 3.0) / 255.0)
+    }
+  }
+
+  def decodeImages(media: DataFrame,
+      decoder: ImageDecoder = StubDecoder): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decoder.decode(id, bytes) })
   }
 
   /** Resize stage (stub): pure metadata arithmetic, preserves the record

@@ -124,7 +124,42 @@ object MultimodalQueries extends QueryModule {
     """SELECT doc_id, text AS docx_text, text AS pdf_text
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ mm6 onnx_run
+  /** The ONNX inference builtin through the stub backend
+    * (`func_builtin_onnx.go` signature): model varbinary + json input/
+    * shapes in, json tensor out. The stub's documented math
+    * (`out(j) = sum(input)·(j+1) + len(model)`) makes this a HARD
+    * oracle: DuckDB re-derives all three output components from the
+    * same integer inputs.
+    */
+  private def mm6(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT doc_id,
+        |  onnx_run(CAST('stub-model-v1' AS BINARY),
+        |           to_json(array(n_chars, doc_id % 100)),
+        |           '{"dim":[1,2],"dtype":"float64"}',
+        |           '{"dim":[3]}') AS res
+        |FROM documents""".stripMargin)
+      .select(col("doc_id"),
+        expr("transform(from_json(res, 'array<double>'), x -> CAST(x AS BIGINT))")
+          .as("out_vals"))
+      .select(col("doc_id"),
+        element_at(col("out_vals"), 1).as("o1"),
+        element_at(col("out_vals"), 2).as("o2"),
+        element_at(col("out_vals"), 3).as("o3"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mm6Sql =
+    """SELECT doc_id,
+      |  CAST((n_chars + doc_id % 100) * 1 + 13 AS BIGINT) AS o1,
+      |  CAST((n_chars + doc_id % 100) * 2 + 13 AS BIGINT) AS o2,
+      |  CAST((n_chars + doc_id % 100) * 3 + 13 AS BIGINT) AS o3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("mm6_onnx_stub", mm6, Some(mm6Sql)),
     Q("mm5_datalink_roundtrip", mm5, Some(mm5Sql)),
     Q("mm1_media_meta", mm1, Some(mm1Sql)),
     Q("mm2_decode_stub", mm2, Some(mm2Sql)),

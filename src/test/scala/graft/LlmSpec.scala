@@ -39,6 +39,44 @@ class LlmSpec extends AnyFunSuite {
     assert(Llm.chatOnce("echo", "a", "m", "", "hi") == "echo:hi")
   }
 
+  test("http backend: real JSON-over-HTTP round trip through the seam") {
+    // in-process mock model server (JDK HttpServer), ollama-shaped protocol
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(f: com.fasterxml.jackson.databind.JsonNode => String) =
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          val req = mapper.readTree(x.getRequestBody.readAllBytes())
+          val resp = f(req).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          x.sendResponseHeaders(200, resp.length)
+          x.getResponseBody.write(resp)
+          x.close()
+        }
+      }
+    server.createContext("/chat", handler { req =>
+      s"""{"text":"model=${req.get("model").asText()} says: ${req.get("query").asText()}"}"""
+    })
+    server.createContext("/embed", handler { req =>
+      val n = req.get("query").asText().length
+      s"""{"embedding":[$n.0, 1.5, -2.0]}"""
+    })
+    server.start()
+    try {
+      val addr = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val chat = Llm.chatOnce("http", addr, "mock-7b", "", "hello seam")
+      assert(chat == "model=mock-7b says: hello seam")
+      val emb = Llm.embedOnce("http", addr, "mock-7b", "", "abcd")
+      assert(emb.toSeq == Seq(4.0f, 1.5f, -2.0f))
+      // the pipeline form drives the same client from executor threads
+      import spark.implicits._
+      val out = Llm.chatColumn(Seq((1L, "x"), (2L, "yy")).toDF("id", "text"),
+        "text", "resp", server = "http", addr = addr, model = "mock-7b")
+      val rows = out.orderBy("id").collect().map(_.getString(2))
+      assert(rows.toSeq == Seq("model=mock-7b says: x", "model=mock-7b says: yy"))
+    } finally server.stop(0)
+  }
+
   test("SQL surface and mapPartitions pipeline form") {
     import spark.implicits._
     val sql = spark.sql(
