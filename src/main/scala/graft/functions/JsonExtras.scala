@@ -4,7 +4,6 @@ import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
 
 /** MySQL JSON inspection/containment functions beyond Spark's built-ins
   * (reference registry `list_builtIn.go` JSON family: `json_type
@@ -164,37 +163,34 @@ object JsonExtras {
     (for { x <- parse(a); y <- parse(b) }
       yield mapper.writeValueAsString(mergePreserveNodes(x, y))).orNull
 
-  // ------------------------------------------------------------ Column API
-  private val typeU = udf(jsonType _)
-  private val validU = udf(jsonValid _)
-  private val quoteU = udf(jsonQuote _)
-  private val unquoteU = udf(jsonUnquote _)
-  private val containsU = udf(jsonContains _)
-  private val depthU = udf(jsonDepth _)
-  private val mergePreserveU = udf(jsonMergePreserve _)
+  // ---------------------------------------------- Column API (native expr)
+  import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
 
-  def json_type(doc: Column): Column = typeU(doc)
-  def json_valid(doc: Column): Column = validU(doc)
-  def json_quote(s: Column): Column = quoteU(s)
-  def json_unquote(doc: Column): Column = unquoteU(doc)
-  def json_contains(target: Column, cand: Column): Column = containsU(target, cand)
-  def json_depth(doc: Column): Column = depthU(doc)
-  def json_merge_preserve(a: Column, b: Column): Column = mergePreserveU(a, b)
+  private def ex(fn: String, cols: Column*): Column =
+    asCol(JsonScalarExpr(fn, cols.map(asExpr)))
 
-  private val containsPathU =
-    udf((doc: String, mode: String, paths: Seq[String]) => jsonContainsPath(doc, mode, paths))
+  def json_type(doc: Column): Column = ex("json_type", doc)
+  def json_valid(doc: Column): Column = ex("json_valid", doc)
+  def json_quote(s: Column): Column = ex("json_quote", s)
+  def json_unquote(doc: Column): Column = ex("json_unquote", doc)
+  def json_contains(target: Column, cand: Column): Column = ex("json_contains", target, cand)
+  def json_depth(doc: Column): Column = ex("json_depth", doc)
+  def json_merge_preserve(a: Column, b: Column): Column = ex("json_merge_preserve", a, b)
+
+  /** `paths` is an ARRAY column (`array(lit("$.a"), ...)`). */
   def json_contains_path(doc: Column, mode: Column, paths: Column): Column =
-    containsPathU(doc, mode, paths)
+    ex("json_contains_path", doc, mode, paths)
 
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("json_type", jsonType _)
-    spark.udf.register("json_valid", jsonValid _)
-    spark.udf.register("json_quote", jsonQuote _)
-    spark.udf.register("json_unquote", jsonUnquote _)
-    spark.udf.register("json_contains", jsonContains _)
-    spark.udf.register("json_depth", jsonDepth _)
-    spark.udf.register("json_merge_preserve", jsonMergePreserve _)
-    spark.udf.register("json_contains_path",
-      (doc: String, mode: String, paths: Seq[String]) => jsonContainsPath(doc, mode, paths))
+    JsonRegistry.native(spark, "json_type", "json_type(doc)")
+    JsonRegistry.native(spark, "json_valid", "json_valid(doc)")
+    JsonRegistry.native(spark, "json_quote", "json_quote(s)")
+    JsonRegistry.native(spark, "json_unquote", "json_unquote(doc)")
+    JsonRegistry.native(spark, "json_contains", "json_contains(target, cand)")
+    JsonRegistry.native(spark, "json_depth", "json_depth(doc)")
+    JsonRegistry.native(spark, "json_merge_preserve", "json_merge_preserve(a, b)")
+    // MySQL's variadic form: json_contains_path(doc, 'one'|'all', p, ...)
+    JsonRegistry.native(spark, "json_contains_path",
+      "json_contains_path(doc, one_or_all, path, ...)", JsonScalarExpr.containsPath)
   }
 }

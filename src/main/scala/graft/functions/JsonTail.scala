@@ -4,7 +4,6 @@ import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
 
 import scala.collection.mutable.ListBuffer
 
@@ -343,37 +342,39 @@ object JsonTail {
       mapper.writeValueAsString(out)
     }).orNull
 
-  // ------------------------------------------------------------ Column API
-  private val valueU = udf(jsonValue _)
-  private val lengthU = udf(jsonLength _)
-  private val lengthPathU = udf(jsonLengthPath _)
-  private val keysU = udf(jsonKeys _)
-  private val keysPathU = udf(jsonKeysPath _)
-  private val prettyU = udf(jsonPretty _)
-  private val overlapsU = udf(jsonOverlaps _)
-  private val schemaValidU = udf(jsonSchemaValid _)
-  private val schemaReportU = udf(jsonSchemaValidationReport _)
+  // ---------------------------------------------- Column API (native expr)
+  // Each builds a [[JsonScalarExpr]] — no Scala-UDF encoder round trip;
+  // the scalar functions above remain the spec-level reference semantics.
+  import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
 
-  def json_value(doc: Column, path: Column): Column = valueU(doc, path)
-  def json_length(doc: Column): Column = lengthU(doc)
-  def json_length(doc: Column, path: Column): Column = lengthPathU(doc, path)
-  def json_keys(doc: Column): Column = keysU(doc)
-  def json_keys(doc: Column, path: Column): Column = keysPathU(doc, path)
-  def json_pretty(doc: Column): Column = prettyU(doc)
-  def json_overlaps(a: Column, b: Column): Column = overlapsU(a, b)
-  def json_schema_valid(schema: Column, doc: Column): Column = schemaValidU(schema, doc)
+  private def ex(fn: String, cols: Column*): Column =
+    asCol(JsonScalarExpr(fn, cols.map(asExpr)))
+
+  def json_value(doc: Column, path: Column): Column = ex("json_value", doc, path)
+  def json_length(doc: Column): Column = ex("json_length", doc)
+  def json_length(doc: Column, path: Column): Column = ex("json_length", doc, path)
+  def json_keys(doc: Column): Column = ex("json_keys", doc)
+  def json_keys(doc: Column, path: Column): Column = ex("json_keys", doc, path)
+  def json_pretty(doc: Column): Column = ex("json_pretty", doc)
+  def json_overlaps(a: Column, b: Column): Column = ex("json_overlaps", a, b)
+  def json_schema_valid(schema: Column, doc: Column): Column =
+    ex("json_schema_valid", schema, doc)
   def json_schema_validation_report(schema: Column, doc: Column): Column =
-    schemaReportU(schema, doc)
+    ex("json_schema_validation_report", schema, doc)
 
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("json_value", jsonValue _)
-    spark.udf.register("json_length", jsonLength _)
-    spark.udf.register("json_length_path", jsonLengthPath _)
-    spark.udf.register("json_keys", jsonKeys _)
-    spark.udf.register("json_keys_path", jsonKeysPath _)
-    spark.udf.register("json_pretty", jsonPretty _)
-    spark.udf.register("json_overlaps", jsonOverlaps _)
-    spark.udf.register("json_schema_valid", jsonSchemaValid _)
-    spark.udf.register("json_schema_validation_report", jsonSchemaValidationReport _)
+    JsonRegistry.native(spark, "json_value", "json_value(doc, path)")
+    JsonRegistry.native(spark, "json_length", "json_length(doc[, path])")
+    JsonRegistry.native(spark, "json_keys", "json_keys(doc[, path])")
+    JsonRegistry.native(spark, "json_pretty", "json_pretty(doc)")
+    JsonRegistry.native(spark, "json_overlaps", "json_overlaps(a, b)")
+    JsonRegistry.native(spark, "json_schema_valid", "json_schema_valid(schema, doc)")
+    JsonRegistry.native(spark, "json_schema_validation_report",
+      "json_schema_validation_report(schema, doc)")
+    // legacy 2-arg aliases kept for SQL callers of the round-2 names
+    JsonRegistry.native(spark, "json_length_path", "json_length_path(doc, path)",
+      args => JsonScalarExpr("json_length", args))
+    JsonRegistry.native(spark, "json_keys_path", "json_keys_path(doc, path)",
+      args => JsonScalarExpr("json_keys", args))
   }
 }

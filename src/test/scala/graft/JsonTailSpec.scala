@@ -90,4 +90,28 @@ class JsonTailSpec extends AnyFunSuite {
     assert(bad.contains("\"document-location\":\"#/lat\""))
     assert(bad.contains("\"schema-failed-keyword\":\"minimum\""))
   }
+
+  test("SQL names plan as native JsonScalarExpr, no ScalaUDF, MySQL arities") {
+    val spark = SparkTestSession.spark
+    val row = spark.sql(
+      """SELECT json_value('{"a":{"b":7}}', '$.a.b') v,
+        |  json_length('[1,2,3]') l1, json_length('{"a":[1,2]}', '$.a') l2,
+        |  json_keys('{"b":1,"a":2}') k,
+        |  json_type('[1]') t, json_depth('{"a":{"b":1}}') d,
+        |  json_contains('[1,2,3]', '2') c,
+        |  json_contains_path('{"a":1,"b":2}', 'all', '$.a', '$.b') cp,
+        |  json_unquote(json_quote('x"y')) uq,
+        |  json_merge_preserve('{"a":1}', '{"a":2}') mp""".stripMargin).head
+    assert(row.getString(0) == "7")
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(row.getString(3) == """["a", "b"]""")
+    assert(row.getString(4) == "ARRAY" && row.getInt(5) == 3)
+    assert(row.getBoolean(6) && row.getBoolean(7))
+    assert(row.getString(8) == "x\"y")
+    assert(row.getString(9) == """{"a":[1,2]}""")
+    // the long tail is off UDFs: the analyzed plan holds JsonScalarExpr only
+    val plan = spark.sql("SELECT json_value('{}', '$.k'), json_depth('{}')")
+    assert(!plan.queryExecution.analyzed.toString.contains("UDF"),
+      "JSON long-tail SQL names must not resolve to ScalaUDF")
+  }
 }
