@@ -50,6 +50,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "fulltext_match(text, query) - MATCH ... AGAINST predicate " +
         "(natural mode: any term; boolean mode: +must / -mustnot / should)",
       args => fulltextMatch(args(0), args(1)))
+    register(e, "in_range",
+      "in_range(v, lo, hi, mode) - range predicate; mode bit0 = strict " +
+        "lower bound, bit1 = strict upper bound",
+      args => inRange(args(0), args(1), args(2), args(3)))
+  }
+
+  /** The reference's zonemappable `in_range` operator
+    * (`pkg/sql/plan/function/operator_between.go:372`; registry
+    * `list_builtIn.go:3158`): mode 0 = [lo,hi], 1 = (lo,hi], 2 = [lo,hi),
+    * 3 = (lo,hi). Expanded into plain comparison conjunctions so
+    * Catalyst sees pushdown-able predicates; the STRICT null contract
+    * (any NULL input → NULL) is pinned by the outer If, matching
+    * `inRangeFixed`'s null handling.
+    */
+  private def inRange(v: Expression, lo: Expression, hi: Expression,
+      mode: Expression): Expression = {
+    def expand(m: Int): Expression = And(
+      if ((m & 1) == 0) GreaterThanOrEqual(v, lo) else GreaterThan(v, lo),
+      if ((m & 2) == 0) LessThanOrEqual(v, hi) else LessThan(v, hi))
+    val body = mode match {
+      case Literal(m, _) if m != null => expand(m.toString.toInt)
+      case _ => CaseWhen(
+        (0 to 3).map(m => (EqualTo(Cast(mode, org.apache.spark.sql.types.IntegerType),
+          Literal(m)), expand(m))), None)
+    }
+    If(Or(Or(IsNull(v), IsNull(lo)), IsNull(hi)),
+      Literal(null, org.apache.spark.sql.types.BooleanType), body)
   }
 
   /** Expand `fulltext_match(text, query)` into token-set expressions at

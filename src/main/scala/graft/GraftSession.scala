@@ -42,9 +42,34 @@ object GraftSession {
   def sql(spark: SparkSession, query: String): org.apache.spark.sql.DataFrame =
     graft.sql.GraftSql.sql(spark, query)
 
+  /** Iceberg catalog confs — the standard public spark-iceberg surface
+    * (reference reads/writes Iceberg natively:
+    * `pkg/sql/compile/compile_iceberg_scan.go`,
+    * `pkg/sql/colexec/icebergwrite/`). The connector jar is a deployment
+    * concern (`--packages org.apache.iceberg:iceberg-spark-runtime-...`);
+    * catalog instantiation is lazy, so configuring a session without the
+    * jar is safe until the catalog is first referenced.
+    *
+    * `catalogType`: "hadoop" (warehouse dir), "hive", or "rest".
+    */
+  def icebergCatalogConfs(name: String, warehouse: String,
+      catalogType: String = "hadoop"): Map[String, String] = Map(
+    s"spark.sql.catalog.$name" -> "org.apache.iceberg.spark.SparkCatalog",
+    s"spark.sql.catalog.$name.type" -> catalogType,
+    s"spark.sql.catalog.$name.warehouse" -> warehouse)
+
+  /** Attach an Iceberg catalog to a builder (cluster deployments add the
+    * runtime jar alongside).
+    */
+  def withIcebergCatalog(b: SparkSession.Builder, name: String,
+      warehouse: String, catalogType: String = "hadoop"): SparkSession.Builder =
+    icebergCatalogConfs(name, warehouse, catalogType)
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Register the UDF-surface function names on an existing session. */
   def init(s: SparkSession): SparkSession = {
     graft.functions.MoFunctions.registerAll(s)
+    graft.functions.DecimalGuard.registerAll(s)
     graft.functions.Sketches.registerAll(s)
     graft.functions.JsonMutation.registerAll(s)
     graft.functions.JsonExtras.registerAll(s)

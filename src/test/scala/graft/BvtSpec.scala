@@ -20,7 +20,10 @@ class BvtSpec extends AnyFunSuite {
   private case class Block(stmt: String, expected: Option[Seq[Seq[String]]], error: Boolean)
 
   private val StmtStart =
-    """(?is)^(select|insert|create|drop|delete|update|with|\().*""".r
+    """(?is)^(select|insert|create|drop|delete|update|with|use |set |show |desc |explain|start |commit|rollback|begin|truncate|alter|rename|replace|load|call|prepare|execute|deallocate|grant|revoke|analyze|values|\().*""".r
+  private val QueryStart = """(?is)^(select|with|\().*""".r
+  private val ErrorMarker =
+    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|different column)""".r
 
   /** Parse a `.result` file into statement/golden-row blocks. Result
     * blocks start with `➤` (header), columns separated by `¦`, every
@@ -64,11 +67,28 @@ class BvtSpec extends AnyFunSuite {
             !lines(i).startsWith("➤") &&
             StmtStart.findFirstIn(lines(i).trim).isEmpty &&
             !lines(i).trim.startsWith("--")) {
-          // expected-error message line(s)
-          isError = true
-          while (i < lines.length && lines(i).nonEmpty &&
-              StmtStart.findFirstIn(lines(i).trim).isEmpty &&
-              !lines(i).trim.startsWith("--")) i += 1
+          // PLAIN golden format (the corpus's other result style): a
+          // TAB-separated header + rows directly after the statement,
+          // terminated by the next statement / `--` / EOF. An error
+          // sentence in the same position marks an expected failure.
+          val first = lines(i)
+          val looksError = ErrorMarker.findFirstIn(first).isDefined
+          if (!looksError && QueryStart.findFirstIn(stmt).isDefined) {
+            i += 1 // header row (column names)
+            val rows = Seq.newBuilder[Seq[String]]
+            // columns separate on TAB (most files) or exactly 4 spaces
+            // (cte/window style; string VALUES may hold runs of 2 spaces)
+            while (i < lines.length && lines(i).nonEmpty &&
+                lines(i).trim != "--" &&
+                StmtStart.findFirstIn(lines(i).trim).isEmpty)
+              { rows += lines(i).split("\t| {4}", -1).toSeq.map(_.trim); i += 1 }
+            expected = Some(rows.result())
+          } else {
+            isError = true
+            while (i < lines.length && lines(i).nonEmpty &&
+                StmtStart.findFirstIn(lines(i).trim).isEmpty &&
+                !lines(i).trim.startsWith("--")) i += 1
+          }
         }
         out += Block(stmt, expected, isError)
       }
@@ -84,6 +104,8 @@ class BvtSpec extends AnyFunSuite {
     if (low.startsWith("use ") || low.startsWith("set ") ||
       low.startsWith("drop database") || low.startsWith("create database") ||
       low.startsWith("show ") || low.startsWith("explain") ||
+      low.startsWith("start transaction") || low.startsWith("begin") ||
+      low.startsWith("commit") || low.startsWith("rollback") ||
       low.startsWith("desc ")) return None
     if (!low.startsWith("create table")) {
       // expression-level MySQL-isms that have exact Spark equivalents
@@ -94,6 +116,19 @@ class BvtSpec extends AnyFunSuite {
       e = e.replaceAll("(?i)\\bVARIANCE\\s*\\(", "var_pop(")
       e = e.replaceAll("(?i)generate_series\\s*\\((\\d+),\\s*(\\d+),\\s*(\\d+)\\)\\s+(\\w+)",
         "(SELECT explode(sequence($1, $2, $3)) AS result) $4")
+      // MySQL LIMIT offset, count
+      e = e.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+      // MySQL allows TRUNCATE without the TABLE keyword
+      e = e.replaceAll("(?i)^truncate\\s+(?!table\\b)", "TRUNCATE TABLE ")
+      e = e.replaceAll("(?i)\\s+for\\s+update\\s*$", "") // row locks are OLTP surface
+      // MySQL permits rank-family windows with no ordering (all peers);
+      // Spark requires ORDER BY — a constant key reproduces all-peers
+      e = e.replaceAll(
+        "(?i)\\b(rank|dense_rank|percent_rank|cume_dist|row_number)\\s*\\(\\s*\\)\\s*over\\s*\\(\\s*\\)",
+        "$1() OVER (ORDER BY 1)")
+      e = e.replaceAll(
+        "(?i)\\b(rank|dense_rank|percent_rank|cume_dist|row_number)\\s*\\(\\s*\\)\\s*over\\s*\\(\\s*(partition\\s+by\\s+(?:(?!order\\s+by)[^()])*)\\)",
+        "$1() OVER ($2 ORDER BY 1)")
       return Some(e)
     }
     var s = stmt
@@ -104,6 +139,8 @@ class BvtSpec extends AnyFunSuite {
     // v2-only constraint and drops (nullability is not observable here)
     s = s.replaceAll("(?i)\\s+NOT\\s+NULL", "")
     s = s.replaceAll("(?i),\\s*PRIMARY\\s+KEY\\s*\\([^)]*\\)", "")
+    // secondary-index DDL is physical-layout advice, not semantics
+    s = s.replaceAll("(?i),\\s*(?:UNIQUE\\s+)?(?:KEY|INDEX)\\s+`?\\w+`?\\s*\\([^)]*\\)", "")
     s = s.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")
     s = s.replaceAll("(?i)\\s+AUTO_INCREMENT", "")
     s = s.replaceAll("(?i)\\bbigint\\s+unsigned\\b", "DECIMAL(20,0)")
@@ -113,6 +150,9 @@ class BvtSpec extends AnyFunSuite {
     s = s.replaceAll("(?i)\\bdatetime\\b", "TIMESTAMP")
     s = s.replaceAll("(?i)\\btext\\b", "STRING")
     s = s.replaceAll("(?i)\\bblob\\b", "BINARY")
+    // MySQL float(M,D)/double(M,D) rounds to D decimals on store; the
+    // golden values reflect that → a decimal with the same scale does too
+    s = s.replaceAll("(?i)\\b(?:float|double)\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)", "DECIMAL(20,$1)")
     Some(s)
   }
 
@@ -131,13 +171,25 @@ class BvtSpec extends AnyFunSuite {
     * 55.50 vs Spark's 55.5), string otherwise.
     */
   private def boolNorm(s: String): String =
-    if (s == "true") "1" else if (s == "false") "0" else s
+    if (s == "true") "1" else if (s == "false") "0"
+    else if (s == "NULL") "null" else s // plain-format goldens upcase NULL
 
   private def cellEq(a0: String, b0: String): Boolean = {
     val (a, b) = (boolNorm(a0), boolNorm(b0)) // MySQL renders booleans as 1/0
     a == b || (try {
-      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) == 0
-    } catch { case _: NumberFormatException => false })
+      val (x, y) = (new java.math.BigDecimal(a), new java.math.BigDecimal(b))
+      // MySQL prints FLOAT at 6-7 significant digits (9849.312→9849.31,
+      // 1.2434321E10); Spark prints the value's shortest exact form — a
+      // 1e-6 relative band accepts display rounding, still catches real
+      // divergence at the precision MySQL shows
+      x.compareTo(y) == 0 || {
+        val diff = x.subtract(y).abs()
+        val mag = x.abs().max(y.abs())
+        mag.signum != 0 &&
+          diff.divide(mag, java.math.MathContext.DECIMAL64)
+            .compareTo(new java.math.BigDecimal("1e-6")) <= 0
+      }
+    } catch { case _: NumberFormatException | _: ArithmeticException => false })
   }
 
   private def rowsMatch(got: Seq[Seq[String]], want: Seq[Seq[String]]): Boolean = {
@@ -169,7 +221,13 @@ class BvtSpec extends AnyFunSuite {
     l.contains("iff(") ||                          // MySQL-side IFF alias
     l.contains("distinct a as b, b") ||            // MySQL alias-shadow ORDER BY resolution
     l.contains("select * from x1 limit 10") ||     // CTAS LIMIT w/o ORDER BY: row order undefined
-    l.contains("greatest(d_nullable")              // MySQL greatest(NULL,…)=NULL vs Spark skip-null
+    l.contains("greatest(d_nullable") ||           // MySQL greatest(NULL,…)=NULL vs Spark skip-null
+    l.contains("over (rows") ||                    // frame w/o ORDER BY: insertion-order running agg
+    l.contains("c2.id = c1.id") ||                 // 2-level-deep correlation: Spark can't resolve
+    l.contains("row_number() over (order by b) as rn") || // row_number over tied keys: pick is engine-defined
+    l.contains("row_number() over (partition by cte01.customer_id") || // ditto: tied order_date
+    // LIMIT with no ORDER BY: which rows come back is engine-defined
+    (QueryStart.findFirstIn(l).isDefined && l.contains("limit") && !l.contains("order by"))
   }
 
   /** Spark-reported analysis gaps that reflect dialect differences (not
@@ -179,12 +237,18 @@ class BvtSpec extends AnyFunSuite {
     val m = Option(e.getMessage).getOrElse("")
     m.contains("UNSUPPORTED_SUBQUERY") || m.contains("UNRESOLVED_ROUTINE") ||
     m.contains("DATATYPE_MISMATCH") || m.contains("CAST_INVALID_INPUT") ||
-    m.contains("UNSUPPORTED_DATATYPE") || m.contains("UNSUPPORTED_TIME_TYPE")
+    m.contains("UNSUPPORTED_DATATYPE") || m.contains("UNSUPPORTED_TIME_TYPE") ||
+    // MySQL ignores explicit frames on rank-family functions; Spark rejects
+    m.contains("must match the required frame")
   }
 
-  private val CreateRe = """(?is)^create\s+(?:table|view)\s+(?:if\s+not\s+exists\s+)?(\w+).*""".r
-  private val InsertRe = """(?is)^insert\s+into\s+(\w+).*""".r
-  private val DropRe = """(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(\w+).*""".r
+  private val CreateRe = """(?is)^create\s+(?:table|view)\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?.*""".r
+  private val InsertRe = """(?is)^insert\s+into\s+`?(\w+)`?.*""".r
+  private val DropRe = """(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?`?(\w+)`?.*""".r
+  // row-level DML has no Spark v1-table mapping (OLTP surface, SURVEY
+  // §2.1) — a failing DELETE/UPDATE poisons the table's lineage instead
+  // of failing the conformance run
+  private val DmlRe = """(?is)^(?:delete\s+from|update)\s+`?(\w+)`?.*""".r
 
   private var dialectGaps = 0
 
@@ -202,6 +266,7 @@ class BvtSpec extends AnyFunSuite {
     def target(stmt: String): Option[String] = stmt match {
       case CreateRe(t) => Some(t)
       case InsertRe(t) => Some(t)
+      case DmlRe(t) => Some(t)
       case _ => None
     }
     for (b <- blocks) {
@@ -215,8 +280,15 @@ class BvtSpec extends AnyFunSuite {
             executed += 1
             b.stmt match {
               case DropRe(t) => dead -= t // a clean DROP revives the name
+              // rapid INSERT→SELECT over file-source tables can race the
+              // cached file listing (mtime granularity); refresh pins it
+              case InsertRe(t) => try spark.catalog.refreshTable(t)
+                catch { case _: Exception => () }
               case _ =>
             }
+            // the reference REJECTED this DML (e.g. double overflow) but
+            // Spark accepted it: the table's contents now diverge
+            if (b.error) target(b.stmt).foreach(dead += _)
             b.expected.foreach { want =>
               val got = df.collect().toSeq.map(r =>
                 (0 until r.length).map(k => render(r.get(k)).trim))
@@ -270,7 +342,14 @@ class BvtSpec extends AnyFunSuite {
     val files = Seq(
       "distinct/distinct.result",
       "join/join.result",
-      "expression/case_when.result")
+      "expression/case_when.result",
+      "subquery/subquery-with-exists.result",
+      "subquery/from-subquery.result",
+      "cte/cte.result",
+      "union/union.result",
+      "operator/between_and_operator.result",
+      "operator/in_range_operator.result",
+      "window/window.result")
     var totalExec = 0
     var totalVerified = 0
     val allFailures = Seq.newBuilder[String]
@@ -281,9 +360,11 @@ class BvtSpec extends AnyFunSuite {
     try {
       for (f <- files) {
         val (e, v, fails) = runFile(f)
+        info(s"$f: executed $e, verified $v")
         totalExec += e
         totalVerified += v
         allFailures ++= fails
+        cleanup() // files reuse table names (t1, t2…): no state leaks across
       }
     } finally {
       spark.conf.set("spark.sql.storeAssignmentPolicy", prevPolicy)
@@ -293,8 +374,9 @@ class BvtSpec extends AnyFunSuite {
     info(s"executed $totalExec statements, verified $totalVerified golden " +
       s"SELECTs, $dialectGaps dialect gaps")
     assert(fails.isEmpty, fails.take(8).mkString("\n\n"))
-    assert(totalExec >= 100, s"only $totalExec statements executed")
-    assert(totalVerified >= 40, s"only $totalVerified SELECTs verified")
-    assert(dialectGaps <= 40, s"$dialectGaps dialect gaps — investigate")
+    assert(totalExec >= 1000, s"only $totalExec statements executed")
+    assert(totalVerified >= 150, s"only $totalVerified SELECTs verified")
+    assert(dialectGaps <= totalExec / 5,
+      s"$dialectGaps dialect gaps vs $totalExec executed — investigate")
   }
 }
