@@ -66,19 +66,22 @@ object TimeWindow {
     */
   def gapFill(df: DataFrame, ws: String, step: Long, valueCol: String,
       mode: FillMode, keys: Seq[String] = Nil,
-      slotsPerBucket: Long = 8192L): DataFrame = {
+      slotsPerBucket: Long = 65536L): DataFrame = {
     if (mode == FillNone) return df
     if (keys.nonEmpty) return gapFillKeyed(df, ws, step, valueCol, mode, keys)
 
     // One tiny eager job on the (already-aggregated, persisted) frame
     // decides the path: a spine that fits in one bucket takes the
-    // single-window formulation — the bucketed machinery pays ~6 extra
+    // single-window formulation — the bucketed machinery pays extra
     // stages that only amortize on timelines longer than a bucket.
+    // 64k slots per task is still trivially memory-bounded; a decade of
+    // 1-second windows is ~4.8k buckets → parallel at cluster scale.
     val dfp = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = dfp.agg(min(col(ws)).cast("long").as("mn"),
       max(col(ws)).cast("long").as("mx")).head
     if (b.isNullAt(0)) return dfp
-    val slots = (b.getLong(1) - b.getLong(0)) / step + 1
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val slots = (mx - mn) / step + 1
     // pmod(ws, 1) is a constant key the optimizer can't fold away: it
     // states "deliberately single-partition over bounded input" without
     // tripping WindowExec's all-data-one-task warning
@@ -87,20 +90,17 @@ object TimeWindow {
         ws, step, valueCol, mode, Seq("_gk")).drop("_gk")
 
     val v = col(valueCol)
-    val span = lit(step * slotsPerBucket)
-    val bounds = dfp.agg(min(col(ws)).as("mn"), max(col(ws)).as("mx"))
-    // distributed spine: explode bucket ids first, then each bucket's
-    // slots — no single task ever holds the whole timeline
-    val buckets = bounds
-      .select(col("mn"), col("mx"),
-        explode(sequence(lit(0L), floor((col("mx") - col("mn")) / span).cast("long")))
-          .as("_b"))
-      .repartition(col("_b"))
-    val spine = buckets.select(col("_b"),
-      explode(sequence(
-        col("mn") + col("_b") * span,
-        least(col("mx"), col("mn") + (col("_b") + 1) * span - lit(step)),
-        lit(step))).as(ws))
+    val span = step * slotsPerBucket
+    // distributed spine from the literal bounds: `range` is born
+    // partitioned (no shuffle, no second bounds job), each task
+    // explodes only its own bucket's slots — no single task ever
+    // holds the whole timeline
+    val spine = df.sparkSession.range(0L, (mx - mn) / span + 1)
+      .select(col("id").as("_b"),
+        explode(sequence(
+          lit(mn) + col("id") * span,
+          least(lit(mx), lit(mn) + (col("id") + 1) * span - step),
+          lit(step))).as(ws))
     val joined = spine.join(dfp, Seq(ws), "left")
 
     val wB = Window.partitionBy(col("_b")).orderBy(col(ws))
