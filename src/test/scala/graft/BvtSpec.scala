@@ -37,7 +37,15 @@ class BvtSpec extends AnyFunSuite {
     while (i < lines.length) {
       val line = lines(i)
       if (line.trim.isEmpty || line.trim.startsWith("--")) i += 1
-      else {
+      else if (line.startsWith("➤")) {
+        // orphan golden block: a `-- @regex`/`@separator` annotation sits
+        // between a (skipped) statement and its result — consume it whole
+        var open = line.endsWith("𝄀")
+        i += 1
+        while (open && i < lines.length) {
+          val last = !lines(i).endsWith("𝄀"); i += 1; if (last) open = false
+        }
+      } else {
         // accumulate a (possibly multi-line) statement up to ';'
         val sb = new StringBuilder(line)
         while (!sb.toString.trim.endsWith(";") && i + 1 < lines.length) {
@@ -118,8 +126,19 @@ class BvtSpec extends AnyFunSuite {
         "(SELECT explode(sequence($1, $2, $3)) AS result) $4")
       // MySQL LIMIT offset, count
       e = e.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
-      // MySQL allows TRUNCATE without the TABLE keyword
+      // MySQL allows TRUNCATE without the TABLE keyword, INSERT without INTO
       e = e.replaceAll("(?i)^truncate\\s+(?!table\\b)", "TRUNCATE TABLE ")
+      e = e.replaceAll("(?i)^insert\\s+(?!into\\b|ignore\\b|overwrite\\b)", "INSERT INTO ")
+      // MySQL bit_and/bit_or: empty-group identities (all-ones / zero) and
+      // UNSIGNED 64-bit rendering; Spark returns NULL and signed longs
+      e = e.replaceAll("(?i)\\bbit_and\\(([^()]*)\\)",
+        "pmod(CAST(coalesce(bit_and($1), -1) AS DECIMAL(21,0)) + 18446744073709551616, 18446744073709551616)")
+      e = e.replaceAll("(?i)\\bbit_or\\(([^()]*)\\)",
+        "pmod(CAST(coalesce(bit_or($1), 0) AS DECIMAL(21,0)) + 18446744073709551616, 18446744073709551616)")
+      // MySQL COUNT(DISTINCT (a, b)) = multi-arg distinct (NULL rows drop);
+      // Spark parses (a, b) as a struct and counts NULL-bearing tuples
+      e = e.replaceAll("(?i)\\bcount\\(\\s*distinct\\s*\\(([^()]*)\\)\\s*\\)",
+        "count(distinct $1)")
       e = e.replaceAll("(?i)\\s+for\\s+update\\s*$", "") // row locks are OLTP surface
       // MySQL permits rank-family windows with no ordering (all peers);
       // Spark requires ORDER BY — a constant key reproduces all-peers
@@ -153,6 +172,7 @@ class BvtSpec extends AnyFunSuite {
     // MySQL float(M,D)/double(M,D) rounds to D decimals on store; the
     // golden values reflect that → a decimal with the same scale does too
     s = s.replaceAll("(?i)\\b(?:float|double)\\s*\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)", "DECIMAL(20,$1)")
+    s = s.replaceAll("(?i)\\breal\\b", "DOUBLE") // MySQL REAL is double; Spark's is float
     Some(s)
   }
 
@@ -226,6 +246,7 @@ class BvtSpec extends AnyFunSuite {
     l.contains("c2.id = c1.id") ||                 // 2-level-deep correlation: Spark can't resolve
     l.contains("row_number() over (order by b) as rn") || // row_number over tied keys: pick is engine-defined
     l.contains("row_number() over (partition by cte01.customer_id") || // ditto: tied order_date
+    l.contains("~") ||                             // MySQL bitwise-NOT is unsigned 64-bit
     // LIMIT with no ORDER BY: which rows come back is engine-defined
     (QueryStart.findFirstIn(l).isDefined && l.contains("limit") && !l.contains("order by"))
   }
@@ -239,11 +260,14 @@ class BvtSpec extends AnyFunSuite {
     m.contains("DATATYPE_MISMATCH") || m.contains("CAST_INVALID_INPUT") ||
     m.contains("UNSUPPORTED_DATATYPE") || m.contains("UNSUPPORTED_TIME_TYPE") ||
     // MySQL ignores explicit frames on rank-family functions; Spark rejects
-    m.contains("must match the required frame")
+    m.contains("must match the required frame") ||
+    // >38-digit literals: the reference rounds into decimal128/256
+    // (documented cap divergence), Spark refuses the literal outright
+    m.contains("DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION")
   }
 
   private val CreateRe = """(?is)^create\s+(?:table|view)\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?.*""".r
-  private val InsertRe = """(?is)^insert\s+into\s+`?(\w+)`?.*""".r
+  private val InsertRe = """(?is)^insert\s+(?:into\s+)?`?(\w+)`?.*""".r
   private val DropRe = """(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?`?(\w+)`?.*""".r
   // row-level DML has no Spark v1-table mapping (OLTP surface, SURVEY
   // §2.1) — a failing DELETE/UPDATE poisons the table's lineage instead
@@ -349,6 +373,12 @@ class BvtSpec extends AnyFunSuite {
       "union/union.result",
       "operator/between_and_operator.result",
       "operator/in_range_operator.result",
+      "operator/bit_operator.result",
+      "function/func_aggr_avg.result",
+      "function/func_aggr_count.result",
+      "function/func_aggr_sum.result",
+      "function/func_aggr_max.result",
+      "function/func_aggr_min.result",
       "window/window.result")
     var totalExec = 0
     var totalVerified = 0
@@ -356,6 +386,10 @@ class BvtSpec extends AnyFunSuite {
     // MySQL inserts rely on implicit string→timestamp/binary coercion
     val prevPolicy = spark.conf.get("spark.sql.storeAssignmentPolicy")
     spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    // MySQL CHAR strips trailing spaces on retrieval; Spark pads to n —
+    // plain-string semantics match the goldens
+    val prevChar = spark.conf.get("spark.sql.legacy.charVarcharAsString")
+    spark.conf.set("spark.sql.legacy.charVarcharAsString", "true")
     cleanup() // a prior aborted run must not leak populated tables
     try {
       for (f <- files) {
@@ -368,6 +402,7 @@ class BvtSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.storeAssignmentPolicy", prevPolicy)
+      spark.conf.set("spark.sql.legacy.charVarcharAsString", prevChar)
       cleanup()
     }
     val fails = allFailures.result()
