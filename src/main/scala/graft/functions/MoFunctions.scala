@@ -389,63 +389,70 @@ object MoFunctions {
         "\u0001\u0003", "\u0001"))
   }
 
-  /** Register SQL names usable from `spark.sql` (UDF fallback surface;
-    * the Column API above is the codegen'd fast path).
+  /** Register SQL names usable from `spark.sql`. Each name resolves to
+    * the SAME expression tree the Column API above builds (stays in
+    * whole-stage codegen — no ScalaUDF on the SQL surface); only the
+    * byte-level IPv6 helpers and dynamic (non-literal) format arguments
+    * fall back to a UDF.
     */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("mo_date_format",
-      (ts: java.sql.Timestamp, fmt: String) =>
-        if (ts == null || fmt == null) null
-        else {
-          val f = java.time.format.DateTimeFormatter.ofPattern(mysqlFormatToJava(fmt))
-          ts.toLocalDateTime.format(f)
-        })
-    spark.udf.register("to_days", (d: java.sql.Date) =>
-      if (d == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(d.toLocalDate.toEpochDay + 719528L))
-    spark.udf.register("period_add", (p: Long, n: Long) => {
-      val months = (p / 100) * 12 + (p % 100) - 1 + n
-      (months / 12) * 100 + (months % 12) + 1
-    })
-    spark.udf.register("period_diff", (p1: Long, p2: Long) =>
-      ((p1 / 100) * 12 + (p1 % 100)) - ((p2 / 100) * 12 + (p2 % 100)))
-    spark.udf.register("inet_aton", (ip: String) => {
-      val p = if (ip == null) Array.empty[String] else ip.split("\\.")
-      if (p.length != 4) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(
-        p(0).toLong * 16777216L + p(1).toLong * 65536L + p(2).toLong * 256L + p(3).toLong)
-    })
-    spark.udf.register("inet_ntoa", (n: Long) =>
-      s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
-    spark.udf.register("sec_to_time", (n: Long) => {
-      val a = math.abs(n)
-      val body = f"${a / 3600}%02d:${a % 3600 / 60}%02d:${a % 60}%02d"
-      if (n < 0) "-" + body else body
-    })
-    spark.udf.register("time_to_sec", (t: String) => {
-      val neg = t != null && t.startsWith("-")
-      val u = if (neg) t.substring(1) else t
-      val p = if (u == null) Array.empty[String] else u.split(":")
-      if (p.length != 3) null.asInstanceOf[java.lang.Long]
-      else {
-        val v = p(0).toLong * 3600 + p(1).toLong * 60 + p(2).toLong
-        java.lang.Long.valueOf(if (neg) -v else v)
-      }
-    })
-    spark.udf.register("maketime", (h: Long, m: Long, s: Long) =>
-      f"$h%02d:$m%02d:$s%02d")
-    spark.udf.register("get_format", (k: String, std: String) =>
+    import org.apache.spark.sql.GraftColumnBridge.{column => asCol, eagerExpression}
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def nat(name: String, usage: String)(build: Seq[Column] => Column): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
+        (args: Seq[Expression]) => eagerExpression(build(args.map(asCol))))
+    def strLit(e: Column): Option[String] = eagerExpression(e) match {
+      case Literal(s: UTF8String, _) => Some(s.toString)
+      case _ => None
+    }
+
+    // dynamic-format fallbacks (rare: almost every caller passes literals)
+    val dynDateFormat = udf((ts: java.sql.Timestamp, fmt: String) =>
+      if (ts == null || fmt == null) null
+      else ts.toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern(mysqlFormatToJava(fmt))))
+    val dynConvertTz = udf((ts: java.sql.Timestamp, from: String, to: String) =>
+      if (ts == null || from == null || to == null) null
+      else java.sql.Timestamp.valueOf(
+        ts.toLocalDateTime.atZone(java.time.ZoneId.of(from))
+          .withZoneSameInstant(java.time.ZoneId.of(to)).toLocalDateTime))
+    val dynGetFormat = udf((k: String, std: String) =>
       if (k == null || std == null) null else getFormat(k, std).orNull)
+
+    nat("mo_date_format", "mo_date_format(ts, mysql_fmt)") { args =>
+      strLit(args(1)) match {
+        case Some(fmt) => moDateFormat(args(0), fmt)
+        case None => dynDateFormat(args(0), args(1))
+      }
+    }
+    nat("to_days", "to_days(date)")(args => toDays(args(0)))
+    nat("period_add", "period_add(yyyymm, n)")(args => periodAdd(args(0), args(1)))
+    nat("period_diff", "period_diff(p1, p2)")(args => periodDiff(args(0), args(1)))
+    nat("inet_aton", "inet_aton(ip)")(args => inetAton(args(0)))
+    nat("inet_ntoa", "inet_ntoa(n)")(args => inetNtoa(args(0)))
+    nat("sec_to_time", "sec_to_time(seconds)")(args => secToTime(args(0)))
+    nat("time_to_sec", "time_to_sec(time)")(args => timeToSec(args(0)))
+    nat("maketime", "maketime(h, m, s)")(args => makeTime(args(0), args(1), args(2)))
+    nat("get_format", "get_format(kind, standard)") { args =>
+      (strLit(args(0)), strLit(args(1))) match {
+        case (Some(k), Some(std)) => lit(getFormat(k, std).orNull)
+        case _ => dynGetFormat(args(0), args(1))
+      }
+    }
+    nat("convert_tz", "convert_tz(ts, from_tz, to_tz)") { args =>
+      (strLit(args(1)), strLit(args(2))) match {
+        case (Some(from), Some(to)) => convertTz(args(0), from, to)
+        case _ => dynConvertTz(args(0), args(1), args(2))
+      }
+    }
+    // byte-level codecs: no expression-combinator equivalent
     spark.udf.register("inet6_aton", inet6AtonBytes _)
     spark.udf.register("inet6_ntoa", inet6NtoaStr _)
     spark.udf.register("is_ipv6", (s: String) => isIpv6Str(s))
-    spark.udf.register("convert_tz",
-      (ts: java.sql.Timestamp, from: String, to: String) =>
-        if (ts == null || from == null || to == null) null
-        else {
-          val zoned = ts.toLocalDateTime.atZone(java.time.ZoneId.of(from))
-          java.sql.Timestamp.valueOf(
-            zoned.withZoneSameInstant(java.time.ZoneId.of(to)).toLocalDateTime)
-        })
   }
 }

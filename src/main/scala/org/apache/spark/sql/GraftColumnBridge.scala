@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `expression` defers via a
+    * lazy wrapper that only the DataFrame API's analysis path unwraps —
+    * an expression returned from a FunctionRegistry builder must instead
+    * be converted NOW (to UnresolvedFunction nodes etc.) so the
+    * analyzer's fixed-point resolution picks it up.
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
