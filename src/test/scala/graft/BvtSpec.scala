@@ -80,6 +80,11 @@ class BvtSpec extends AnyFunSuite {
           // terminated by the next statement / `--` / EOF. An error
           // sentence in the same position marks an expected failure.
           val first = lines(i)
+          if (first.startsWith("[unknown result because")) {
+            // reference annotation: statement succeeds but its output is
+            // unpinned (open issue) — not an expected failure, no rows
+            i += 1
+          } else {
           val looksError = ErrorMarker.findFirstIn(first).isDefined
           if (!looksError && QueryStart.findFirstIn(stmt).isDefined) {
             i += 1 // header row (column names)
@@ -96,6 +101,7 @@ class BvtSpec extends AnyFunSuite {
             while (i < lines.length && lines(i).nonEmpty &&
                 StmtStart.findFirstIn(lines(i).trim).isEmpty &&
                 !lines(i).trim.startsWith("--")) i += 1
+          }
           }
         }
         out += Block(stmt, expected, isError)
@@ -126,6 +132,8 @@ class BvtSpec extends AnyFunSuite {
         "(SELECT explode(sequence($1, $2, $3)) AS result) $4")
       // MySQL LIMIT offset, count
       e = e.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+      // MySQL CAST(x AS CHAR) — unsized char is a plain string
+      e = e.replaceAll("(?i)\\bas\\s+char\\s*\\)", "AS STRING)")
       // MySQL allows TRUNCATE without the TABLE keyword, INSERT without INTO
       e = e.replaceAll("(?i)^truncate\\s+(?!table\\b)", "TRUNCATE TABLE ")
       e = e.replaceAll("(?i)^insert\\s+(?!into\\b|ignore\\b|overwrite\\b)", "INSERT INTO ")
@@ -247,6 +255,14 @@ class BvtSpec extends AnyFunSuite {
     l.contains("row_number() over (order by b) as rn") || // row_number over tied keys: pick is engine-defined
     l.contains("row_number() over (partition by cte01.customer_id") || // ditto: tied order_date
     l.contains("~") ||                             // MySQL bitwise-NOT is unsigned 64-bit
+    // grouping() outside GROUP BY: MySQL degenerates to 0, Spark rejects;
+    // DISTINCT + grouping() can't resolve spark_grouping_id either
+    (l.contains("grouping(") && !l.contains("group by")) ||
+    (l.contains("grouping(") && l.contains("distinct")) ||
+    // MySQL resolves ORDER BY / window-ORDER-BY against pre-projection
+    // rollup columns; Spark only sees the aggregated output
+    l.contains("order by grouping(region), region, grouping(product), product") ||
+    l.contains("rollup_window_sales") ||
     // LIMIT with no ORDER BY: which rows come back is engine-defined
     (QueryStart.findFirstIn(l).isDefined && l.contains("limit") && !l.contains("order by"))
   }
@@ -379,6 +395,11 @@ class BvtSpec extends AnyFunSuite {
       "function/func_aggr_sum.result",
       "function/func_aggr_max.result",
       "function/func_aggr_min.result",
+      "function/func_aggr_median.result",
+      "function/func_anyvalue.result",
+      "window/rollup.result",
+      "window/cube.result",
+      "window/value_window_functions.result",
       "window/window.result")
     var totalExec = 0
     var totalVerified = 0
