@@ -69,6 +69,7 @@ object GraftSession {
   /** Register the UDF-surface function names on an existing session. */
   def init(s: SparkSession): SparkSession = {
     graft.functions.MoFunctions.registerAll(s)
+    graft.functions.MoAliases.registerAll(s)
     graft.functions.DecimalGuard.registerAll(s)
     graft.functions.Sketches.registerAll(s)
     graft.functions.JsonMutation.registerAll(s)

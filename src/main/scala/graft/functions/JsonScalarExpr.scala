@@ -34,6 +34,7 @@ case class JsonScalarExpr(fn: String, children: Seq[Expression])
   override def dataType: DataType = fn match {
     case "json_length" => LongType
     case "json_depth" => IntegerType
+    case "json_extract_float64" => DoubleType
     case "json_valid" | "json_overlaps" | "json_contains" |
         "json_contains_path" | "json_schema_valid" => BooleanType
     case _ => StringType
@@ -50,7 +51,11 @@ case class JsonScalarExpr(fn: String, children: Seq[Expression])
     def s(v: String): Any = if (v == null) null else UTF8String.fromString(v)
     def b(v: Option[Boolean]): Any = v.map(java.lang.Boolean.valueOf).orNull
     fn match {
-      case "json_value" => s(JsonTail.jsonValue(str(0), str(1)))
+      case "json_value" | "json_extract_string" => s(JsonTail.jsonValue(str(0), str(1)))
+      case "json_extract" => s(JsonTail.jsonExtract(str(0), str(1)))
+      case "json_extract_float64" =>
+        JsonTail.jsonExtractFloat64(str(0), str(1))
+          .map(java.lang.Double.valueOf).orNull
       case "json_length" =>
         val r = if (children.length == 1) JsonTail.jsonLength(str(0))
                 else JsonTail.jsonLengthPath(str(0), str(1))
@@ -92,6 +97,9 @@ object JsonScalarExpr {
     */
   private[functions] val arities: Map[String, Set[Int]] = Map(
     "json_value" -> Set(2),
+    "json_extract" -> Set(2),
+    "json_extract_string" -> Set(2),
+    "json_extract_float64" -> Set(2),
     "json_length" -> Set(1, 2),
     "json_keys" -> Set(1, 2),
     "json_pretty" -> Set(1),

@@ -99,6 +99,21 @@ object JsonTail {
   }
 
   // ------------------------------------------------------------ functions
+  /** MySQL JSON_EXTRACT (single simple path): JSON text of the node at
+    * path — strings stay quoted, containers serialize; missing → NULL
+    * (reference `func_builtin_json.go` JsonExtract).
+    */
+  def jsonExtract(doc: String, path: String): String =
+    (for { root <- parse(doc); segs <- parsePath(path); v <- query(root, segs) }
+      yield mapper.writeValueAsString(v)).orNull
+
+  /** json_extract_float64: numeric node at path as double (reference
+    * `func_builtin_json.go` JsonExtractFloat64 fast path).
+    */
+  def jsonExtractFloat64(doc: String, path: String): Option[Double] =
+    for { root <- parse(doc); segs <- parsePath(path); v <- query(root, segs)
+          if v.isNumber } yield v.asDouble
+
   /** JSON_VALUE(doc, path): scalar at path unquoted; object/array or
     * missing path → NULL.
     */
@@ -363,6 +378,9 @@ object JsonTail {
     ex("json_schema_validation_report", schema, doc)
 
   def registerAll(spark: SparkSession): Unit = {
+    JsonRegistry.native(spark, "json_extract", "json_extract(doc, path)")
+    JsonRegistry.native(spark, "json_extract_string", "json_extract_string(doc, path)")
+    JsonRegistry.native(spark, "json_extract_float64", "json_extract_float64(doc, path)")
     JsonRegistry.native(spark, "json_value", "json_value(doc, path)")
     JsonRegistry.native(spark, "json_length", "json_length(doc[, path])")
     JsonRegistry.native(spark, "json_keys", "json_keys(doc[, path])")

@@ -133,6 +133,9 @@ object Sketches {
     spark.udf.register("bitmap_or_agg", udaf(BitmapOrAgg))
     spark.udf.register("hll_add", udaf(HllAddAgg))
     spark.udf.register("hll_merge", udaf(HllMergeAgg))
+    // reference registry spells the aggregate forms with _agg
+    spark.udf.register("hll_add_agg", udaf(HllAddAgg))
+    spark.udf.register("hll_merge_agg", udaf(HllMergeAgg))
     spark.udf.register("bitmap_count", (b: Array[Byte]) => bitmapCount(b))
     spark.udf.register("hll_cardinality", (b: Array[Byte]) => hllEstimate(b))
   }
