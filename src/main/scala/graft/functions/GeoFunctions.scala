@@ -285,6 +285,37 @@ object GeoFunctions {
     else GPolygon(Vector(Vector((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
   }
 
+  // ----------------------------------------------------- MBR predicates
+  /** Bounding box (minx, miny, maxx, maxy). */
+  private def box(g: Geom): (Double, Double, Double, Double) = {
+    val vs = vertices(g)
+    (vs.map(_._1).min, vs.map(_._2).min, vs.map(_._1).max, vs.map(_._2).max)
+  }
+
+  /** The MySQL `MBR*` family on minimum bounding rectangles (reference
+    * registry `function_id.go` MBRCONTAINS..MBRWITHIN; MySQL MBR
+    * semantics). For axis-aligned boxes, covers≡contains and
+    * coveredby≡within.
+    */
+  def mbrRelate(op: String, a: Geom, b: Geom): Boolean = {
+    val (ax0, ay0, ax1, ay1) = box(a)
+    val (bx0, by0, bx1, by1) = box(b)
+    def contains = ax0 <= bx0 && ay0 <= by0 && ax1 >= bx1 && ay1 >= by1
+    def within = bx0 <= ax0 && by0 <= ay0 && bx1 >= ax1 && by1 >= ay1
+    def intersects = ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+    // interiors overlap: strict inequalities (degenerate boxes use touch)
+    def interiorOverlap = ax0 < bx1 && bx0 < ax1 && ay0 < by1 && by0 < ay1
+    op match {
+      case "contains" | "covers" => contains
+      case "within" | "coveredby" => within
+      case "equals" => ax0 == bx0 && ay0 == by0 && ax1 == bx1 && ay1 == by1
+      case "intersects" => intersects
+      case "disjoint" => !intersects
+      case "touches" => intersects && !interiorOverlap
+      case "overlaps" => interiorOverlap && !contains && !within
+    }
+  }
+
   def centroid(g: Geom): Geom = g match {
     case p: GPoint => p
     case GLine(pts) =>
@@ -489,5 +520,9 @@ object GeoFunctions {
     spark.udf.register("st_isclosed",
       g1 { case GLine(p) => Some(p.head == p.last); case _ => None })
     spark.udf.register("st_disjoint", g2((a, b) => Some(!intersects(a, b))))
+    Seq("contains", "coveredby", "covers", "disjoint", "equals",
+      "intersects", "overlaps", "touches", "within").foreach { op =>
+      spark.udf.register(s"mbr$op", g2((a, b) => Some(mbrRelate(op, a, b))))
+    }
   }
 }

@@ -105,6 +105,31 @@ class GeoSpec extends AnyFunSuite {
     assert(r.getString(7) == "POINT(1 1)" && r.getBoolean(8) && r.getBoolean(9))
   }
 
+  test("mbr predicates: box algebra over envelopes") {
+    val big = geom("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    val small = geom("POLYGON((2 2,4 2,4 4,2 4,2 2))")
+    val shifted = geom("POLYGON((5 5,15 5,15 15,5 15,5 5))")
+    val adjacent = geom("POLYGON((10 0,20 0,20 10,10 10,10 0))")
+    val far = geom("POINT(100 100)")
+    assert(G.mbrRelate("contains", big, small))
+    assert(!G.mbrRelate("contains", small, big))
+    assert(G.mbrRelate("covers", big, small))
+    assert(G.mbrRelate("within", small, big))
+    assert(G.mbrRelate("coveredby", small, big))
+    assert(G.mbrRelate("equals", big, big) && !G.mbrRelate("equals", big, small))
+    assert(G.mbrRelate("intersects", big, shifted))
+    assert(G.mbrRelate("disjoint", big, far) && !G.mbrRelate("disjoint", big, shifted))
+    assert(G.mbrRelate("overlaps", big, shifted))
+    assert(!G.mbrRelate("overlaps", big, small))     // containment, not overlap
+    assert(G.mbrRelate("touches", big, adjacent))    // shared edge only
+    assert(!G.mbrRelate("touches", big, shifted))    // interiors overlap
+    // SQL names registered
+    val r = SparkTestSession.spark.sql(
+      """SELECT mbrcontains('POLYGON((0 0,10 0,10 10,0 10,0 0))', 'POINT(5 5)') c,
+        |  mbrdisjoint('POINT(0 0)', 'POINT(9 9)') d""".stripMargin).head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
   test("collation keys: ci equality/order, cs distinction, bin bytes") {
     assert(Collations.strcmp("HELLO", "hello", "utf8mb4_general_ci").contains(0))
     assert(Collations.strcmp("HELLO", "hello", "utf8mb4_0900_as_cs").exists(_ != 0))
