@@ -35,12 +35,28 @@ object Bm25 {
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       tokenizer: String = "simple"): DataFrame =
+    buildIndexMulti(docs, idCol, Seq(textCol), tokenizer)
+
+  /** Multi-column index: `MATCH(col1, col2) AGAINST(...)` builds ONE
+    * combined index — the reference's tokenizer concatenates every
+    * listed column with '\n' into a single content buffer per document
+    * (`pkg/sql/colexec/table_function/fulltext_tokenize.go:142-150`,
+    * NULL columns skipped), so tf/dl/df and hence BM25 are computed
+    * over the union of the columns' tokens, MySQL combined-index style.
+    */
+  def buildIndexMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
+      tokenizer: String = "simple"): DataFrame = {
+    require(textCols.nonEmpty, "MATCH() needs at least one column")
+    val text =
+      if (textCols.sizeIs == 1) col(textCols.head)
+      else concat_ws("\n", textCols.map(col): _*)
     docs.select(col(idCol).as("doc_id"),
-        posexplode(tokensOf(col(textCol), tokenizer)).as(Seq("pos", "term")))
+        posexplode(tokensOf(text, tokenizer)).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+  }
 
   private[fulltext] def tokensOf(c: Column, tokenizer: String): Column =
     tokenizer match {
@@ -398,10 +414,15 @@ object Bm25 {
       */
     def build(docs: DataFrame, idCol: String, textCol: String,
         ngram: Boolean = false, n: Int = 3,
+        tokenizer: String = "simple"): FulltextIndex =
+      buildMulti(docs, idCol, Seq(textCol), ngram, n, tokenizer)
+
+    def buildMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
+        ngram: Boolean = false, n: Int = 3,
         tokenizer: String = "simple"): FulltextIndex = {
       val postings =
-        (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
-         else buildIndex(docs, idCol, textCol, tokenizer)).persist()
+        (if (ngram) buildNgramIndex(docs, idCol, textCols.head, n)
+         else buildIndexMulti(docs, idCol, textCols, tokenizer)).persist()
       val row = postings.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)), avg(col("dl"))).head()
       FulltextIndex(postings, row.getLong(0), row.getDouble(1))
@@ -424,12 +445,17 @@ object Bm25 {
     def forCorpus(docs: DataFrame, idCol: String, textCol: String, key: String,
         ngram: Boolean = false, n: Int = 3,
         tokenizer: String = "simple"): FulltextIndex =
-      cache.computeIfAbsent(s"$key#$ngram#$n#$tokenizer", _ => {
+      forCorpusMulti(docs, idCol, Seq(textCol), key, ngram, n, tokenizer)
+
+    def forCorpusMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
+        key: String, ngram: Boolean = false, n: Int = 3,
+        tokenizer: String = "simple"): FulltextIndex =
+      cache.computeIfAbsent(s"$key#${textCols.mkString(",")}#$ngram#$n#$tokenizer", _ => {
         val spark = docs.sparkSession
         val dir = graft.plans.IndexStore.path(spark, "fulltext",
-          s"$key-$ngram-$n-$tokenizer")
-        (if (ngram) buildNgramIndex(docs, idCol, textCol, n)
-         else buildIndex(docs, idCol, textCol, tokenizer))
+          s"$key-${textCols.mkString("-")}-$ngram-$n-$tokenizer")
+        (if (ngram) buildNgramIndex(docs, idCol, textCols.head, n)
+         else buildIndexMulti(docs, idCol, textCols, tokenizer))
           .withColumn("_tb", pmod(hash(col("term")), lit(TermBuckets)))
           .write.mode("overwrite").partitionBy("_tb").parquet(dir)
         val postings = spark.read.parquet(dir)
@@ -475,10 +501,18 @@ object Bm25 {
     */
   def matchAgainst(docs: DataFrame, idCol: String, textCol: String,
       query: String, booleanMode: Boolean = false, cacheKey: String = null,
+      algo: String = "bm25"): DataFrame =
+    matchAgainstMulti(docs, idCol, Seq(textCol), query, booleanMode, cacheKey, algo)
+
+  /** Multi-column `MATCH(col1, col2, ...) AGAINST(q)`: one combined
+    * index over the concatenated columns (see [[buildIndexMulti]]).
+    */
+  def matchAgainstMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
+      query: String, booleanMode: Boolean = false, cacheKey: String = null,
       algo: String = "bm25"): DataFrame = {
     val index =
-      if (cacheKey != null) FulltextIndex.forCorpus(docs, idCol, textCol, cacheKey)
-      else FulltextIndex.build(docs, idCol, textCol)
+      if (cacheKey != null) FulltextIndex.forCorpusMulti(docs, idCol, textCols, cacheKey)
+      else FulltextIndex.buildMulti(docs, idCol, textCols)
     if (booleanMode) searchBoolean(index, query, algo)
     else searchNatural(index, query, algo)
   }

@@ -100,6 +100,41 @@ object SqlDialectQueries extends QueryModule {
        |  AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term = 'error')
        |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin
 
+  // -------------------------- ft10: multi-column MATCH(col1, col2) AGAINST
+  /** `fulltext.sql` shape: `match(body, title) against('red')` — the
+    * listed columns form ONE combined index (the reference tokenizer
+    * concatenates them with '\n' per document,
+    * `fulltext_tokenize.go:142-150`), so tf/dl/df span both columns.
+    * Natural mode, scored in the projection and filtered in WHERE.
+    */
+  private def ft10(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |       round(MATCH(text, source) AGAINST('spark src3 window'), 6) AS score
+        |FROM documents
+        |WHERE MATCH(text, source) AGAINST('spark src3 window')
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin)
+
+  private val MTOK =
+    """regexp_split_to_array(lower(trim(concat_ws(chr(10), text, source))), '\s+')"""
+  private val ft10Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($MTOK) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT unnest(['spark','src3','window']) AS term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   // ----------------------------------------- sps1: sample(N rows) grouped
   /** `sample.sql:16` shape: per-group N-row sample inside GROUP BY,
     * determinized by md5 rank (see GraftSql.sampleRewrite).
@@ -142,6 +177,7 @@ object SqlDialectQueries extends QueryModule {
     Q("tws1_interval_sql", tws1, Some(tws1Sql)),
     Q("tws2_sliding_sql", tws2, Some(tws2Sql)),
     Q("fts1_match_sql", fts1, Some(fts1Sql)),
+    Q("ft10_multicol_match", ft10, Some(ft10Sql)),
     Q("sps1_sample_sql", sps1, Some(sps1Sql)),
     Q("sps2_sample_expr_sql", sps2, Some(sps2Sql)))
 }

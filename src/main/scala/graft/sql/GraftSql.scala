@@ -281,13 +281,16 @@ object GraftSql {
       (h.group(1), h.group(2), Option(h.group(3)).exists(_.toLowerCase.contains("boolean"))))
       .distinct
     val views = distinctCalls.zipWithIndex.map { case ((colsTxt, query, bool), i) =>
-      val textCol = splitTop(colsTxt).head.split('.').last
+      // MATCH(col1, col2, ...) scores over ONE combined index across all
+      // listed columns (the reference concatenates them at tokenize time,
+      // fulltext_tokenize.go:142-150)
+      val textCols = splitTop(colsTxt).map(_.trim.split('.').last)
       // key the cached postings index by the table's resolved plan, not
       // just its name — the same view name over different data must not
       // hit a stale index
       val planKey = spark.table(table).queryExecution.analyzed.semanticHash()
-      val scores = Bm25.matchAgainst(spark.table(table), pk, textCol, query,
-          booleanMode = bool, cacheKey = s"$table#$textCol#$planKey")
+      val scores = Bm25.matchAgainstMulti(spark.table(table), pk, textCols, query,
+          booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey")
         .withColumnRenamed("doc_id", "__ft_id")
       val v = s"_graft_ft_${viewSeq.incrementAndGet()}"
       scores.createOrReplaceTempView(v)

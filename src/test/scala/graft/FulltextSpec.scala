@@ -135,4 +135,31 @@ class FulltextSpec extends AnyFunSuite {
     assert(scores.keySet == Set(1L, 3L))
     assert(scores(3L) > scores(1L)) // tf=2 beats tf=1
   }
+
+  test("multi-column MATCH builds one combined index (tokenize-time concat)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark joins data", "intro"),
+      (2L, "window functions", "spark guide"),
+      (3L, "batch errors", "appendix")).toDF("doc_id", "body", "title")
+    // combined index ≡ index over concat_ws('\n', body, title)
+    // (fulltext_tokenize.go:142-150 concatenates the listed columns)
+    val multi = FulltextIndex.buildMulti(docs, "doc_id", Seq("body", "title"))
+    val concat = FulltextIndex.build(
+      docs.select(col("doc_id"), concat_ws("\n", col("body"), col("title")).as("t")),
+      "doc_id", "t")
+    val key = Seq("doc_id", "term", "tf", "dl")
+    assert(multi.postings.select(key.head, key.tail: _*).collect().toSet ==
+      concat.postings.select(key.head, key.tail: _*).collect().toSet)
+    assert(multi.nDocs == 3 && multi.avgdl == concat.avgdl)
+    // a term present only in the second column matches — and df counts
+    // docs where ANY listed column has it
+    val scores = searchNatural(multi, "spark")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 2L))
+    // single-column probe would miss doc 2 entirely
+    val single = FulltextIndex.build(docs, "doc_id", "body")
+    assert(searchNatural(single, "spark").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }
