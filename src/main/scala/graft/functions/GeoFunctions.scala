@@ -38,6 +38,23 @@ object GeoFunctions {
   final case class GLine(pts: IndexedSeq[Pt]) extends Geom
   /** rings.head = exterior shell, tail = holes; rings are closed. */
   final case class GPolygon(rings: IndexedSeq[IndexedSeq[Pt]]) extends Geom
+  /** Multi/collection types (WKT MULTIPOINT/MULTILINESTRING/MULTIPOLYGON/
+    * GEOMETRYCOLLECTION; empty collection ⇔ `GEOMETRYCOLLECTION EMPTY`,
+    * the reference's empty overlay result).
+    */
+  final case class GMultiPoint(pts: IndexedSeq[Pt]) extends Geom
+  final case class GMultiLine(lines: IndexedSeq[GLine]) extends Geom
+  final case class GMultiPolygon(polys: IndexedSeq[GPolygon]) extends Geom
+  final case class GCollection(geoms: IndexedSeq[Geom]) extends Geom
+
+  /** Flatten a geometry into its atomic parts. */
+  def parts(g: Geom): IndexedSeq[Geom] = g match {
+    case GMultiPoint(ps) => ps.map(p => GPoint(p._1, p._2))
+    case GMultiLine(ls) => ls
+    case GMultiPolygon(ps) => ps
+    case GCollection(gs) => gs.flatMap(parts)
+    case atomic => Vector(atomic)
+  }
 
   // ----------------------------------------------------------- WKT parse
   private def parseCoords(s: String): Option[IndexedSeq[Pt]] = {
@@ -52,9 +69,50 @@ object GeoFunctions {
     Some(out.result())
   }
 
+  /** Split a WKT body at top-level commas, honoring paren nesting. */
+  private def splitGroups(body: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      body(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += body.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += body.substring(start).trim
+    out.result()
+  }
+
+  /** Strip one layer of enclosing parens, if present. */
+  private def unparen(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim else t
+  }
+
+  private def parseRings(body: String): Option[IndexedSeq[IndexedSeq[Pt]]] = {
+    val rings = Vector.newBuilder[IndexedSeq[Pt]]
+    for (grp <- splitGroups(body)) {
+      val t = grp.trim
+      if (!t.startsWith("(") || !t.endsWith(")")) return None
+      parseCoords(t.substring(1, t.length - 1)) match {
+        case Some(r) if r.size >= 4 && r.head == r.last => rings += r
+        case _ => return None
+      }
+    }
+    val rs = rings.result()
+    if (rs.isEmpty) None else Some(rs)
+  }
+
   def parseWkt(wkt: String): Option[Geom] = {
     if (wkt == null) return None
     val s = wkt.trim
+    if (s.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY")) return Some(GCollection(Vector()))
     val open = s.indexOf('(')
     if (open < 0 || !s.endsWith(")")) return None
     val tag = s.substring(0, open).trim.toUpperCase
@@ -64,26 +122,32 @@ object GeoFunctions {
         parseCoords(body).filter(_.size == 1).map(p => GPoint(p.head._1, p.head._2))
       case "LINESTRING" =>
         parseCoords(body).filter(_.size >= 2).map(GLine)
-      case "POLYGON" =>
-        // body = (ring),(ring)...
-        val rings = Vector.newBuilder[IndexedSeq[Pt]]
-        var i = 0
-        while (i < body.length) {
-          while (i < body.length && (body(i) == ',' || body(i).isWhitespace)) i += 1
-          if (i >= body.length) i = body.length
-          else {
-            if (body(i) != '(') return None
-            val close = body.indexOf(')', i)
-            if (close < 0) return None
-            parseCoords(body.substring(i + 1, close)) match {
-              case Some(r) if r.size >= 4 && r.head == r.last => rings += r
-              case _ => return None
-            }
-            i = close + 1
-          }
+      case "POLYGON" => parseRings(body).map(GPolygon)
+      case "MULTIPOINT" =>
+        // both WKT spellings: MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2),(3 4))
+        val coords = splitGroups(body).map(g => parseCoords(unparen(g)))
+        if (coords.exists(c => c.isEmpty || c.get.size != 1)) None
+        else Some(GMultiPoint(coords.map(_.get.head)))
+      case "MULTILINESTRING" =>
+        val lines = splitGroups(body).map { g =>
+          val t = g.trim
+          if (!t.startsWith("(") || !t.endsWith(")")) None
+          else parseCoords(t.substring(1, t.length - 1)).filter(_.size >= 2).map(GLine)
         }
-        val rs = rings.result()
-        if (rs.isEmpty) None else Some(GPolygon(rs))
+        if (lines.exists(_.isEmpty)) None else Some(GMultiLine(lines.map(_.get)))
+      case "MULTIPOLYGON" =>
+        val polys = splitGroups(body).map { g =>
+          val t = g.trim
+          if (!t.startsWith("(") || !t.endsWith(")")) None
+          else parseRings(t.substring(1, t.length - 1)).map(GPolygon)
+        }
+        if (polys.exists(_.isEmpty)) None else Some(GMultiPolygon(polys.map(_.get)))
+      case "GEOMETRYCOLLECTION" =>
+        if (body.isEmpty || body.equalsIgnoreCase("EMPTY")) Some(GCollection(Vector()))
+        else {
+          val gs = splitGroups(body).map(parseWkt)
+          if (gs.exists(_.isEmpty)) None else Some(GCollection(gs.map(_.get)))
+        }
       case _ => None
     }
   }
@@ -98,6 +162,35 @@ object GeoFunctions {
     case GPolygon(rings) =>
       rings.map(_.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
         .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
+    case GMultiPoint(pts) =>
+      pts.map { case (x, y) => s"(${fmt(x)} ${fmt(y)})" }.mkString("MULTIPOINT(", ",", ")")
+    case GMultiLine(lines) =>
+      lines.map(l => l.pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+        .mkString("(", ",", ")")).mkString("MULTILINESTRING(", ",", ")")
+    case GMultiPolygon(polys) =>
+      polys.map(p => p.rings.map(_.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+        .mkString("(", ",", ")")).mkString("(", ",", ")"))
+        .mkString("MULTIPOLYGON(", ",", ")")
+    case GCollection(gs) =>
+      if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+      else gs.map(toWkt).mkString("GEOMETRYCOLLECTION(", ",", ")")
+  }
+
+  def geometryType(g: Geom): String = g match {
+    case _: GPoint => "POINT"
+    case _: GLine => "LINESTRING"
+    case _: GPolygon => "POLYGON"
+    case _: GMultiPoint => "MULTIPOINT"
+    case _: GMultiLine => "MULTILINESTRING"
+    case _: GMultiPolygon => "MULTIPOLYGON"
+    case _: GCollection => "GEOMETRYCOLLECTION"
+  }
+
+  def dimension(g: Geom): Int = g match {
+    case _: GPoint | _: GMultiPoint => 0
+    case _: GLine | _: GMultiLine => 1
+    case _: GPolygon | _: GMultiPolygon => 2
+    case GCollection(gs) => if (gs.isEmpty) -1 else gs.map(dimension).max
   }
 
   // ------------------------------------------------------------ measures
@@ -106,6 +199,7 @@ object GeoFunctions {
 
   def length(g: Geom): Option[Double] = g match {
     case GLine(pts) => Some(pts.sliding(2).map(s => segLen(s(0), s(1))).sum)
+    case GMultiLine(ls) => Some(ls.flatMap(length).sum)
     case _ => None // MySQL: NULL for non-linear geometries
   }
 
@@ -123,11 +217,13 @@ object GeoFunctions {
   def area(g: Geom): Option[Double] = g match {
     case GPolygon(rings) =>
       Some(math.abs(ringArea(rings.head)) - rings.tail.map(r => math.abs(ringArea(r))).sum)
+    case GMultiPolygon(ps) => Some(ps.flatMap(area).sum)
+    case GCollection(gs) => Some(gs.flatMap(area).sum)
     case _ => Some(0.0) // MySQL: 0 for point/linestring
   }
 
   /** Distance from point p to segment [a,b]. */
-  private def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
+  private[functions] def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
     val (dx, dy) = (b._1 - a._1, b._2 - a._2)
     val l2 = dx * dx + dy * dy
     if (l2 == 0.0) segLen(p, a)
@@ -138,20 +234,24 @@ object GeoFunctions {
     }
   }
 
-  private def segments(g: Geom): Iterator[(Pt, Pt)] = g match {
+  private[functions] def segments(g: Geom): Iterator[(Pt, Pt)] = g match {
     case GPoint(_, _) => Iterator.empty
     case GLine(pts) => pts.sliding(2).map(s => (s(0), s(1)))
     case GPolygon(rings) => rings.iterator.flatMap(_.sliding(2).map(s => (s(0), s(1))))
+    case GMultiPoint(_) => Iterator.empty
+    case other => parts(other).iterator.flatMap(segments)
   }
 
-  private def vertices(g: Geom): IndexedSeq[Pt] = g match {
+  private[functions] def vertices(g: Geom): IndexedSeq[Pt] = g match {
     case GPoint(x, y) => Vector((x, y))
     case GLine(pts) => pts
     case GPolygon(rings) => rings.flatten
+    case GMultiPoint(pts) => pts
+    case other => parts(other).flatMap(vertices)
   }
 
   /** Ray-cast point-in-polygon: 1 = interior, 0 = on boundary, -1 = out. */
-  private def pipState(p: Pt, poly: GPolygon): Int = {
+  private[functions] def pipState(p: Pt, poly: GPolygon): Int = {
     for ((a, b) <- segments(poly))
       if (pointSegDist(p, a, b) < 1e-12) return 0
     var inside = false
@@ -228,7 +328,14 @@ object GeoFunctions {
   }
 
   // ---------------------------------------------------------- predicates
+  private def isMulti(g: Geom): Boolean = g match {
+    case _: GMultiPoint | _: GMultiLine | _: GMultiPolygon | _: GCollection => true
+    case _ => false
+  }
+
   def intersects(g1: Geom, g2: Geom): Boolean = (g1, g2) match {
+    case _ if isMulti(g1) || isMulti(g2) =>
+      parts(g1).exists(a => parts(g2).exists(b => intersects(a, b)))
     case (GPoint(x, y), GPoint(x2, y2)) => segLen((x, y), (x2, y2)) < 1e-12
     case (p: GPoint, l: GLine) =>
       segments(l).exists { case (a, b) => pointSegDist((p.x, p.y), a, b) < 1e-12 }
@@ -253,6 +360,15 @@ object GeoFunctions {
     * at least one interior point.
     */
   def contains(a: Geom, b: Geom): Option[Boolean] = a match {
+    case _ if isMulti(b) =>
+      // every part of b must be contained in a
+      val sub = parts(b).map(contains(a, _))
+      if (sub.contains(None)) None else Some(sub.forall(_.get))
+    case mp: GMultiPolygon =>
+      // sufficient decomposition: some part contains b whole (a part
+      // split across two shells is out of scope for the UDF surface)
+      val sub = mp.polys.map(contains(_, b))
+      if (sub.forall(_.isEmpty)) None else Some(sub.exists(_.contains(true)))
     case poly: GPolygon =>
       b match {
         case GPoint(x, y) => Some(pipState((x, y), poly) == 1)
@@ -279,6 +395,7 @@ object GeoFunctions {
   // ------------------------------------------------------- constructions
   def envelope(g: Geom): Geom = {
     val vs = vertices(g)
+    if (vs.isEmpty) return GCollection(Vector())
     val (xs, ys) = (vs.map(_._1), vs.map(_._2))
     val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
     if (x0 == x1 && y0 == y1) GPoint(x0, y0)
@@ -317,6 +434,24 @@ object GeoFunctions {
   }
 
   def centroid(g: Geom): Geom = g match {
+    case _: GMultiPoint | _: GMultiLine | _: GMultiPolygon | _: GCollection =>
+      // parts of the highest dimension, weighted by their measure (OGC)
+      val ps = parts(g)
+      val dim = dimension(g)
+      val top = ps.filter(dimension(_) == dim)
+      val weighted = top.map { p =>
+        val w = dim match {
+          case 2 => area(p).getOrElse(0.0)
+          case 1 => length(p).getOrElse(0.0)
+          case _ => 1.0
+        }
+        val GPoint(cx, cy) = centroid(p): @unchecked
+        (cx * w, cy * w, w)
+      }
+      val (sx, sy, sw) = weighted.foldLeft((0.0, 0.0, 0.0)) {
+        case ((ax, ay, aw), (x, y, w)) => (ax + x, ay + y, aw + w)
+      }
+      if (sw == 0) centroid(top.head) else GPoint(sx / sw, sy / sw)
     case p: GPoint => p
     case GLine(pts) =>
       // length-weighted midpoint average
@@ -409,18 +544,14 @@ object GeoFunctions {
 
   private val fromTextU = udf((w: String) => parseWkt(w).map(toWkt))
   private val asTextU = fromTextU
-  private val typeU = udf(g1(g => Some(g match {
-    case _: GPoint => "POINT"
-    case _: GLine => "LINESTRING"
-    case _: GPolygon => "POLYGON"
-  })))
+  private val typeU = udf(g1(g => Some(geometryType(g))))
   private val xU = udf(g1 { case GPoint(x, _) => Some(x); case _ => None })
   private val yU = udf(g1 { case GPoint(_, y) => Some(y); case _ => None })
   private val sridU = udf(g1(_ => Some(0)))
-  private val isEmptyU = udf(g1(_ => Some(false)))
-  private val dimensionU = udf(g1(g => Some(g match {
-    case _: GPoint => 0; case _: GLine => 1; case _: GPolygon => 2
-  })))
+  private val isEmptyU = udf(g1 {
+    case GCollection(gs) => Some(gs.isEmpty); case _ => Some(false)
+  })
+  private val dimensionU = udf(g1(g => Some(dimension(g))))
   private val numPointsU = udf(g1 { case GLine(p) => Some(p.size); case _ => None })
   private val startPointU =
     udf(g1 { case GLine(p) => Some(toWkt(GPoint(p.head._1, p.head._2))); case _ => None })
@@ -497,16 +628,12 @@ object GeoFunctions {
       geohashEncode(lon, lat, len).orNull)
     spark.udf.register("st_pointfromgeohash", (h: String) =>
       geohashDecode(h).map(toWkt).orNull)
-    spark.udf.register("st_geometrytype", g1(g => Some(g match {
-      case _: GPoint => "POINT"
-      case _: GLine => "LINESTRING"
-      case _: GPolygon => "POLYGON"
-    })))
+    spark.udf.register("st_geometrytype", g1(g => Some(geometryType(g))))
     spark.udf.register("st_srid", g1(_ => Some(0)))
-    spark.udf.register("st_isempty", g1(_ => Some(false)))
-    spark.udf.register("st_dimension", g1(g => Some(g match {
-      case _: GPoint => 0; case _: GLine => 1; case _: GPolygon => 2
-    })))
+    spark.udf.register("st_isempty", g1 {
+      case GCollection(gs) => Some(gs.isEmpty); case _ => Some(false)
+    })
+    spark.udf.register("st_dimension", g1(g => Some(dimension(g))))
     spark.udf.register("st_numpoints",
       g1 { case GLine(p) => Some(p.size); case _ => None })
     spark.udf.register("st_startpoint",
@@ -523,6 +650,268 @@ object GeoFunctions {
     Seq("contains", "coveredby", "covers", "disjoint", "equals",
       "intersects", "overlaps", "touches", "within").foreach { op =>
       spark.udf.register(s"mbr$op", g2((a, b) => Some(mbrRelate(op, a, b))))
+    }
+
+    // ------------------------------------------- overlay / constructive
+    Seq("union", "intersection", "difference", "symdifference").foreach { op =>
+      spark.udf.register(s"st_$op",
+        g2((a, b) => GeoOverlay.setOp(op, a, b).map(toWkt)))
+    }
+    spark.udf.register("st_convexhull",
+      g1(g => Some(toWkt(GeoOverlay.convexHull(g)))))
+    spark.udf.register("st_simplify", (w: String, tol: Double) =>
+      parseWkt(w).map(g => toWkt(GeoOverlay.simplify(g, tol))).orNull)
+    spark.udf.register("st_buffer", (w: String, d: Double) =>
+      parseWkt(w).flatMap(g => GeoOverlay.buffer(g, d)).map(toWkt).orNull)
+
+    // --------------------------------------------------------- binary io
+    spark.udf.register("st_aswkb",
+      (w: String) => parseWkt(w).map(GeoOverlay.toWkb).orNull)
+    spark.udf.register("st_asbinary",
+      (w: String) => parseWkt(w).map(GeoOverlay.toWkb).orNull)
+    spark.udf.register("st_geomfromwkb",
+      (b: Array[Byte]) => GeoOverlay.fromWkb(b).map(toWkt).orNull)
+    Seq[(String, Geom => Boolean)](
+      ("st_pointfromwkb", _.isInstanceOf[GPoint]),
+      ("st_linefromwkb", _.isInstanceOf[GLine]),
+      ("st_polyfromwkb", _.isInstanceOf[GPolygon]),
+      ("st_mpointfromwkb", _.isInstanceOf[GMultiPoint]),
+      ("st_mlinefromwkb", _.isInstanceOf[GMultiLine]),
+      ("st_mpolyfromwkb", _.isInstanceOf[GMultiPolygon]),
+      ("st_geomcollfromwkb", _.isInstanceOf[GCollection])
+    ).foreach { case (name, accept) =>
+      spark.udf.register(name,
+        (b: Array[Byte]) => GeoOverlay.fromWkb(b).filter(accept).map(toWkt).orNull)
+    }
+
+    // ------------------------------------------------------- geojson io
+    spark.udf.register("st_asgeojson",
+      (w: String) => parseWkt(w).map(GeoOverlay.toGeoJson).orNull)
+    spark.udf.register("st_geomfromgeojson",
+      (j: String) => GeoOverlay.fromGeoJson(j).map(toWkt).orNull)
+
+    // ------------------------------------------- typed text constructors
+    Seq[(String, Geom => Boolean)](
+      ("st_pointfromtext", _.isInstanceOf[GPoint]),
+      ("st_linefromtext", _.isInstanceOf[GLine]),
+      ("st_polyfromtext", _.isInstanceOf[GPolygon]),
+      ("st_mpointfromtext", _.isInstanceOf[GMultiPoint]),
+      ("st_mlinefromtext", _.isInstanceOf[GMultiLine]),
+      ("st_mpolyfromtext", _.isInstanceOf[GMultiPolygon]),
+      ("st_geomcollfromtext", _.isInstanceOf[GCollection])
+    ).foreach { case (name, accept) =>
+      spark.udf.register(name,
+        (w: String) => parseWkt(w).filter(accept).map(toWkt).orNull)
+    }
+
+    // ----------------------------------------- rings / parts / validity
+    spark.udf.register("st_exteriorring",
+      g1 { case GPolygon(r) => Some(toWkt(GLine(r.head))); case _ => None })
+    spark.udf.register("st_numinteriorrings",
+      g1 { case GPolygon(r) => Some(r.size - 1); case _ => None })
+    spark.udf.register("st_interiorringn", (w: String, n: Int) => parseWkt(w).flatMap {
+      case GPolygon(r) if n >= 1 && n < r.size => Some(toWkt(GLine(r(n))))
+      case _ => None
+    })
+    spark.udf.register("st_numgeometries",
+      g1(g => Some(g match {
+        case GCollection(gs) => gs.size
+        case _ if isMulti(g) => parts(g).size
+        case _ => 1
+      })))
+    spark.udf.register("st_geometryn", (w: String, n: Int) => parseWkt(w).flatMap { g =>
+      val ps = g match { case GCollection(gs) => gs; case _ if isMulti(g) => parts(g); case _ => Vector(g) }
+      if (n >= 1 && n <= ps.size) Some(toWkt(ps(n - 1))) else None
+    })
+    spark.udf.register("st_iscollection", g1(g => Some(isMulti(g))))
+    spark.udf.register("st_isvalid", g1 {
+      case GPolygon(rings) =>
+        // simple validity: >=4 points, closed, nonzero area per ring
+        Some(rings.forall(r => r.size >= 4 && r.head == r.last) &&
+          area(GPolygon(rings)).exists(_ > 0))
+      case _ => Some(true)
+    })
+    spark.udf.register("st_issimple", g1 {
+      case GLine(p) =>
+        // no self-intersection between non-adjacent segments
+        val segs = p.sliding(2).map(s => (s(0), s(1))).toVector
+        Some(!segs.indices.exists(i => (i + 2 until segs.size).exists { j =>
+          !(i == 0 && j == segs.size - 1 && p.head == p.last) &&
+            segIntersect(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2)
+        }))
+      case _ => Some(true)
+    })
+    spark.udf.register("st_isring", g1 {
+      case GLine(p) => Some(p.head == p.last && p.size >= 4)
+      case _ => Some(false)
+    })
+    spark.udf.register("st_boundary", g1 {
+      case GLine(p) =>
+        Some(toWkt(if (p.head == p.last) GMultiPoint(Vector())
+          else GMultiPoint(Vector(p.head, p.last))))
+      case GPolygon(r) =>
+        Some(toWkt(if (r.size == 1) GLine(r.head) else GMultiLine(r.map(GLine))))
+      case _: GPoint => Some("GEOMETRYCOLLECTION EMPTY")
+      case _ => None
+    })
+
+    // --------------------------------------------------- point helpers
+    spark.udf.register("st_longitude",
+      g1 { case GPoint(x, _) => Some(x); case _ => None })
+    spark.udf.register("st_latitude",
+      g1 { case GPoint(_, y) => Some(y); case _ => None })
+    spark.udf.register("st_swapxy", g1(g => Some(toWkt(swapXY(g)))))
+    spark.udf.register("st_makeenvelope",
+      (x0: Double, y0: Double, x1: Double, y1: Double) => {
+        val (a, b) = (math.min(x0, x1), math.max(x0, x1))
+        val (c, d) = (math.min(y0, y1), math.max(y0, y1))
+        toWkt(GPolygon(Vector(Vector((a, c), (b, c), (b, d), (a, d), (a, c)))))
+      })
+    spark.udf.register("st_latfromgeohash",
+      (h: String) => geohashDecode(h).map(_.y))
+    spark.udf.register("st_longfromgeohash",
+      (h: String) => geohashDecode(h).map(_.x))
+    spark.udf.register("st_validate",
+      (w: String) => parseWkt(w).map(toWkt).orNull)
+    spark.udf.register("st_pointonsurface", g1 {
+      case p: GPoint => Some(toWkt(p))
+      case l: GLine => Some(toWkt(GPoint(l.pts.head._1, l.pts.head._2)))
+      case poly: GPolygon =>
+        val c = centroid(poly).asInstanceOf[GPoint]
+        if (pipState((c.x, c.y), poly) >= 0) Some(toWkt(c))
+        else {
+          // centroid outside (concave): first vertex-midpoint probe inside
+          val shell = poly.rings.head
+          val probe = shell.sliding(2).map(s =>
+            ((s(0)._1 + s(1)._1) / 2, (s(0)._2 + s(1)._2) / 2))
+            .find(m => pipState(m, poly) > 0)
+          probe.map(m => toWkt(GPoint(m._1, m._2)))
+            .orElse(Some(toWkt(GPoint(shell.head._1, shell.head._2))))
+        }
+      case _ => None
+    })
+
+    // --------------------------------------------------- more predicates
+    spark.udf.register("st_equals", g2((a, b) => Some(geomEquals(a, b))))
+    spark.udf.register("st_touches", g2((a, b) => Some(touches(a, b))))
+    spark.udf.register("st_crosses", g2(crosses))
+    spark.udf.register("st_overlaps", g2(overlaps))
+    spark.udf.register("st_covers", g2((a, b) => covers(a, b)))
+    spark.udf.register("st_coveredby", g2((a, b) => covers(b, a)))
+
+    // ----------------------------------- linear referencing + distances
+    spark.udf.register("st_lineinterpolatepoint", (w: String, f: Double) =>
+      parseWkt(w).flatMap(GeoOverlay.lineInterpolatePoint(_, f)).map(toWkt).orNull)
+    spark.udf.register("st_pointatdistance", (w: String, d: Double) =>
+      parseWkt(w).flatMap(GeoOverlay.pointAtDistance(_, d)).map(toWkt).orNull)
+    spark.udf.register("st_frechetdistance", g2(GeoOverlay.frechet))
+    spark.udf.register("st_hausdorffdistance", g2(GeoOverlay.hausdorff))
+  }
+
+  // --------------------------------------- predicate kernels (exact ops)
+  def swapXY(g: Geom): Geom = g match {
+    case GPoint(x, y) => GPoint(y, x)
+    case GLine(p) => GLine(p.map(_.swap))
+    case GPolygon(r) => GPolygon(r.map(_.map(_.swap)))
+    case GMultiPoint(p) => GMultiPoint(p.map(_.swap))
+    case GMultiLine(ls) => GMultiLine(ls.map(l => GLine(l.pts.map(_.swap))))
+    case GMultiPolygon(ps) => GMultiPolygon(ps.map(p => GPolygon(p.rings.map(_.map(_.swap)))))
+    case GCollection(gs) => GCollection(gs.map(swapXY))
+  }
+
+  /** Non-strict containment: no vertex or edge-midpoint of b outside a
+    * (boundary allowed) — OGC covers for the supported combinations.
+    */
+  def covers(a: Geom, b: Geom): Option[Boolean] = a match {
+    case poly: GPolygon =>
+      val probes = vertices(b) ++ segments(b).map { case (c, d) =>
+        ((c._1 + d._1) / 2, (c._2 + d._2) / 2)
+      }
+      Some(probes.forall(pipState(_, poly) >= 0))
+    case l: GLine => b match {
+      case GPoint(x, y) =>
+        Some(segments(l).exists { case (c, d) => pointSegDist((x, y), c, d) < 1e-12 })
+      case _ => None
+    }
+    case p: GPoint => Some(vertices(b).forall(v => segLen(v, (p.x, p.y)) < 1e-12))
+    case mp: GMultiPolygon => Some(parts(b).forall(part =>
+      mp.polys.exists(poly => covers(poly, part).contains(true))))
+    case _ => None
+  }
+
+  /** Topological equality via mutual covers (same point set). */
+  def geomEquals(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (GPoint(x1, y1), GPoint(x2, y2)) => segLen((x1, y1), (x2, y2)) < 1e-12
+    case _ =>
+      dimension(a) == dimension(b) &&
+        covers(a, b).contains(true) && covers(b, a).contains(true)
+  }
+
+  /** Interiors disjoint but boundaries meet. */
+  def touches(a: Geom, b: Geom): Boolean = {
+    if (!intersects(a, b)) return false
+    !interiorsIntersect(a, b)
+  }
+
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (p: GPoint, poly: GPolygon) => pipState((p.x, p.y), poly) == 1
+    case (poly: GPolygon, p: GPoint) => pipState((p.x, p.y), poly) == 1
+    case (p: GPoint, l: GLine) =>
+      // point interior to the line (on it, not an endpoint)
+      segments(l).exists { case (c, d) => pointSegDist((p.x, p.y), c, d) < 1e-12 } &&
+        segLen((p.x, p.y), l.pts.head) > 1e-12 && segLen((p.x, p.y), l.pts.last) > 1e-12
+    case (l: GLine, p: GPoint) => interiorsIntersect(p, l)
+    case (l: GLine, poly: GPolygon) =>
+      probesOf(l).exists(pipState(_, poly) == 1)
+    case (poly: GPolygon, l: GLine) => interiorsIntersect(l, poly)
+    case (pa: GPolygon, pb: GPolygon) =>
+      probesOf(pa).exists(pipState(_, pb) == 1) ||
+        probesOf(pb).exists(pipState(_, pa) == 1) ||
+        properCrossing(pa, pb)
+    case (la: GLine, lb: GLine) => properCrossing(la, lb)
+    case _ =>
+      parts(a).exists(x => parts(b).exists(y => interiorsIntersect(x, y)))
+  }
+
+  private def probesOf(g: Geom): Iterator[Pt] =
+    vertices(g).iterator ++ segments(g).map { case (c, d) =>
+      ((c._1 + d._1) / 2, (c._2 + d._2) / 2)
+    }
+
+  private def properCrossing(a: Geom, b: Geom): Boolean =
+    segments(a).exists { case (p, q) =>
+      segments(b).exists { case (c, d) =>
+        def orient(o: Pt, u: Pt, v: Pt): Double =
+          (u._1 - o._1) * (v._2 - o._2) - (u._2 - o._2) * (v._1 - o._1)
+        val o1 = orient(p, q, c); val o2 = orient(p, q, d)
+        val o3 = orient(c, d, p); val o4 = orient(c, d, q)
+        ((o1 > 1e-12 && o2 < -1e-12) || (o1 < -1e-12 && o2 > 1e-12)) &&
+          ((o3 > 1e-12 && o4 < -1e-12) || (o3 < -1e-12 && o4 > 1e-12))
+      }
+    }
+
+  /** OGC crosses: dim(a)≠dim(b) (or both lines) and interiors share
+    * some but not all points.
+    */
+  def crosses(a: Geom, b: Geom): Option[Boolean] = (a, b) match {
+    case (l: GLine, poly: GPolygon) =>
+      val probes = probesOf(l).map(pipState(_, poly)).toVector
+      Some(probes.contains(1) && probes.contains(-1))
+    case (poly: GPolygon, l: GLine) => crosses(l, poly)
+    case (la: GLine, lb: GLine) => Some(properCrossing(la, lb))
+    case (p: GPoint, _) => Some(false)
+    case (_, p: GPoint) => Some(false)
+    case _ => None
+  }
+
+  /** Same-dimension interiors overlap, neither covers the other. */
+  def overlaps(a: Geom, b: Geom): Option[Boolean] = {
+    if (dimension(a) != dimension(b)) return Some(false)
+    (a, b) match {
+      case (pa: GPolygon, pb: GPolygon) =>
+        Some(interiorsIntersect(pa, pb) &&
+          !covers(pa, pb).contains(true) && !covers(pb, pa).contains(true))
+      case _ => None
     }
   }
 }

@@ -123,7 +123,74 @@ object GeoQueries extends QueryModule {
       |      FROM part)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Overlay set ops, convex hull, simplify, buffer, and WKB/GeoJSON io
+    * over per-part synthesized rectangles whose overlap is closed-form:
+    * rect A = (0,0)-(w,h); rect B = A shifted by (w/2+0.25, h/2+0.25),
+    * so the overlap box is (w/2-0.25)×(h/2-0.25) and never degenerate.
+    * The oracle recomputes every area from the closed forms, the WKB
+    * known-answer bytes as a hex literal, and the GeoJSON/round-trip
+    * strings by direct construction.
+    */
+  private def geo3(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.init(s)
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey,
+        |  round(st_area(st_intersection(ra, rb)), 6) AS ai,
+        |  round(st_area(st_union(ra, rb)), 6) AS au,
+        |  round(st_area(st_difference(ra, rb)), 6) AS ad,
+        |  round(st_area(st_symdifference(ra, rb)), 6) AS asym,
+        |  round(st_area(st_convexhull(zig)), 6) AS hull_area,
+        |  round(st_length(st_simplify(wiggle, 0.5)), 6) AS simp_len,
+        |  round(st_area(st_buffer(pt, r)), 6) AS buf_area,
+        |  hex(st_aswkb('POINT(1 2)')) AS wkb_hex,
+        |  st_astext(st_geomfromwkb(st_aswkb(ra))) AS wkb_rt,
+        |  st_asgeojson(pt) AS gj
+        |FROM (
+        |  SELECT p_partkey, w, h, r,
+        |    concat('POLYGON((0 0,', w, ' 0,', w, ' ', h, ',0 ', h, ',0 0))') AS ra,
+        |    concat('POLYGON((', dx, ' ', dy, ',', dx + w, ' ', dy, ',',
+        |           dx + w, ' ', dy + h, ',', dx, ' ', dy + h, ',', dx, ' ', dy, '))') AS rb,
+        |    concat('LINESTRING(0 0,', w, ' 0,', w / 4, ' ', h / 4, ',0 ', h, ')') AS zig,
+        |    concat('LINESTRING(0 0,', w / 2, ' 0.1,', w, ' 0)') AS wiggle,
+        |    concat('POINT(', w / 4, ' ', h / 4, ')') AS pt
+        |  FROM (SELECT p_partkey,
+        |          CAST(p_partkey % 40 AS DOUBLE) + 2.5 AS w,
+        |          CAST(p_partkey % 20 AS DOUBLE) + 3.5 AS h,
+        |          CAST(p_partkey % 40 AS DOUBLE) / 2 + 1.5 AS dx,
+        |          CAST(p_partkey % 20 AS DOUBLE) / 2 + 2.0 AS dy,
+        |          CAST(p_partkey % 5 AS DOUBLE) + 1.5 AS r
+        |        FROM part))
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val geo3Sql =
+    """SELECT p_partkey,
+      |  round(ox * oy, 6) AS ai,
+      |  round(2 * w * h - ox * oy, 6) AS au,
+      |  round(w * h - ox * oy, 6) AS ad,
+      |  round(2 * (w * h - ox * oy), 6) AS asym,
+      |  round(w * h / 2, 6) AS hull_area,
+      |  round(w, 6) AS simp_len,
+      |  round(0.5 * 32 * r * r * sin(2 * pi() / 32), 6) AS buf_area,
+      |  '0101000000000000000000F03F0000000000000040' AS wkb_hex,
+      |  'POLYGON((0 0,' || CAST(w AS VARCHAR) || ' 0,' || CAST(w AS VARCHAR) || ' '
+      |    || CAST(h AS VARCHAR) || ',0 ' || CAST(h AS VARCHAR) || ',0 0))' AS wkb_rt,
+      |  '{"type":"Point","coordinates":[' || CAST(w / 4 AS VARCHAR) || ','
+      |    || CAST(h / 4 AS VARCHAR) || ']}' AS gj
+      |FROM (SELECT p_partkey, w, h, r,
+      |        (w - dx) AS ox, (h - dy) AS oy
+      |      FROM (SELECT p_partkey,
+      |              CAST(p_partkey % 40 AS DOUBLE) + 2.5 AS w,
+      |              CAST(p_partkey % 20 AS DOUBLE) + 3.5 AS h,
+      |              CAST(p_partkey % 40 AS DOUBLE) / 2 + 1.5 AS dx,
+      |              CAST(p_partkey % 20 AS DOUBLE) / 2 + 2.0 AS dy,
+      |              CAST(p_partkey % 5 AS DOUBLE) + 1.5 AS r
+      |            FROM part))
+      |ORDER BY p_partkey""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("geo1_point_ops", geo1, Some(geo1Sql)),
-    Q("geo2_polygon_ops", geo2, Some(geo2Sql)))
+    Q("geo2_polygon_ops", geo2, Some(geo2Sql)),
+    Q("geo3_set_ops", geo3, Some(geo3Sql)))
 }

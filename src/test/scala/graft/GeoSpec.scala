@@ -142,4 +142,191 @@ class GeoSpec extends AnyFunSuite {
     // accent-insensitive under ci (general_ci folds é to e)
     assert(Collations.strcmp("café", "cafe", "utf8mb4_general_ci").contains(0))
   }
+
+  // ------------------------------------------------- round-6 additions
+  import graft.functions.GeoOverlay
+
+  test("multi-geometry wkt round-trips, type/dimension, area/length sums") {
+    for (w <- Seq(
+        "MULTIPOINT((1 2),(3 4))",
+        "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 2))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((2 0,3 0,3 1,2 1,2 0)))",
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))",
+        "GEOMETRYCOLLECTION EMPTY"))
+      assert(G.toWkt(geom(w)) == w)
+    // bare-coordinate MULTIPOINT spelling also accepted
+    assert(G.toWkt(geom("MULTIPOINT(1 2, 3 4)")) == "MULTIPOINT((1 2),(3 4))")
+    val mp = geom("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((3 0,4 0,4 1,3 1,3 0)))")
+    assert(G.area(mp).contains(5.0))
+    assert(G.geometryType(mp) == "MULTIPOLYGON" && G.dimension(mp) == 2)
+    assert(G.length(geom("MULTILINESTRING((0 0,3 0),(0 0,0 4))")).contains(7.0))
+    assert(G.intersects(mp, geom("POINT(3.5 0.5)")))
+    assert(!G.intersects(mp, geom("POINT(2.5 0.5)")))
+  }
+
+  test("convex hull: zigzag line, point cloud, collinear degenerate") {
+    assert(G.toWkt(GeoOverlay.convexHull(geom("LINESTRING(0 0,4 0,1 1,0 4,4 4)"))) ==
+      "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(G.toWkt(GeoOverlay.convexHull(geom("MULTIPOINT((0 0),(2 1),(1 0),(0 2))"))) ==
+      "POLYGON((0 0,1 0,2 1,0 2,0 0))")
+    assert(G.toWkt(GeoOverlay.convexHull(geom("LINESTRING(0 0,1 1,2 2)"))) ==
+      "LINESTRING(0 0,2 2)")
+    assert(G.toWkt(GeoOverlay.convexHull(geom("POINT(5 6)"))) == "POINT(5 6)")
+  }
+
+  test("simplify: douglas-peucker drops sub-tolerance wiggles only") {
+    val l = geom("LINESTRING(0 0,2 0.1,4 0,6 3,8 0)")
+    assert(G.toWkt(GeoOverlay.simplify(l, 0.5)) == "LINESTRING(0 0,4 0,6 3,8 0)")
+    assert(G.toWkt(GeoOverlay.simplify(l, 0.05)) == G.toWkt(l))
+    val poly = geom("POLYGON((0 0,2 0.05,4 0,4 4,0 4,0 0))")
+    assert(G.area(GeoOverlay.simplify(poly, 0.5)).contains(16.0))
+  }
+
+  test("overlay: rectangle intersection/union/difference/symdifference areas") {
+    val a = geom("POLYGON((0 0,4 0,4 4,0 4,0 0))").asInstanceOf[G.GPolygon]
+    val b = geom("POLYGON((2 2,6 2,6 6,2 6,2 2))").asInstanceOf[G.GPolygon]
+    def areaOf(op: String) = G.area(GeoOverlay.overlay(op, a, b).get).get
+    assert(math.abs(areaOf("intersection") - 4.0) < 1e-9)
+    assert(math.abs(areaOf("union") - 28.0) < 1e-9)
+    assert(math.abs(areaOf("difference") - 12.0) < 1e-9)
+    assert(math.abs(areaOf("symdifference") - 24.0) < 1e-9)
+    // disjoint: empty intersection, multipolygon union
+    val far = geom("POLYGON((10 10,12 10,12 12,10 12,10 10))").asInstanceOf[G.GPolygon]
+    assert(G.toWkt(GeoOverlay.overlay("intersection", a, far).get) ==
+      "GEOMETRYCOLLECTION EMPTY")
+    val u = GeoOverlay.overlay("union", a, far).get
+    assert(G.geometryType(u) == "MULTIPOLYGON" && G.area(u).contains(20.0))
+    // containment: difference leaves a donut (shell + hole)
+    val inner = geom("POLYGON((1 1,2 1,2 2,1 2,1 1))").asInstanceOf[G.GPolygon]
+    val donut = GeoOverlay.overlay("difference", a, inner).get
+    assert(G.area(donut).contains(15.0))
+    assert(G.contains(donut, geom("POINT(1.5 1.5)")).contains(false))
+    assert(G.contains(donut, geom("POINT(0.5 0.5)")).contains(true))
+  }
+
+  test("overlay: triangle x rectangle (non-axis-aligned edges)") {
+    val tri = geom("POLYGON((0 0,8 0,0 8,0 0))").asInstanceOf[G.GPolygon]
+    val rect = geom("POLYGON((0 0,4 0,4 4,0 4,0 0))").asInstanceOf[G.GPolygon]
+    // overlap: rect minus its top-right corner triangle = 16 - 0 ... the
+    // hypotenuse x+y=8 clips the (4,4) corner exactly at one point, so
+    // intersection = full rect
+    assert(math.abs(G.area(GeoOverlay.overlay("intersection", tri, rect).get).get - 16.0) < 1e-9)
+    val rect2 = geom("POLYGON((2 2,10 2,10 10,2 10,2 2))").asInstanceOf[G.GPolygon]
+    // tri ∩ rect2: triangle cut by x>=2, y>=2: vertices (2,2),(6,2),(2,6) area 8
+    assert(math.abs(G.area(GeoOverlay.overlay("intersection", tri, rect2).get).get - 8.0) < 1e-9)
+    assert(math.abs(G.area(GeoOverlay.overlay("union", tri, rect2).get).get -
+      (32.0 + 64.0 - 8.0)) < 1e-9)
+  }
+
+  test("buffer: point 32-gon and convex polygon offset") {
+    val pb = GeoOverlay.buffer(geom("POINT(1 1)"), 2.0).get
+    val n = GeoOverlay.BufferSegs
+    val expected = 0.5 * n * 4.0 * math.sin(2 * math.Pi / n)
+    assert(math.abs(G.area(pb).get - expected) < 1e-9)
+    // convex polygon: area grows by ~perimeter*d + pi*d^2 (arc fans)
+    val sq = geom("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    val sb = GeoOverlay.buffer(sq, 1.0).get
+    val grown = G.area(sb).get
+    assert(grown > 100 + 40 * 1.0 + 3.0 && grown < 100 + 40 * 1.0 + math.Pi + 1e-9)
+    // concave + line: documented NULL
+    assert(GeoOverlay.buffer(geom("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))"), 1.0).isEmpty)
+    assert(GeoOverlay.buffer(geom("LINESTRING(0 0,1 1)"), 1.0).isEmpty)
+  }
+
+  test("wkb: known-answer bytes, both endians read, round-trips") {
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    assert(hex(GeoOverlay.toWkb(geom("POINT(1 2)"))) ==
+      "0101000000000000000000F03F0000000000000040")
+    for (w <- Seq("POINT(1.5 -2.25)", "LINESTRING(0 0,1 1,2 0)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOINT((1 2),(3 4))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))"))
+      assert(GeoOverlay.fromWkb(GeoOverlay.toWkb(geom(w))).map(G.toWkt).contains(w))
+    // big-endian POINT(1 2)
+    val be = java.math.BigInteger.valueOf(0).toByteArray // placeholder
+    val beBytes = Array[Byte](0, 0, 0, 0, 1) ++
+      java.nio.ByteBuffer.allocate(16).putDouble(1.0).putDouble(2.0).array()
+    assert(GeoOverlay.fromWkb(beBytes).map(G.toWkt).contains("POINT(1 2)"))
+    assert(GeoOverlay.fromWkb(Array[Byte](1, 2, 3)).isEmpty)
+    assert(GeoOverlay.fromWkb(null).isEmpty)
+  }
+
+  test("geojson: emit + parse round-trips, nested types") {
+    assert(GeoOverlay.toGeoJson(geom("POINT(1.5 2)")) ==
+      """{"type":"Point","coordinates":[1.5,2]}""")
+    assert(GeoOverlay.toGeoJson(geom("POLYGON((0 0,1 0,1 1,0 1,0 0))")) ==
+      """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}""")
+    for (w <- Seq("POINT(1.5 -2.25)", "LINESTRING(0 0,1 1)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOINT((1 2),(3 4))", "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))"))
+      assert(GeoOverlay.fromGeoJson(GeoOverlay.toGeoJson(geom(w))).map(G.toWkt).contains(w))
+    // whitespace-tolerant parse
+    assert(GeoOverlay.fromGeoJson("""{ "type": "Point", "coordinates": [3, 4] }""")
+      .map(G.toWkt).contains("POINT(3 4)"))
+    assert(GeoOverlay.fromGeoJson("""{"type":"Nope","coordinates":[]}""").isEmpty)
+    assert(GeoOverlay.fromGeoJson("not json").isEmpty)
+  }
+
+  test("predicates: equals/touches/crosses/overlaps/covers") {
+    val sq = geom("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    val sqRot = geom("POLYGON((4 0,4 4,0 4,0 0,4 0))") // same ring, shifted start
+    assert(G.geomEquals(sq, sqRot))
+    assert(!G.geomEquals(sq, geom("POLYGON((0 0,4 0,4 4,0 4.5,0 0))")))
+    val adjacent = geom("POLYGON((4 0,8 0,8 4,4 4,4 0))")
+    assert(G.touches(sq, adjacent))
+    assert(!G.touches(sq, geom("POLYGON((3 3,5 3,5 5,3 5,3 3))"))) // interior overlap
+    assert(G.touches(sq, geom("POINT(4 2)")) && !G.touches(sq, geom("POINT(2 2)")))
+    assert(G.crosses(geom("LINESTRING(-1 2,5 2)"), sq).contains(true))
+    assert(G.crosses(geom("LINESTRING(1 1,2 2)"), sq).contains(false)) // wholly inside
+    assert(G.crosses(geom("LINESTRING(0 0,4 4)"), geom("LINESTRING(0 4,4 0)")).contains(true))
+    assert(G.overlaps(sq, geom("POLYGON((2 2,6 2,6 6,2 6,2 2))")).contains(true))
+    assert(G.overlaps(sq, geom("POLYGON((1 1,2 1,2 2,1 2,1 1))")).contains(false))
+    assert(G.covers(sq, geom("POINT(4 0)")).contains(true))   // boundary counts
+    assert(G.contains(sq, geom("POINT(4 0)")).contains(false)) // strict interior
+  }
+
+  test("linear referencing + curve distances") {
+    val l = geom("LINESTRING(0 0,3 0,3 4)") // length 7
+    assert(G.toWkt(GeoOverlay.lineInterpolatePoint(l, 0.5).get) == "POINT(3 0.5)")
+    assert(G.toWkt(GeoOverlay.pointAtDistance(l, 3.0).get) == "POINT(3 0)")
+    assert(G.toWkt(GeoOverlay.pointAtDistance(l, 7.0).get) == "POINT(3 4)")
+    assert(GeoOverlay.pointAtDistance(l, 8.0).isEmpty)
+    assert(GeoOverlay.frechet(geom("LINESTRING(0 0,1 0)"), geom("LINESTRING(0 1,1 1)"))
+      .contains(1.0))
+    assert(GeoOverlay.hausdorff(geom("LINESTRING(0 0,10 0)"), geom("LINESTRING(0 3,10 3)"))
+      .contains(3.0))
+  }
+
+  test("new sql names registered end-to-end") {
+    val spark = SparkTestSession.spark
+    GraftSession.init(spark)
+    val r = spark.sql(
+      """SELECT
+        |  st_area(st_intersection('POLYGON((0 0,4 0,4 4,0 4,0 0))',
+        |                          'POLYGON((2 2,6 2,6 6,2 6,2 2))')) ai,
+        |  st_astext(st_convexhull('LINESTRING(0 0,4 0,1 1,0 4,4 4)')) hull,
+        |  hex(st_aswkb('POINT(1 2)')) wkb,
+        |  st_astext(st_geomfromwkb(st_aswkb('LINESTRING(0 0,1 1)'))) rt,
+        |  st_asgeojson('POINT(1.5 2)') gj,
+        |  st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[3,4]}')) gp,
+        |  st_equals('POLYGON((0 0,4 0,4 4,0 4,0 0))',
+        |            'POLYGON((4 0,4 4,0 4,0 0,4 0))') eq,
+        |  st_numgeometries('MULTIPOINT((1 2),(3 4))') ng,
+        |  st_astext(st_exteriorring('POLYGON((0 0,1 0,1 1,0 1,0 0))')) ext,
+        |  st_astext(st_lineinterpolatepoint('LINESTRING(0 0,3 0,3 4)', 0.5)) ip
+        |""".stripMargin).head
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-9)
+    assert(r.getString(1) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(r.getString(2) == "0101000000000000000000F03F0000000000000040")
+    assert(r.getString(3) == "LINESTRING(0 0,1 1)")
+    assert(r.getString(4) == """{"type":"Point","coordinates":[1.5,2]}""")
+    assert(r.getString(5) == "POINT(3 4)")
+    assert(r.getBoolean(6))
+    assert(r.getInt(7) == 2)
+    assert(r.getString(8) == "LINESTRING(0 0,1 0,1 1,0 1,0 0)")
+    assert(r.getString(9) == "POINT(3 0.5)")
+  }
 }
