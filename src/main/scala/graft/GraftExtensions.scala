@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "in_range(v, lo, hi, mode) - range predicate; mode bit0 = strict " +
         "lower bound, bit1 = strict upper bound",
       args => inRange(args(0), args(1), args(2), args(3)))
+    // hot geometry predicates as native expressions: foldable sides parse
+    // once per operator, WKB binary operands accepted (GeoFunctions keeps
+    // the WKT UDFs for the long tail)
+    graft.functions.GeoPredicateExpr.ops.foreach { op =>
+      val name = graft.functions.GeoPredicateExpr.sqlName(op)
+      register(e, name, s"$name(g1, g2) - geometry predicate over WKT or WKB",
+        args => graft.functions.GeoPredicateExpr(op, args(0), args(1)))
+    }
   }
 
   /** The reference's zonemappable `in_range` operator

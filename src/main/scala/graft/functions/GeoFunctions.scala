@@ -568,10 +568,13 @@ object GeoFunctions {
   private val areaU = udf(g1(area))
   private val distanceU = udf(g2((a, b) => Some(distance(a, b))))
   private val distanceSphereU = udf(g2(distanceSphere))
-  private val containsU = udf(g2(contains))
-  private val withinU = udf(g2(within))
-  private val intersectsU = udf(g2((a, b) => Some(intersects(a, b))))
-  private val disjointU = udf(g2((a, b) => Some(!intersects(a, b))))
+  // hot predicates route to the native expression (foldable-side parse
+  // caching, WKB operands) — same semantics as the kernel fns above
+  private def geoPred(op: String, a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(GeoPredicateExpr(op,
+      GraftColumnBridge.eagerExpression(a), GraftColumnBridge.eagerExpression(b)))
+  }
   private val envelopeU = udf(g1(g => Some(toWkt(envelope(g)))))
   private val centroidU = udf(g1(g => Some(toWkt(centroid(g)))))
   private val geohashU = udf((lon: Double, lat: Double, len: Int) => geohashEncode(lon, lat, len))
@@ -594,10 +597,11 @@ object GeoFunctions {
   def st_area(w: Column): Column = areaU(w)
   def st_distance(a: Column, b: Column): Column = distanceU(a, b)
   def st_distance_sphere(a: Column, b: Column): Column = distanceSphereU(a, b)
-  def st_contains(a: Column, b: Column): Column = containsU(a, b)
-  def st_within(a: Column, b: Column): Column = withinU(a, b)
-  def st_intersects(a: Column, b: Column): Column = intersectsU(a, b)
-  def st_disjoint(a: Column, b: Column): Column = disjointU(a, b)
+  def st_contains(a: Column, b: Column): Column = geoPred("contains", a, b)
+  def st_within(a: Column, b: Column): Column = geoPred("within", a, b)
+  def st_intersects(a: Column, b: Column): Column = geoPred("intersects", a, b)
+  def st_disjoint(a: Column, b: Column): Column = geoPred("disjoint", a, b)
+  def mbr_relate(op: String, a: Column, b: Column): Column = geoPred(s"mbr:$op", a, b)
   def st_envelope(w: Column): Column = envelopeU(w)
   def st_centroid(w: Column): Column = centroidU(w)
   def st_geohash(lon: Column, lat: Column, len: Column): Column = geohashU(lon, lat, len)
@@ -616,12 +620,10 @@ object GeoFunctions {
       for { x <- parseWkt(a); y <- parseWkt(b); d <- distanceSphere(x, y) } yield d)
     spark.udf.register("st_length", (w: String) => parseWkt(w).flatMap(length))
     spark.udf.register("st_area", (w: String) => parseWkt(w).flatMap(area))
-    spark.udf.register("st_contains", (a: String, b: String) =>
-      (for { x <- parseWkt(a); y <- parseWkt(b); r <- contains(x, y) } yield r))
-    spark.udf.register("st_within", (a: String, b: String) =>
-      (for { x <- parseWkt(a); y <- parseWkt(b); r <- within(x, y) } yield r))
-    spark.udf.register("st_intersects", (a: String, b: String) =>
-      (for { x <- parseWkt(a); y <- parseWkt(b) } yield intersects(x, y)))
+    // st_contains/st_within/st_intersects/st_disjoint and the mbr* family
+    // are NOT udf-registered: GraftExtensions injects them as native
+    // expressions (GeoPredicateExpr) and a udf.register here would shadow
+    // them back to the slow path
     spark.udf.register("st_envelope", (w: String) => parseWkt(w).map(g => toWkt(envelope(g))).orNull)
     spark.udf.register("st_centroid", (w: String) => parseWkt(w).map(g => toWkt(centroid(g))).orNull)
     spark.udf.register("st_geohash", (lon: Double, lat: Double, len: Int) =>
@@ -646,12 +648,6 @@ object GeoFunctions {
     })
     spark.udf.register("st_isclosed",
       g1 { case GLine(p) => Some(p.head == p.last); case _ => None })
-    spark.udf.register("st_disjoint", g2((a, b) => Some(!intersects(a, b))))
-    Seq("contains", "coveredby", "covers", "disjoint", "equals",
-      "intersects", "overlaps", "touches", "within").foreach { op =>
-      spark.udf.register(s"mbr$op", g2((a, b) => Some(mbrRelate(op, a, b))))
-    }
-
     // ------------------------------------------- overlay / constructive
     Seq("union", "intersection", "difference", "symdifference").foreach { op =>
       spark.udf.register(s"st_$op",

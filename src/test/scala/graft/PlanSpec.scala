@@ -70,4 +70,30 @@ class PlanSpec extends AnyFunSuite {
     // a non-empty PartitionFilters entry on the postings scan
     assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
   }
+
+  test("geo: hot predicates are native expressions, not ScalaUDFs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GeoFunctions => G}
+    GraftSession.init(spark)
+    val rect = lit("POLYGON((-90 -45,90 -45,90 45,-90 45,-90 -45))")
+    val df = spark.range(10).select(
+      concat(lit("POINT("), col("id").cast("string"), lit(" 1)")).as("w"))
+    val filtered = df.filter(G.st_contains(rect, col("w")))
+      .withColumn("i", G.st_intersects(col("w"), rect))
+      .withColumn("m", G.mbr_relate("within", col("w"), rect))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF"), "geo predicate still routes a ScalaUDF\n" + p)
+    assert(p.contains("st_contains"), p)
+    // SQL names resolve to the same native expression
+    val sqlPlan = spark.sql(
+      """SELECT st_contains('POLYGON((0 0,4 0,4 4,0 4,0 0))', 'POINT(1 1)') c,
+        |       mbrintersects('POINT(1 1)', 'POLYGON((0 0,4 0,4 4,0 4,0 0))') m
+        |""".stripMargin)
+    assert(!sqlPlan.queryExecution.executedPlan.toString.contains("UDF"))
+    assert(sqlPlan.head.getBoolean(0) && sqlPlan.head.getBoolean(1))
+    // WKB operands evaluate without reparsing WKT
+    val viaWkb = spark.sql(
+      "SELECT st_within(st_aswkb('POINT(1 1)'), st_aswkb('POLYGON((0 0,4 0,4 4,0 4,0 0))'))")
+    assert(viaWkb.head.getBoolean(0))
+  }
 }
