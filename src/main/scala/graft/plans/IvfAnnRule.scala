@@ -23,6 +23,15 @@ private[plans] object AnnSortPattern {
       Some(a.toFloatArray().map(_.toDouble))
     case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
       Some(a.toDoubleArray())
+    // the SQL surface writes `array(0.1, ...)` — a foldable CreateArray,
+    // not yet a Literal when a post-hoc resolution rule sees it
+    case _ if e.foldable => e.dataType match {
+      case ArrayType(FloatType, _) =>
+        Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble))
+      case ArrayType(DoubleType, _) =>
+        Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+      case _ => None
+    }
     case _ => None
   }
 

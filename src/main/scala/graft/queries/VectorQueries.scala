@@ -241,7 +241,40 @@ object VectorQueries extends QueryModule {
     recallSummary(res, bf, perQ = 6, total = 40)
   }
 
+  // ---------------------------------------------- vs1 index DDL via SQL
+  /** The reference's vector-index DDL as raw SQL (`create index ...
+    * using ivfflat on t(col) lists=N op_type "vector_l2_ops"`, BVT
+    * `cases/vector/vector_ivfflat_include_end_to_end.sql:21`) through
+    * [[graft.sql.GraftSql]], then plain `ORDER BY l2_distance(...)
+    * LIMIT k` SQL that the ANN planner rule rewrites to the IVF probe —
+    * the full `create index` → `ivf_search` path with zero Scala API.
+    * Output is the same hard recall summary as v6.
+    */
+  private def vs1(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.createOrReplaceTempView("embeddings")
+    val ddl = graft.sql.GraftSql.sql(s,
+      """CREATE INDEX vs1_ivf USING IVFFLAT ON embeddings(embedding)
+        |lists=16 nprobe=8 op_type "vector_l2_ops"""".stripMargin)
+    assert(ddl.head.getAs[String]("status") == "created")
+    val qvecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val res = qvecs.map { case (id, v) =>
+      val arr = v.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT CAST($id AS BIGINT) AS query_id, vec_id AS neighbor_id
+           |FROM (SELECT * FROM embeddings
+           |      ORDER BY l2_distance(embedding, $arr) LIMIT 10)""".stripMargin)
+    }.reduce(_.unionByName(_))
+    val bf = Knn.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+      metric = Knn.L2)
+    recallSummary(res, bf, perQ = 3, total = 30)
+  }
+
   override val queries: Seq[Q] = Seq(
+    Q("vs1_index_ddl_sql", vs1, Some(recallSummarySql(10, 5))),
     Q("v9_ivfpq_knn", v9, Some(recallSummarySql(10, 5))),
     Q("v8_hnsw_knn", v8, Some(recallSummarySql(10, 5))),
     Q("v7_embedding_neardup_lsh", v7, Some(v7Sql)),

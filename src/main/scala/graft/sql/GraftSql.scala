@@ -52,7 +52,90 @@ object GraftSql {
     intervalRewrite(spark, q)
       .orElse(sampleRewrite(spark, q))
       .orElse(matchRewrite(spark, q))
+      .orElse(indexDdlRewrite(spark, q))
       .getOrElse(spark.sql(q))
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE INDEX name USING {IVFFLAT|HNSW|IVFPQ} ON tbl(col) [options]
+  // ------------------------------------------------------------------
+
+  private val CreateIndexRe =
+    ("""(?is)^create\s+index\s+(\w+)\s+using\s+(ivfflat|hnsw|ivfpq)\s+""" +
+      """on\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(.*)$""").r
+  private val DropIndexRe =
+    """(?is)^drop\s+index\s+(\w+)(?:\s+on\s+([A-Za-z_]\w*))?$""".r
+
+  /** The reference's vector-index DDL (`create index ... using ivfflat on
+    * t(col) lists=N op_type "vector_l2_ops"`, BVT
+    * `cases/vector/vector_ivfflat_*.sql`; HNSW params `m/ef_construction/
+    * ef_search`, `pkg/vectorindex/hnsw/`). Builds + registers the index
+    * through the same registries the ANN planner rules probe
+    * ([[graft.plans.IvfAnnRule]]), so a subsequent plain
+    * `ORDER BY l2_distance(col, array(...)) LIMIT k` takes the index —
+    * exactly the reference's `ivf_create` once / `ivf_search` per query
+    * split (`table_function.go:180-201`). `include(...)` carry columns
+    * are accepted and ignored: the probe here always joins back to the
+    * source row, so every column is available. Metric comes from the
+    * QUERY (the rule matches l2/cosine sorts); `op_type` is validated
+    * but not stored.
+    */
+  private def indexDdlRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    import spark.implicits._
+    q match {
+      case CreateIndexRe(name, method, table, vecCol, optsTxt) =>
+        val opts = parseIndexOpts(optsTxt)
+        val df = spark.table(table)
+        require(df.columns.contains(vecCol), s"no column $vecCol on $table")
+        val pk = primaryKeys.getOrElse(table, df.columns.head)
+        def iOpt(k: String, dflt: Int) = opts.get(k).map(_.toInt).getOrElse(dflt)
+        val key = s"$name-$table-$vecCol"
+        method.toLowerCase match {
+          case "ivfflat" =>
+            graft.plans.IvfIndex.forCorpus(key, df, vecCol,
+              nlist = iOpt("lists", 16), nprobe = iOpt("nprobe", 4))
+          case "hnsw" =>
+            graft.plans.HnswIndex.forCorpus(key, df, pk, vecCol,
+              m = iOpt("m", 16), efConstruction = iOpt("ef_construction", 100),
+              efSearch = iOpt("ef_search", 64))
+          case "ivfpq" =>
+            graft.plans.IvfPqIndex.forCorpus(key, df, pk, vecCol,
+              nlist = iOpt("lists", 16), mSub = iOpt("m", 8),
+              codebookSize = iOpt("codebook", 16), nprobe = iOpt("nprobe", 8))
+        }
+        Some(Seq((name, table, vecCol, method.toLowerCase, "created"))
+          .toDF("index_name", "table_name", "column_name", "method", "status"))
+      case DropIndexRe(name, tableOrNull) =>
+        val table = Option(tableOrNull)
+        val prefix = table.map(t => s"$name-$t-").getOrElse(s"$name-")
+        val dropped =
+          (graft.plans.IvfIndex.indexes.map(_.name) ++
+            graft.plans.HnswIndex.indexes.map(_.name) ++
+            graft.plans.IvfPqIndex.indexes.map(_.name))
+            .filter(n => n == name || n.startsWith(prefix)).distinct
+        dropped.foreach { n =>
+          graft.plans.IvfIndex.drop(n)
+          graft.plans.HnswIndex.drop(n)
+          graft.plans.IvfPqIndex.drop(n)
+        }
+        Some(Seq((name, if (dropped.nonEmpty) "dropped" else "not found"))
+          .toDF("index_name", "status"))
+      case _ => None
+    }
+  }
+
+  /** `lists=2 m=16 ef_construction=100 op_type "vector_l2_ops"
+    * include(a, b)` → key/value map (include list and op_type validated,
+    * then dropped).
+    */
+  private def parseIndexOpts(txt: String): Map[String, String] = {
+    val kv = """(?i)(\w+)\s*=\s*(\d+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+    """(?i)op_type\s*=?\s*["']?(\w+)["']?""".r.findFirstMatchIn(txt).foreach { m =>
+      val ot = m.group(1).toLowerCase
+      require(ot.startsWith("vector_"), s"unknown op_type $ot")
+    }
+    kv
   }
 
   // ------------------------------------------------------------------

@@ -118,4 +118,28 @@ class IvfAnnRuleSpec extends AnyFunSuite {
       assert(SparkEntry.queries("q1_pricing_summary")(spark, sf).count() == 6)
     } finally IvfIndex.clear()
   }
+
+  test("CREATE INDEX DDL via GraftSql arms the rewrite for plain SQL; DROP disarms") {
+    IvfIndex.clear()
+    corpus.createOrReplaceTempView("emb_ddl")
+    val arr = queryVec.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
+    def sqlKnn = spark.sql(
+      s"""SELECT vec_id FROM (SELECT * FROM emb_ddl
+         |ORDER BY l2_distance(embedding, $arr) LIMIT 10)""".stripMargin)
+    assert(!sqlKnn.queryExecution.optimizedPlan.toString.contains("__ivf_cell"))
+
+    val ddl = graft.sql.GraftSql.sql(spark,
+      """CREATE INDEX spec_ivf USING IVFFLAT ON emb_ddl(embedding)
+        |lists=8 nprobe=3 op_type "vector_l2_ops"""".stripMargin)
+    assert(ddl.head.getAs[String]("status") == "created")
+    try {
+      val planStr = sqlKnn.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("__ivf_cell"),
+        s"SQL-surface ANN rewrite did not fire:\n$planStr")
+      assert(sqlKnn.count() == 10)
+      val drop = graft.sql.GraftSql.sql(spark, "DROP INDEX spec_ivf ON emb_ddl")
+      assert(drop.head.getAs[String]("status") == "dropped")
+      assert(!sqlKnn.queryExecution.optimizedPlan.toString.contains("__ivf_cell"))
+    } finally IvfIndex.clear()
+  }
 }
