@@ -31,8 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(session => new graft.plans.IvfPqAnnRule(session))
     register(e, "l2_distance", "l2_distance(a, b) - euclidean distance of two vectors",
       args => L2DistanceExpr(args(0), args(1)))
-    register(e, "inner_product", "inner_product(a, b) - dot product of two vectors",
-      args => InnerProductExpr(args(0), args(1)))
+    // the reference's SQL inner_product is the NEGATIVE dot product (a
+    // distance, pkg/vectorindex/metric/distance_func.go:158-168 returns
+    // -sum); the positive kernel stays internal for cosine/norm reuse
+    register(e, "inner_product", "inner_product(a, b) - negative dot product (reference distance semantics)",
+      args => org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+        InnerProductExpr(args(0), args(1)), failOnError = false))
     register(e, "cosine_similarity", "cosine_similarity(a, b)",
       args => CosineSimilarityExpr(args(0), args(1)))
     // single-pass JSON mutation program (chains fuse at build time)

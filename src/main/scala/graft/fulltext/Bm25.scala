@@ -61,8 +61,155 @@ object Bm25 {
   private[fulltext] def tokensOf(c: Column, tokenizer: String): Column =
     tokenizer match {
       case "chinese" => CjkSegmenter.tokensCol(c)
-      case _ => tokens(c)
+      case "whitespace" => tokens(c)
+      case _ => simpleTokU(c)
     }
+
+  // -------------------------------------- reference default tokenizer
+  /** One emitted token: `tokenPos` is the sequential token counter the
+    * index stores as the position (adjacency basis for phrases).
+    */
+  private[graft] final case class SimpleTok(word: String, cpLen: Int, tokenPos: Int)
+
+  /** The reference's default ("simple") tokenizer
+    * (`pkg/monlp/tokenizer/simple.go`): breakers are ASCII
+    * non-alphanumerics plus Unicode punctuation/space; Latin runs
+    * (code points < 0x800) are emitted whole, lowercased, capped at 23
+    * UTF-8 bytes; CJK runs emit sliding character trigrams with the
+    * natural 2/1-gram tail (`outputCJK`, simple.go:181-207). Divergence
+    * noted: the reference bumps the token counter once more after a
+    * multi-character breaker run (simple.go:100-103); positions here
+    * are strictly sequential — phrase adjacency is unaffected for
+    * single-space text.
+    */
+  private[graft] def simpleTokenize(text: String): IndexedSeq[SimpleTok] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val cps = text.codePoints().toArray
+    def u8len(cp: Int) =
+      if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+    def isBreaker(cp: Int): Boolean =
+      if (cp < 128)
+        !(cp >= '0' && cp <= '9' || cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z')
+      else {
+        val t = Character.getType(cp)
+        t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
+        t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
+        t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
+        t == Character.FINAL_QUOTE_PUNCTUATION ||
+        Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+      }
+    // Go `isLatin`: fits in 1-2 UTF-8 bytes
+    def isLatin(cp: Int) = cp < 0x800
+    val out = Vector.newBuilder[SimpleTok]
+    var tokenPos = 0
+    var i = 0
+    while (i < cps.length) {
+      if (isBreaker(cps(i))) i += 1
+      else if (isLatin(cps(i))) {
+        val start = i
+        while (i < cps.length && !isBreaker(cps(i)) && isLatin(cps(i))) i += 1
+        var end = i
+        var bytes = 0
+        var j = start
+        while (j < end && bytes + u8len(cps(j)) <= 23) { bytes += u8len(cps(j)); j += 1 }
+        end = j // 23-byte cap on a rune boundary (MAX_TOKEN_SIZE)
+        out += SimpleTok(new String(cps, start, end - start).toLowerCase, end - start, tokenPos)
+        tokenPos += 1
+      } else {
+        val start = i
+        while (i < cps.length && !isBreaker(cps(i)) && !isLatin(cps(i))) i += 1
+        var a = start
+        while (a < i) {
+          val e = math.min(a + 3, i)
+          out += SimpleTok(new String(cps, a, e - a), e - a, tokenPos)
+          tokenPos += 1
+          a += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val simpleTokU = udf((text: String) => simpleTokenize(text).map(_.word))
+
+  /** Natural-language-mode pattern parse for the default parser
+    * (`ParsePatternInNLMode`, `fulltext.go:919-1000`): a pattern shorter
+    * than 3 code points is one prefix probe; otherwise overlapping CJK
+    * grams are skipped (keeping every 3rd), and a short surviving tail
+    * picks the longest overlap ending at the same place or falls back
+    * to a prefix probe. Returns (pattern, isStar, tokenPos).
+    */
+  private[graft] def nlParse(pattern: String): Seq[(String, Boolean, Int)] = {
+    val p = pattern.trim
+    if (p.isEmpty) return Nil
+    if (p.codePointCount(0, p.length) < 3)
+      return Seq((p.toLowerCase, true, 0))
+    val toks = simpleTokenize(p)
+    val out = Seq.newBuilder[(String, Boolean, Int)]
+    // recompute byte spans to mirror the Go overlap bookkeeping
+    def u8(s: String) = s.getBytes("UTF-8").length
+    // spans per token: CJK grams overlap; rebuild byte positions from
+    // the original text by walking code points again
+    val cps = p.codePoints().toArray
+    def u8cp(cp: Int) =
+      if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+    val byteAt = cps.scanLeft(0)((acc, cp) => acc + u8cp(cp))
+    // token start code-point index: recovered by replaying tokenization
+    // (same traversal order as simpleTokenize)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    locally {
+      def isBreaker(cp: Int): Boolean =
+        if (cp < 128)
+          !(cp >= '0' && cp <= '9' || cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z')
+        else {
+          val t = Character.getType(cp)
+          t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
+          t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
+          t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
+          t == Character.FINAL_QUOTE_PUNCTUATION ||
+          Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+        }
+      def isLatin(cp: Int) = cp < 0x800
+      var i = 0
+      while (i < cps.length) {
+        if (isBreaker(cps(i))) i += 1
+        else if (isLatin(cps(i))) {
+          starts += i
+          while (i < cps.length && !isBreaker(cps(i)) && isLatin(cps(i))) i += 1
+        } else {
+          val runEnd = {
+            var j = i
+            while (j < cps.length && !isBreaker(cps(j)) && !isLatin(cps(j))) j += 1
+            j
+          }
+          while (i < runEnd) { starts += i; i += 1 }
+        }
+      }
+    }
+    var currBegin = -1
+    var currEnd = -1
+    var overlaps = List.empty[(SimpleTok, Int, Int)] // (tok, byteBegin, byteEnd)
+    toks.zipWithIndex.foreach { case (t, k) =>
+      val b = byteAt(starts(k))
+      val e = b + u8(t.word) // byte length of the emitted (possibly capped) word
+      if (b >= currBegin && b < currEnd) {
+        overlaps = overlaps :+ ((t, b, e))
+      } else {
+        currBegin = b; currEnd = e
+        if (t.cpLen < 3) {
+          val longest = overlaps.find { case (_, _, oe) => oe == e }
+          longest match {
+            case Some((ot, _, _)) =>
+              out += ((ot.word, ot.cpLen < 3, ot.tokenPos))
+            case None =>
+              out += ((t.word, true, t.tokenPos))
+          }
+        } else out += ((t.word, false, t.tokenPos))
+        overlaps = Nil
+      }
+    }
+    out.result()
+  }
 
   /** MySQL-ngram-style postings: overlapping character n-grams over
     * lowercase alphanumeric runs, positions are global char offsets so
@@ -270,9 +417,25 @@ object Bm25 {
     // returns (leafIds-for-node, phrase groups as (leafIds, nWords))
     def collect(node: FtNode, weight: Double): (Seq[Int], Seq[(Seq[Int], Int)]) = node match {
       case FtText(t) =>
-        val id = nextId; nextId += 1
-        leafBuf += Leaf(id, "text", t, weight, -1)
-        (Seq(id), Nil)
+        // a TEXT word re-tokenizes through the NL parse (GenTextSql,
+        // `pkg/fulltext/sql.go:171-189`): one Latin word stays a term
+        // probe, a CJK word becomes a positional phrase of its grams
+        val parsed = nlParse(t)
+        if (parsed.length <= 1) {
+          val (pat, star) = parsed.headOption.map(p => (p._1, p._2))
+            .getOrElse((t.toLowerCase, false))
+          val id = nextId; nextId += 1
+          leafBuf += Leaf(id, if (star) "star" else "text", pat, weight, -1)
+          (Seq(id), Nil)
+        } else {
+          val base = parsed.head._3
+          val ids = parsed.map { case (pat, star, tokPos) =>
+            val id = nextId; nextId += 1
+            leafBuf += Leaf(id, if (star) "star" else "text", pat, weight, tokPos - base)
+            id
+          }
+          (ids, Seq((ids, parsed.length)))
+        }
       case FtStar(p) =>
         val id = nextId; nextId += 1
         leafBuf += Leaf(id, "star", p, weight, -1)
@@ -367,13 +530,69 @@ object Bm25 {
     * With `tokenizer = "chinese"` the query is segmented with the same
     * dictionary DP as the index.
     */
+  private val occCountU = udf((offs: Seq[Int], plists: Seq[Seq[Int]], nWords: Int) =>
+    if (offs.length != nWords) 0
+    else plists.zip(offs).map { case (ps, off) => ps.map(_ - off).toSet }
+      .reduce(_ intersect _).size)
+
+  /** The reference's natural-language mode, exactly: the WHOLE query is
+    * one positional phrase over its NL-parsed patterns (`patternToSql`
+    * routes NL mode through `SqlPhrase`, `pkg/fulltext/sql.go:575-580`;
+    * anchor grouping `sql.go:500-543`), so multi-word queries demand
+    * adjacency, not OR. Scoring follows `EvalLeaf`
+    * (`fulltext.go:192-233`) with the NL docvec/aggcnt bookkeeping
+    * (`table_function/fulltext.go:805-830`): every keyword's leaf gets
+    * tf = phrase occurrences and df = docs matching the phrase, so
+    *   tfidf: score = nwords · occ · log10(N/df)²
+    *   bm25:  score = nwords · log10(N/df)² · occ(K1+1)/(occ + K1(1−B+B·dl/avgdl))
+    * (the reference's BM25 keeps the log10² idf, `fulltext.go:217-222`).
+    * Docs with zero occurrences are absent — the reference's
+    * index-apply join filters them even in a projection.
+    */
+  def searchNaturalMo(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
+    val spark = index.postings.sparkSession
+    val pats = nlParse(query)
+    if (pats.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0.0).as("score"))
+    val base = pats.head._3
+    val leaves = pats.zipWithIndex.map { case ((pat, star, tokPos), i) =>
+      Leaf(i, if (star) "star" else "text", pat, 1.0, tokPos - base)
+    }
+    val n = pats.length
+    val ls = leafScores(index, leaves, algo)
+    val perDoc = ls.groupBy(col("doc_id"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.phrase_pos)").as("offs"),
+        expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.positions)").as("plists"),
+        max(col("dl")).as("dl"), sum(col("tf")).as("tfsum"))
+    val withOcc =
+      if (n == 1) perDoc.withColumn("occ", col("tfsum").cast("int"))
+      else perDoc.withColumn("occ", occCountU(col("offs"), col("plists"), lit(n)))
+    val matched = withOcc.filter(col("occ") > 0)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val nDocs = lit(index.nDocs.toDouble)
+    val idfSq = pow(log(10.0, nDocs / col("df")), 2)
+    val score = algo match {
+      case "tfidf" => lit(n) * col("occ") * idfSq
+      case _ =>
+        lit(n) * idfSq * (col("occ") * (K1 + 1)) /
+          (col("occ") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(index.avgdl)))
+    }
+    matched.select(col("doc_id"), score.cast("double").as("score"))
+  }
+
   def searchNatural(index: FulltextIndex, query: String, algo: String = "bm25",
       tokenizer: String = "simple"): DataFrame = {
-    val terms = (tokenizer match {
-      case "chinese" => CjkSegmenter.tokenize(query)
-      case _ => query.trim.toLowerCase.split("\\s+").toSeq
-    }).filter(_.nonEmpty).distinct
-    val leaves = terms.zipWithIndex.map { case (t, i) => Leaf(i, "text", t, 1.0, -1) }
+    val parsed: Seq[(String, Boolean)] = (tokenizer match {
+      case "chinese" => CjkSegmenter.tokenize(query).map(t => (t, false))
+      case "whitespace" =>
+        query.trim.toLowerCase.split("\\s+").toSeq.map(t => (t, false))
+      case _ => nlParse(query).map { case (pat, star, _) => (pat, star) }
+    }).filter(_._1.nonEmpty).distinct
+    val leaves = parsed.zipWithIndex.map { case ((t, star), i) =>
+      Leaf(i, if (star) "star" else "text", t, 1.0, -1)
+    }
     leafScores(index, leaves, algo)
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
   }
@@ -513,8 +732,10 @@ object Bm25 {
     val index =
       if (cacheKey != null) FulltextIndex.forCorpusMulti(docs, idCol, textCols, cacheKey)
       else FulltextIndex.buildMulti(docs, idCol, textCols)
+    // the SQL MATCH surface follows the reference exactly: NL mode is a
+    // positional phrase with the log10²-idf scoring (searchNaturalMo)
     if (booleanMode) searchBoolean(index, query, algo)
-    else searchNatural(index, query, algo)
+    else searchNaturalMo(index, query, algo)
   }
 }
 

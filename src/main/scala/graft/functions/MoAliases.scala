@@ -115,8 +115,8 @@ object MoAliases {
       VectorFunctions.cosineDistance(a(0), a(1)))
     nat("normalize_l2", "normalize_l2(v)")(a => VectorFunctions.normalizeL2(a(0)))
     nat("subvector", "subvector(v, start[, len])")(a =>
-      VectorFunctions.subvector(a(0), intLit(a(1)),
-        if (a.length > 2) intLit(a(2)) else Int.MaxValue))
+      VectorFunctions.subvectorCol(a(0), a(1),
+        if (a.length > 2) Some(a(2)) else None))
     nat("summation", "summation(v)")(a => VectorFunctions.summation(a(0)))
     nat("vector_dims", "vector_dims(v)")(a => VectorFunctions.vectorDims(a(0)))
 

@@ -58,9 +58,26 @@ object VectorFunctions {
     when(l2Norm(a) === 0, lit(null))
       .otherwise(transform(a, x => x.cast("double") / l2Norm(a)))
 
-  /** 1-based start, `len` elements — reference `subvector` semantics. */
-  def subvector(a: Column, start: Int, len: Int): Column =
-    slice(a, start, len)
+  /** 1-based start (negative = from the end), `len` elements; without
+    * `len`, to the end — reference `subvector` semantics
+    * (`pkg/sql/plan/function/func_unary.go:364-421`): start 0 and
+    * non-positive len yield an empty vector, NULL args yield NULL,
+    * non-integer args truncate to int.
+    */
+  def subvector(a: Column, start: Int, len: Int = -1): Column =
+    subvectorCol(a, lit(start), if (len < 0) None else Some(lit(len)))
+
+  def subvectorCol(a: Column, start0: Column, len0: Option[Column]): Column = {
+    val s = start0.cast("int")
+    // slice() clamps an over-long length, so size(a) means "to the end";
+    // a literal Int.MaxValue would overflow slice's start+length int math
+    val l = len0.map(_.cast("int")).getOrElse(size(a))
+    // NULL args propagate through the conditional naturally; start 0 or
+    // len <= 0 short-circuit to an empty (typed) array before slice()
+    // can reject the out-of-domain start
+    when(s === 0 || l <= 0, slice(a, lit(1), lit(0)))
+      .otherwise(slice(a, s, l))
+  }
 
   def vectorDims(a: Column): Column = size(a)
 

@@ -32,10 +32,36 @@ object TimeWindow {
   final case class FillValue(v: Double) extends FillMode
   case object FillLinear extends FillMode          // interpolate interior gaps
 
+  /** The reference aligns window boundaries to its Datetime origin
+    * 0001-01-01 00:00:00 (`left = val - val % interval`,
+    * `pkg/sql/colexec/timewin/timewin.go:475` — `val` is micros since
+    * year 1), not the Unix epoch. 0001-01-01 is a whole number of days
+    * (719162) before 1970-01-01, so second/minute/hour/1-day windows
+    * coincide with epoch alignment, but e.g. 3-day windows sit 1 day
+    * off. Spark's `window()` exposes the shift as `startTime`.
+    */
+  private[graft] val MoOriginEpochSec = -719162L * 86400L
+  /** startTime shift (seconds) aligning a `periodSec` grid to the MO origin. */
+  private[graft] def moOffsetSec(periodSec: Long): Long =
+    java.lang.Math.floorMod(MoOriginEpochSec, periodSec)
+  private val WidthRe = """(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
+  private def moStartTime(period: String): String = {
+    val p = period match {
+      case WidthRe(n, u) => n.toLong * (u.toLowerCase match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour" => 3600L
+        case "day" => 86400L
+      })
+      case _ => 1L
+    }
+    s"${moOffsetSec(p)} seconds"
+  }
+
   /** Tumbling window aggregate: `_wstart`/`_wend` ≙ reference column names. */
   def tumbling(df: DataFrame, ts: Column, width: String,
       keys: Seq[Column], aggs: Seq[Column]): DataFrame =
-    df.groupBy(keys :+ window(ts, width): _*)
+    df.groupBy(keys :+ window(ts, width, width, moStartTime(width)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("_wstart", col("window.start"))
       .withColumn("_wend", col("window.end"))
@@ -44,7 +70,7 @@ object TimeWindow {
   /** Sliding window aggregate (width/slide), e.g. 1 day every 12 hours. */
   def sliding(df: DataFrame, ts: Column, width: String, slide: String,
       keys: Seq[Column], aggs: Seq[Column]): DataFrame =
-    df.groupBy(keys :+ window(ts, width, slide): _*)
+    df.groupBy(keys :+ window(ts, width, slide, moStartTime(slide)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("_wstart", col("window.start"))
       .withColumn("_wend", col("window.end"))

@@ -101,37 +101,44 @@ object SqlDialectQueries extends QueryModule {
        |ORDER BY score DESC, s.doc_id LIMIT 20""".stripMargin
 
   // -------------------------- ft10: multi-column MATCH(col1, col2) AGAINST
-  /** `fulltext.sql` shape: `match(body, title) against('red')` — the
-    * listed columns form ONE combined index (the reference tokenizer
-    * concatenates them with '\n' per document,
-    * `fulltext_tokenize.go:142-150`), so tf/dl/df span both columns.
-    * Natural mode, scored in the projection and filtered in WHERE.
+  /** `fulltext.sql` shape: `match(body, title) against('spark join')` —
+    * the listed columns form ONE combined index (the reference
+    * tokenizer concatenates them with '\n',
+    * `fulltext_tokenize.go:142-150`), and natural mode is a POSITIONAL
+    * PHRASE over the whole query (`patternToSql` → `SqlPhrase`,
+    * `pkg/fulltext/sql.go:575-580`) scored with the reference BM25
+    * (log10²-idf over the phrase df, tf = occurrences, ×nwords —
+    * `fulltext.go:217-222`, `table_function/fulltext.go:805-830`). The
+    * oracle re-derives the phrase anchors and the exact formula.
     */
   private def ft10(s: SparkSession, d: String): DataFrame =
     run(s, d,
       """SELECT doc_id,
-        |       round(MATCH(text, source) AGAINST('spark src3 window'), 6) AS score
+        |       round(MATCH(text, source) AGAINST('spark join'), 6) AS score
         |FROM documents
-        |WHERE MATCH(text, source) AGAINST('spark src3 window')
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin)
 
   private val MTOK =
     """regexp_split_to_array(lower(trim(concat_ws(chr(10), text, source))), '\s+')"""
   private val ft10Sql =
-    s"""WITH tok AS (SELECT doc_id, unnest($MTOK) AS term FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    s"""WITH tok AS (SELECT doc_id, unnest($MTOK) AS term,
+       |                    generate_subscripts($MTOK, 1) AS pos
+       |             FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |q AS (SELECT unnest(['spark','src3','window']) AS term),
+       |anchors AS (
+       |  SELECT doc_id, pos - 0 AS anchor FROM tok WHERE term = 'spark'
+       |  UNION ALL
+       |  SELECT doc_id, pos - 1 AS anchor FROM tok WHERE term = 'join'),
+       |occ AS (SELECT doc_id, anchor FROM anchors
+       |        GROUP BY doc_id, anchor HAVING count(*) = 2),
+       |r AS (SELECT doc_id, count(*) AS occs FROM occ GROUP BY doc_id),
        |scored AS (
-       |  SELECT tf.doc_id,
-       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-       |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
-       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-       |       JOIN dl USING (doc_id) CROSS JOIN stats
-       |  GROUP BY tf.doc_id)
+       |  SELECT r.doc_id,
+       |    2 * power(log10(n_docs / (SELECT count(*) FROM r)), 2)
+       |      * (occs * 2.5) / (occs + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+       |  FROM r JOIN dl USING (doc_id) CROSS JOIN stats)
        |SELECT doc_id, round(score, 6) AS score FROM scored
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 

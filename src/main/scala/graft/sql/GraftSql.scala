@@ -48,13 +48,212 @@ object GraftSql {
 
   /** Entry point: accept reference-dialect SQL, return the DataFrame. */
   def sql(spark: SparkSession, query: String): DataFrame = {
-    val q = query.trim.stripSuffix(";").trim
-    intervalRewrite(spark, q)
-      .orElse(sampleRewrite(spark, q))
-      .orElse(matchRewrite(spark, q))
-      .orElse(indexDdlRewrite(spark, q))
-      .getOrElse(spark.sql(q))
+    val q0 = query.trim.stripSuffix(";").trim
+    prepareRewrite(spark, q0).getOrElse {
+      // user variables resolve to their SET-time literals everywhere else
+      val q = substituteOutsideQuotes(q0, "@", name => userVarLit(spark, name))
+      // dropping a table forgets its fulltext indexes (a recreated
+      // table starts with none — fulltext.sql:438-440 recreates and
+      // re-registers the same index name)
+      """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(q)
+        .foreach(m => ftIndexCols.remove(ftKey(spark, m.group(1))))
+      intervalRewrite(spark, q)
+        .orElse(sampleRewrite(spark, q))
+        .orElse(fulltextDdlRewrite(spark, q))
+        .orElse(matchRewrite(spark, q))
+        .orElse(indexDdlRewrite(spark, q))
+        .getOrElse(spark.sql(q))
+    }
   }
+
+  // ------------------------------------------------------------------
+  // CREATE FULLTEXT INDEX / ALTER TABLE ... ADD FULLTEXT INDEX
+  // ------------------------------------------------------------------
+
+  /** table-key → (index name, column set, parser). The reference
+    * REJECTS a CREATE whose columns overlap an existing fulltext index
+    * ("not allowed to use the same column",
+    * `test/distributed/cases/fulltext/fulltext.result:46-58`) but lets
+    * ALTER ADD bypass the check (ftidx2 at `:54`); MATCH over a table
+    * with registered indexes requires one whose column set matches.
+    * Tables with NO registered index build postings on demand — the
+    * programmatic convenience surface.
+    */
+  private val ftIndexCols = TrieMap[String, Vector[(String, Set[String], String)]]()
+  private def ftKey(spark: SparkSession, table: String) =
+    s"${System.identityHashCode(spark.sharedState)}#${table.toLowerCase}"
+
+  private val CreateFtRe =
+    ("""(?is)^create\s+fulltext\s+index\s+`?(\w+)`?\s+on\s+(?:`?\w+`?\.)?`?(\w+)`?""" +
+      """\s*\(([^)]*)\)\s*(?:with\s+parser\s+(\w+))?\s*$""").r
+  private val AlterFtRe =
+    ("""(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+add\s+fulltext\s+index\s+""" +
+      """`?(\w+)`?\s*\(([^)]*)\)\s*(?:with\s+parser\s+(\w+))?\s*$""").r
+
+  private def ftCols(txt: String): Set[String] =
+    splitTop(txt).map(_.trim.stripPrefix("`").stripSuffix("`").toLowerCase)
+      .filter(_.nonEmpty).toSet
+
+  private def fulltextDdlRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    import spark.implicits._
+    def register(table: String, name: String, cols: Set[String], parser: String,
+        checkOverlap: Boolean): DataFrame = {
+      val key = ftKey(spark, table)
+      val existing = ftIndexCols.getOrElse(key, Vector.empty)
+      if (checkOverlap && existing.exists(_._2.intersect(cols).nonEmpty))
+        throw new IllegalArgumentException(
+          "not supported: Fulltext index are not allowed to use the same column")
+      ftIndexCols.put(key, existing :+ ((name, cols, Option(parser).getOrElse("").toLowerCase)))
+      Seq((name, table, cols.mkString(","), "created"))
+        .toDF("index_name", "table_name", "columns", "status")
+    }
+    q match {
+      case CreateFtRe(name, table, colsTxt, parser) =>
+        Some(register(table, name, ftCols(colsTxt), parser, checkOverlap = true))
+      case AlterFtRe(table, name, colsTxt, parser) =>
+        Some(register(table, name, ftCols(colsTxt), parser, checkOverlap = false))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // PREPARE name FROM 'sql' / EXECUTE name [USING @a, ...] /
+  // DEALLOCATE PREPARE name / SET @var = expr
+  // ------------------------------------------------------------------
+
+  private val preparedStmts = TrieMap[String, String]()
+  private val userVars = TrieMap[String, String]()
+  private def sessKey(spark: SparkSession, name: String): String =
+    s"${System.identityHashCode(spark.sharedState)}#${name.toLowerCase}"
+  private def userVarLit(spark: SparkSession, name: String): String =
+    userVars.getOrElse(sessKey(spark, name), "NULL")
+
+  /** Body of a prepared statement, if registered (e.g. for a conformance
+    * harness that needs to know which table an EXECUTE touches).
+    */
+  def preparedBody(spark: SparkSession, name: String): Option[String] =
+    preparedStmts.get(sessKey(spark, name))
+
+  /** Per-session relevancy algorithm for MATCH scoring — the
+    * reference's `SET ft_relevancy_algorithm = "TF-IDF"|"BM25"`
+    * (`test/distributed/cases/fulltext/fulltext.sql:7`).
+    */
+  private val ftAlgo = TrieMap[Int, String]()
+  private val FtAlgoRe =
+    """(?is)^set\s+ft_relevancy_algorithm\s*=\s*["']?([\w-]+)["']?$""".r
+  private def sessionAlgo(spark: SparkSession): String =
+    ftAlgo.getOrElse(System.identityHashCode(spark.sharedState), "bm25")
+
+  private val PrepareRe = """(?is)^prepare\s+(\w+)\s+from\s+(.+)$""".r
+  private val ExecuteRe = """(?is)^execute\s+(\w+)(?:\s+using\s+(.+))?$""".r
+  private val DeallocRe = """(?is)^deallocate\s+(?:prepare\s+)?(\w+)$""".r
+  private val SetVarRe = """(?is)^set\s+(@\w.*)$""".r
+
+  /** Render a driver-side value as a SQL literal for `?` / `@var`
+    * substitution.
+    */
+  private def sqlLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case b: Array[Byte] => "X'" + b.map("%02X".format(_)).mkString + "'"
+    case x: java.math.BigDecimal => x.toPlainString
+    case x => x.toString
+  }
+
+  /** Replace tokens introduced by `marker` (`"@"` names or `"?"`
+    * placeholders) outside single/double-quoted literals and backticks.
+    * `@@system` variables are left untouched.
+    */
+  private def substituteOutsideQuotes(
+      q: String, marker: String, resolve: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < q.length && quote != '`') {
+          sb.append(q.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; sb.append(c); i += 1
+      } else if (marker == "?" && c == '?') {
+        sb.append(resolve("?")); i += 1
+      } else if (marker == "@" && c == '@' &&
+          i + 1 < q.length && q.charAt(i + 1) != '@' &&
+          (i == 0 || q.charAt(i - 1) != '@') &&
+          q.charAt(i + 1).isUnicodeIdentifierPart) {
+        var j = i + 1
+        while (j < q.length && (q.charAt(j).isUnicodeIdentifierPart ||
+          q.charAt(j) == '_')) j += 1
+        sb.append(resolve(q.substring(i + 1, j)))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** MySQL prepared-statement surface (reference
+    * `test/distributed/cases/prepare/prepare.test`; wire-protocol
+    * prepare in `pkg/frontend/mysql_cmd_executor.go`): PREPARE stores
+    * the text, EXECUTE substitutes `?` placeholders with the USING
+    * variables' SET-time values and re-enters [[sql]], so a prepared
+    * reference-dialect statement (MATCH, interval, sample) still hits
+    * its rewrite. SET @v evaluates the RHS eagerly to a literal.
+    */
+  private def prepareRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    q match {
+      case FtAlgoRe(algo) =>
+        ftAlgo.put(System.identityHashCode(spark.sharedState),
+          algo.toLowerCase.replace("-", "")) // "TF-IDF" → "tfidf"
+        Some(spark.emptyDataFrame)
+      case PrepareRe(name, bodyRaw) =>
+        val b = bodyRaw.trim
+        val body =
+          if (b.length >= 2 && (b.head == '\'' || b.head == '"') && b.last == b.head)
+            b.substring(1, b.length - 1)
+              .replace("\\" + b.head, b.head.toString)
+              .replace("" + b.head + b.head, b.head.toString)
+          else b
+        preparedStmts.put(sessKey(spark, name), body)
+        Some(spark.emptyDataFrame)
+      case ExecuteRe(name, usingOrNull) =>
+        val body = preparedStmts.getOrElse(sessKey(spark, name),
+          throw new IllegalStateException(
+            s"prepared statement '$name' does not exist"))
+        val params = Option(usingOrNull).toSeq
+          .flatMap(u => splitTop(u)).map(_.trim).map {
+            case v if v.startsWith("@") => userVarLit(spark, v.drop(1))
+            case v => v // literal argument
+          }
+        val it = params.iterator
+        val bound = substituteOutsideQuotes(body, "?",
+          _ => if (it.hasNext) it.next()
+          else throw new IllegalArgumentException(
+            s"not enough USING parameters for '$name'"))
+        Some(sql(spark, bound))
+      case DeallocRe(name) =>
+        preparedStmts.remove(sessKey(spark, name))
+        Some(spark.emptyDataFrame)
+      case SetVarRe(assigns) =>
+        splitTop(assigns).foreach { a =>
+          """(?is)^\s*@(\w+)\s*:?=\s*(.+)$""".r.findFirstMatchIn(a).foreach { m =>
+            val rhs = substituteOutsideQuotes(
+              m.group(2).trim, "@", n => userVarLit(spark, n))
+            val v =
+              try sqlLit(spark.sql(s"SELECT $rhs").collect().head.get(0))
+              catch { case _: Exception => "NULL" } // e.g. @@sysvar RHS
+            userVars.put(sessKey(spark, m.group(1)), v)
+          }
+        }
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
 
   // ------------------------------------------------------------------
   // CREATE INDEX name USING {IVFFLAT|HNSW|IVFPQ} ON tbl(col) [options]
@@ -181,11 +380,9 @@ object GraftSql {
       var rest = m.group(6).trim
       var widthSec = n * unitSeconds(unit)
       var stepSec = widthSec
-      var slideClause = ""
       rest match {
         case SlidingRe(sn, su, tail) =>
           stepSec = sn.toLong * unitSeconds(su)
-          slideClause = s", '${sn.toLong * unitSeconds(su)} seconds'"
           rest = tail.trim
         case _ =>
       }
@@ -214,14 +411,19 @@ object GraftSql {
         else if (lower == "_wend") "window.end AS _wend"
         else it
       }
-      // always carry _wstart internally: the fill stage needs the spine
+      // always carry _wstart internally: the fill stage needs the spine.
+      // Repeated select items (e.g. `_wstart, ..., _wstart`) collapse to
+      // one grouped column — the final projection re-duplicates by name
       val withStart =
-        if (items.exists(_.equalsIgnoreCase("_wstart"))) mapped
-        else "window.start AS _wstart" +: mapped
+        (if (items.exists(_.equalsIgnoreCase("_wstart"))) mapped
+         else "window.start AS _wstart" +: mapped).distinct
+      // startTime aligns the window grid to the reference's Datetime
+      // origin (0001-01-01) — see TimeWindow.moOffsetSec
+      val offsetSec = TimeWindow.moOffsetSec(stepSec)
       val grouped = spark.sql(
         s"""SELECT ${withStart.mkString(", ")}
            |FROM $fromPart
-           |GROUP BY window($tsCol, '$widthSec seconds'$slideClause)""".stripMargin)
+           |GROUP BY window($tsCol, '$widthSec seconds', '$stepSec seconds', '$offsetSec seconds')""".stripMargin)
 
       val outCols = items.map(itemName)
       val filled =
@@ -237,8 +439,9 @@ object GraftSql {
           // bucketed scale path each pass takes
           for (vc <- valueCols)
             d = TimeWindow.gapFill(d, "_ws", stepSec, vc, fill)
+          // windows advance by the slide but each spans the full width
           d.withColumn("_wstart", timestamp_seconds(col("_ws")))
-            .withColumn("_wend", timestamp_seconds(col("_ws") + stepSec))
+            .withColumn("_wend", timestamp_seconds(col("_ws") + widthSec))
             .drop("_ws")
         }
       val projected = filled.select(outCols.map(col): _*)
@@ -368,12 +571,26 @@ object GraftSql {
       // listed columns (the reference concatenates them at tokenize time,
       // fulltext_tokenize.go:142-150)
       val textCols = splitTop(colsTxt).map(_.trim.split('.').last)
+      // once the table has DDL-registered fulltext indexes, the
+      // reference's rules apply: the MATCH columns must equal one
+      // index's column set, and only the default parser is implemented
+      ftIndexCols.get(ftKey(spark, table)).foreach { idxs =>
+        val want = textCols.map(_.toLowerCase).toSet
+        val hit = idxs.find(_._2 == want).getOrElse(
+          throw new IllegalStateException(
+            "not supported: MATCH() AGAINST() cannot be replaced by FULLTEXT INDEX " +
+              s"(no fulltext index on (${textCols.mkString(", ")}))"))
+        if (hit._3.nonEmpty && hit._3 != "default")
+          throw new UnsupportedOperationException(
+            s"UNSUPPORTED_FEATURE: fulltext parser '${hit._3}' on the SQL MATCH surface")
+      }
       // key the cached postings index by the table's resolved plan, not
       // just its name — the same view name over different data must not
       // hit a stale index
       val planKey = spark.table(table).queryExecution.analyzed.semanticHash()
       val scores = Bm25.matchAgainstMulti(spark.table(table), pk, textCols, query,
-          booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey")
+          booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey",
+          algo = sessionAlgo(spark))
         .withColumnRenamed("doc_id", "__ft_id")
       val v = s"_graft_ft_${viewSeq.incrementAndGet()}"
       scores.createOrReplaceTempView(v)
@@ -395,12 +612,17 @@ object GraftSql {
       sb.replace(h.start, h.end, repl)
     }
 
-    // splice the LEFT JOINs right after the FROM table reference — found
-    // again in the REWRITTEN text (the replacements above shifted offsets)
+    // splice the JOINs right after the FROM table reference — found
+    // again in the REWRITTEN text (the replacements above shifted
+    // offsets). INNER join: the reference's index-apply filters
+    // non-matching rows even for a projection-only MATCH (BVT
+    // `fulltext.result:63-65` keeps just the matching doc)
     val joins = views.values.toSeq.sortBy(_._2).map { case (v, _) =>
-      s" LEFT JOIN $v ON $tblRef.$pk = $v.__ft_id"
+      s" JOIN $v ON $tblRef.$pk = $v.__ft_id"
     }.mkString
+    // a bare `SELECT *` must not pick up the joined score columns
     val replaced = sb.toString
+      .replaceFirst("(?is)^\\s*select\\s+\\*", s"SELECT $tblRef.*")
     val from2 = FromRe.findFirstMatchIn(replaced).get
     val fromEnd = from2.start + from2.matched.length
     val rewritten = replaced.substring(0, fromEnd) + joins + replaced.substring(fromEnd)

@@ -136,14 +136,28 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(rows.forall(_._2 > 0))
   }
 
-  test("MATCH in projection only keeps non-matching rows at score 0") {
+  test("projection-only MATCH filters to matching docs (reference index-apply)") {
+    // the reference's `select *, match(...) as score from t` keeps ONLY
+    // matching docs (BVT fulltext.result:63-65) — the index join is inner
     docTable()
     val rows = GraftSql.sql(spark,
       """SELECT doc_id, MATCH(text) AGAINST('spark' IN NATURAL LANGUAGE MODE) AS score
         |FROM ft_t ORDER BY doc_id""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(rows.length == 3)
-    assert(rows.find(_._1 == 2L).get._2 == 0.0)
+    assert(rows.map(_._1).toSeq.sorted == Seq(1L, 3L)) // doc 2 has no 'spark'
+    assert(rows.forall(_._2 > 0))
+  }
+
+  test("natural mode is a positional phrase (reference SqlPhrase)") {
+    docTable()
+    def ids(q: String) = GraftSql.sql(spark,
+      s"""SELECT doc_id FROM ft_t
+         |WHERE MATCH(text) AGAINST('$q' IN NATURAL LANGUAGE MODE)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // adjacency in order, not OR: doc1 is "spark joins fast"
+    assert(ids("spark joins") == Seq(1L))
+    assert(ids("joins spark") == Seq())
+    assert(ids("spark fast") == Seq()) // words present but not adjacent
   }
 
   test("boolean mode MATCH respects +/- operators through SQL") {
@@ -161,5 +175,48 @@ class SqlDialectSpec extends AnyFunSuite {
     // INTERVAL literals must not trip the interval() rewriter
     assert(GraftSql.sql(spark,
       "SELECT timestamp'2021-01-01 00:00:00' + INTERVAL 1 DAY AS t").count() == 1)
+  }
+
+  // ------------------------------------------------ PREPARE / EXECUTE
+  test("PREPARE/EXECUTE with USING vars binds ? placeholders") {
+    Seq((1, 11), (2, 22), (3, 33)).toDF("a", "b")
+      .createOrReplaceTempView("prep_t")
+    GraftSql.sql(spark, "prepare stmt1 from 'select a, b from prep_t where a > ? order by a'")
+    GraftSql.sql(spark, "set @a_var = 1")
+    assert(GraftSql.sql(spark, "execute stmt1 using @a_var")
+      .as[(Int, Int)].collect().toSeq == Seq((2, 22), (3, 33)))
+    GraftSql.sql(spark, "set @a_var = 2")
+    assert(GraftSql.sql(spark, "execute stmt1 using @a_var")
+      .as[(Int, Int)].collect().toSeq == Seq((3, 33)))
+    GraftSql.sql(spark, "deallocate prepare stmt1")
+    assertThrows[IllegalStateException](
+      GraftSql.sql(spark, "execute stmt1 using @a_var"))
+  }
+
+  test("user @vars substitute into plain queries; strings stay quoted") {
+    GraftSql.sql(spark, "set @s = 'a?@b'")
+    // ? and @ INSIDE the stored string are not treated as placeholders
+    // on re-substitution
+    assert(GraftSql.sql(spark, "select @s as v").as[String].head() == "a?@b")
+    GraftSql.sql(spark, "set @n = 1 + 2")
+    assert(GraftSql.sql(spark, "select @n + 1 as v").as[Int].head() == 4)
+    // unset vars are NULL, like MySQL
+    assert(GraftSql.sql(spark, "select @never_set as v").filter("v is null").count() == 1)
+    // @@system variables are left for Spark (conf lookup), not rewritten
+    assertThrows[Exception](GraftSql.sql(spark, "select @@not_a_real_sysvar"))
+  }
+
+  test("prepared statement with multiple params and literal row values") {
+    spark.sql("drop table if exists prep_ins")
+    spark.sql("create table prep_ins(a int, b int) using parquet")
+    GraftSql.sql(spark, """prepare pi from "insert into prep_ins values (?, ?), (?, 99)"""")
+    GraftSql.sql(spark, "set @x=5")
+    GraftSql.sql(spark, "set @y=55")
+    GraftSql.sql(spark, "set @z=9")
+    GraftSql.sql(spark, "execute pi using @x, @y, @z")
+    assert(spark.table("prep_ins").orderBy("a").as[(Int, Int)].collect().toSeq ==
+      Seq((5, 55), (9, 99)))
+    assert(GraftSql.preparedBody(spark, "pi").exists(_.startsWith("insert into prep_ins")))
+    spark.sql("drop table prep_ins")
   }
 }

@@ -16,7 +16,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |       round(cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS cs
         |""".stripMargin).head
     assert(r.getDouble(0) == 5.0)
-    assert(r.getDouble(1) == 11.0)
+    // reference inner_product is the NEGATIVE dot product (distance)
+    assert(r.getDouble(1) == -11.0)
     assert(r.getDouble(2) == 1.0)
   }
 
