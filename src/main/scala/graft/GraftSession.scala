@@ -106,5 +106,6 @@ object GraftSession {
     graft.functions.DocText.registerAll(s)
     graft.operators.Llm.registerAll(s)
     graft.operators.Onnx.registerAll(s)
+    graft.functions.Starlark.registerAll(s)
   }
 }

@@ -520,7 +520,50 @@ object FunctionQueries extends QueryModule {
       |       THEN NULL ELSE 'minimum' END AS jsvr_kw
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- fn14 starlark
+  /** `starlark(code, arg)` over the documents corpus
+    * (`pkg/sql/plan/function/func_builtin_starlark.go`): the module's
+    * `main` runs per row; results carry repr semantics (returned
+    * strings come back quoted, ints bare). The oracle re-derives each
+    * program's output in plain SQL.
+    */
+  private def fn14(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.init(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id,
+        |  starlark('def main(s):
+        |    words = s.split(" ")
+        |    return str(len(words)) + ":" + words[0].upper()
+        |', text) AS head_sig,
+        |  starlark('def main(s):
+        |    n = 0
+        |    for w in s.split(" "):
+        |        if w.startswith("s"):
+        |            n += 1
+        |    return n
+        |', text) AS s_words,
+        |  try_starlark('def main(s):
+        |    return boom
+        |', text) AS bad,
+        |  starlark('def main(s):
+        |    return jq(".n + 1", s)
+        |', concat('{"n":', CAST(doc_id % 7 AS STRING), '}')) AS jq_bridge
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private val fn14Sql =
+    """SELECT doc_id,
+      |  '"' || CAST(len(string_split(text, ' ')) AS VARCHAR) || ':' ||
+      |      upper(string_split(text, ' ')[1]) || '"' AS head_sig,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w LIKE 's%')) AS VARCHAR)
+      |      AS s_words,
+      |  CAST(NULL AS VARCHAR) AS bad,
+      |  '"' || CAST(doc_id % 7 + 1 AS VARCHAR) || '"' AS jq_bridge
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Seq[Q] = Seq(
+    Q("fn14_starlark", fn14, Some(fn14Sql)),
     Q("fn12_jq", fn12, Some(fn12Sql)),
     Q("fn13_json_tail", fn13, Some(fn13Sql)),
     Q("fn7_decimal_arithmetic", fn7, Some(fn7Sql)),
