@@ -52,7 +52,10 @@ case class JsonScalarExpr(fn: String, children: Seq[Expression])
     def b(v: Option[Boolean]): Any = v.map(java.lang.Boolean.valueOf).orNull
     fn match {
       case "json_value" | "json_extract_string" => s(JsonTail.jsonValue(str(0), str(1)))
-      case "json_extract" => s(JsonTail.jsonExtract(str(0), str(1)))
+      case "json_extract" =>
+        s(if (children.length == 2) JsonTail.jsonExtract(str(0), str(1))
+          else JsonTail.jsonExtractMulti(str(0),
+            (1 until children.length).map(str)))
       case "json_extract_float64" =>
         JsonTail.jsonExtractFloat64(str(0), str(1))
           .map(java.lang.Double.valueOf).orNull
@@ -97,7 +100,7 @@ object JsonScalarExpr {
     */
   private[functions] val arities: Map[String, Set[Int]] = Map(
     "json_value" -> Set(2),
-    "json_extract" -> Set(2),
+    "json_extract" -> (2 to 16).toSet,
     "json_extract_string" -> Set(2),
     "json_extract_float64" -> Set(2),
     "json_length" -> Set(1, 2),

@@ -98,20 +98,161 @@ object JsonTail {
     Some(node)
   }
 
+  // ------------------------------------------ extended (wildcard) paths
+  /** MySQL's full path grammar for JSON_EXTRACT (reference
+    * `func_builtin_json.go` / BVT `function/func_json_extract.result`):
+    * `.member`, `.*`, `[n]`, `[last]`, `[last-n]`, `[*]`,
+    * `[a to b]`, and the `**` descent prefix. Wildcard segments make
+    * the result an ARRAY of every match (a range always does, even
+    * `[0 to 0]`); index access autowraps a non-array as `[value]`.
+    */
+  private[functions] sealed trait XSeg
+  private case class XMember(k: String) extends XSeg
+  private case object XMemberWild extends XSeg
+  private case class XIdx(fromLast: Boolean, off: Int) extends XSeg
+  private case object XIdxWild extends XSeg
+  private case class XRange(lo: XIdx, hi: XIdx) extends XSeg
+  private case object XDescend extends XSeg
+
+  private[functions] def parsePathX(path: String): Option[List[XSeg]] = {
+    if (path == null || path.isEmpty || path.charAt(0) != '$') return None
+    val segs = ListBuffer.empty[XSeg]
+    var i = 1
+    val n = path.length
+    def idxOf(body: String): Option[XIdx] = {
+      val b = body.trim
+      if (b == "last") Some(XIdx(fromLast = true, 0))
+      else if (b.startsWith("last-"))
+        b.drop(5).trim.toIntOption.map(XIdx(fromLast = true, _))
+      else b.toIntOption.filter(_ >= 0).map(XIdx(fromLast = false, _))
+    }
+    while (i < n) {
+      path.charAt(i) match {
+        case '*' if i + 1 < n && path.charAt(i + 1) == '*' =>
+          segs += XDescend; i += 2
+        case '.' if i + 2 < n && path.charAt(i + 1) == '*' && path.charAt(i + 2) == '*' =>
+          segs += XDescend; i += 3
+        case '.' =>
+          i += 1
+          if (i < n && path.charAt(i) == '*') { segs += XMemberWild; i += 1 }
+          else if (i < n && path.charAt(i) == '"') {
+            val j = path.indexOf('"', i + 1)
+            if (j < 0) return None
+            segs += XMember(path.substring(i + 1, j)); i = j + 1
+          } else {
+            val j0 = i
+            while (i < n && path.charAt(i) != '.' && path.charAt(i) != '[' &&
+              path.charAt(i) != '*') i += 1
+            if (i == j0) return None
+            segs += XMember(path.substring(j0, i))
+          }
+        case '[' =>
+          val j = path.indexOf(']', i)
+          if (j < 0) return None
+          val body = path.substring(i + 1, j).trim
+          if (body == "*") segs += XIdxWild
+          else if (body.contains(" to ")) {
+            val parts = body.split(" to ")
+            if (parts.length != 2) return None
+            (idxOf(parts(0)), idxOf(parts(1))) match {
+              case (Some(a), Some(b)) => segs += XRange(a, b)
+              case _ => return None
+            }
+          } else idxOf(body) match {
+            case Some(x) => segs += x
+            case None => return None
+          }
+          i = j + 1
+        case _ => return None
+      }
+    }
+    // `**` must be followed by another segment (MySQL rejects trailing)
+    if (segs.nonEmpty && segs.last == XDescend) None else Some(segs.toList)
+  }
+
+  private def hasWild(segs: List[XSeg]): Boolean = segs.exists {
+    case XMemberWild | XIdxWild | XDescend | _: XRange => true
+    case _ => false
+  }
+
+  private def descendants(n: JsonNode): List[JsonNode] = {
+    val out = ListBuffer.empty[JsonNode]
+    def walk(x: JsonNode): Unit = {
+      out += x
+      if (x.isArray) (0 until x.size).foreach(i => walk(x.get(i)))
+      else if (x.isObject) keysOf(x).foreach(k => walk(x.get(k)))
+    }
+    walk(n)
+    out.toList
+  }
+
+  private def queryX(node: JsonNode, segs: List[XSeg]): List[JsonNode] = segs match {
+    case Nil => List(node)
+    case XMember(k) :: rest =>
+      if (node.isObject && node.has(k)) queryX(node.get(k), rest) else Nil
+    case XMemberWild :: rest =>
+      if (node.isObject) keysOf(node).flatMap(k => queryX(node.get(k), rest)) else Nil
+    case XIdx(fromLast, off) :: rest =>
+      if (node.isArray) {
+        val i = if (fromLast) node.size - 1 - off else off
+        if (i >= 0 && i < node.size) queryX(node.get(i), rest) else Nil
+      } else if (!fromLast && off == 0) queryX(node, rest) // scalar autowrap
+      else if (fromLast && off == 0) queryX(node, rest)
+      else Nil
+    case XIdxWild :: rest =>
+      if (node.isArray) (0 until node.size).toList.flatMap(i => queryX(node.get(i), rest))
+      else Nil
+    case XRange(lo, hi) :: rest =>
+      val size = if (node.isArray) node.size else 1
+      def resolve(x: XIdx) = if (x.fromLast) size - 1 - x.off else x.off
+      val (a, b) = (math.max(0, resolve(lo)), math.min(size - 1, resolve(hi)))
+      if (node.isArray) (a to b).toList.flatMap(i => queryX(node.get(i), rest))
+      else if (a <= 0 && b >= 0) queryX(node, rest) // scalar autowrap
+      else Nil
+    case XDescend :: rest =>
+      descendants(node).flatMap(d => queryX(d, rest))
+  }
+
   // ------------------------------------------------------------ functions
-  /** MySQL JSON_EXTRACT (single simple path): JSON text of the node at
-    * path — strings stay quoted, containers serialize; missing → NULL
-    * (reference `func_builtin_json.go` JsonExtract).
+  /** MySQL JSON_EXTRACT: JSON text of the node(s) at path — strings stay
+    * quoted, containers serialize; a wildcard/range path collects every
+    * match into an array; missing → NULL (reference
+    * `func_builtin_json.go` JsonExtract).
     */
   def jsonExtract(doc: String, path: String): String =
-    (for { root <- parse(doc); segs <- parsePath(path); v <- query(root, segs) }
-      yield mapper.writeValueAsString(v)).orNull
+    (for { root <- parse(doc); segs <- parsePathX(path) } yield {
+      val hits = queryX(root, segs)
+      if (hasWild(segs)) {
+        if (hits.isEmpty) null
+        else {
+          val arr = mapper.createArrayNode()
+          hits.foreach(arr.add)
+          mapper.writeValueAsString(arr)
+        }
+      } else hits.headOption.map(mapper.writeValueAsString).orNull
+    }).flatMap(Option(_)).orNull
+
+  /** MySQL JSON_EXTRACT with MULTIPLE paths: matches from every path
+    * collect into one array (always an array with >1 path, even for a
+    * single hit); paths with no match are skipped; no hits → NULL.
+    */
+  def jsonExtractMulti(doc: String, paths: Seq[String]): String =
+    (for { root <- parse(doc) } yield {
+      val hits = paths.flatMap(p => parsePathX(p).toList.flatMap(queryX(root, _)))
+      if (hits.isEmpty) null
+      else {
+        val arr = mapper.createArrayNode()
+        hits.foreach(arr.add)
+        mapper.writeValueAsString(arr)
+      }
+    }).flatMap(Option(_)).orNull
 
   /** json_extract_float64: numeric node at path as double (reference
     * `func_builtin_json.go` JsonExtractFloat64 fast path).
     */
   def jsonExtractFloat64(doc: String, path: String): Option[Double] =
-    for { root <- parse(doc); segs <- parsePath(path); v <- query(root, segs)
+    for { root <- parse(doc); segs <- parsePathX(path)
+          v <- queryX(root, segs).headOption // extended paths autowrap ($[0].a on an object)
           if v.isNumber } yield v.asDouble
 
   /** JSON_VALUE(doc, path): scalar at path unquoted; object/array or

@@ -44,7 +44,9 @@ object HnswIndex {
     val idx = built.getOrElseUpdate(s"$key#$m#$efConstruction#$efSearch", {
       val spark = df.sparkSession
       val dir = IndexStore.path(spark, "hnsw", s"$key-$m-$efConstruction")
-      Hnsw.buildShardedGraphs(df, idCol, vecCol, m, efConstruction)
+      // NULL vectors are absent from the index; match plan stays unfiltered
+      Hnsw.buildShardedGraphs(df.filter(col(vecCol).isNotNull),
+          idCol, vecCol, m, efConstruction)
         .write.mode("overwrite").parquet(dir)
       val graphs = spark.read.parquet(dir)
       Index(key, df.queryExecution.analyzed.canonicalized,

@@ -42,7 +42,10 @@ object IvfIndex {
   /** Build and register an IVF index over `df` (≙ `ivf_create`). */
   def build(name: String, df: DataFrame, vecCol: String,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): Index = {
-    val featurized = df.withColumn("__ivf_features", array_to_vector(col(vecCol)))
+    // NULL vectors are simply absent from the index; the registered
+    // match plan stays the caller's (unfiltered) corpus plan
+    val featurized = df.filter(col(vecCol).isNotNull)
+      .withColumn("__ivf_features", array_to_vector(col(vecCol)))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__ivf_features").fit(featurized)
     val cells = model.transform(featurized)
@@ -67,7 +70,8 @@ object IvfIndex {
       maxIter: Int = 8): Index = {
     val idx = built.getOrElseUpdate(s"$key#$nlist#$nprobe#$seed#$maxIter", {
       val spark = df.sparkSession
-      val featurized = df.withColumn("__ivf_features", array_to_vector(col(vecCol)))
+      val featurized = df.filter(col(vecCol).isNotNull)
+        .withColumn("__ivf_features", array_to_vector(col(vecCol)))
       val model = new KMeans().setK(nlist).setSeed(seed)
         .setMaxIter(maxIter).setInitMode("random")
         .setFeaturesCol("__ivf_features").fit(featurized)

@@ -54,8 +54,9 @@ object IvfPqIndex {
     val idx = built.getOrElseUpdate(
       s"$key#$nlist#$mSub#$codebookSize#$nprobe#$refineFactor#$seed", {
         val spark = df.sparkSession
-        val (codesMem, model) = IvfPq.build(df, idCol, vecCol, nlist, mSub,
-          codebookSize, seed)
+        // NULL vectors are absent from the index; match plan stays unfiltered
+        val (codesMem, model) = IvfPq.build(df.filter(col(vecCol).isNotNull),
+          idCol, vecCol, nlist, mSub, codebookSize, seed)
         val dir = IndexStore.path(spark, "ivfpq",
           s"$key-$nlist-$mSub-$codebookSize-$seed")
         codesMem.write.mode("overwrite").partitionBy("_cell").parquet(dir)

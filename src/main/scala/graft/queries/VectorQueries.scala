@@ -253,6 +253,9 @@ object VectorQueries extends QueryModule {
   private def vs1(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     emb.createOrReplaceTempView("embeddings")
+    // CREATE of an existing name errors (reference: "duplicate key
+    // name") — drop first so the query is re-runnable in one session
+    graft.sql.GraftSql.sql(s, "DROP INDEX vs1_ivf ON embeddings")
     val ddl = graft.sql.GraftSql.sql(s,
       """CREATE INDEX vs1_ivf USING IVFFLAT ON embeddings(embedding)
         |lists=16 nprobe=8 op_type "vector_l2_ops"""".stripMargin)

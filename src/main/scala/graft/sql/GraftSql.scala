@@ -57,7 +57,20 @@ object GraftSql {
       // re-registers the same index name)
       """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
         .findFirstMatchIn(q)
-        .foreach(m => ftIndexCols.remove(ftKey(spark, m.group(1))))
+        .foreach { m =>
+          ftIndexCols.remove(ftKey(spark, m.group(1)))
+          // vector indexes die with their table too (registry keys are
+          // "$name-$table-$vecCol")
+          val mid = s"-${m.group(1)}-"
+          (graft.plans.IvfIndex.indexes.map(_.name) ++
+            graft.plans.HnswIndex.indexes.map(_.name) ++
+            graft.plans.IvfPqIndex.indexes.map(_.name))
+            .filter(_.contains(mid)).distinct.foreach { n =>
+              graft.plans.IvfIndex.drop(n)
+              graft.plans.HnswIndex.drop(n)
+              graft.plans.IvfPqIndex.drop(n)
+            }
+        }
       intervalRewrite(spark, q)
         .orElse(sampleRewrite(spark, q))
         .orElse(fulltextDdlRewrite(spark, q))
@@ -260,8 +273,14 @@ object GraftSql {
   // ------------------------------------------------------------------
 
   private val CreateIndexRe =
-    ("""(?is)^create\s+index\s+(\w+)\s+using\s+(ivfflat|hnsw|ivfpq)\s+""" +
+    ("""(?is)^create\s+index\s+(`?\w+`?)\s+using\s+(ivfflat|hnsw|ivfpq)\s+""" +
       """on\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(.*)$""").r
+  /** Unquoted reserved words are a parse error in the reference
+    * (`vector_index.result`: `create index add using ivfflat` fails,
+    * backticked it works). The regex accepts both; reject bare keywords.
+    */
+  private val ReservedIndexNames =
+    Set("add", "index", "key", "primary", "select", "from", "where", "using")
   private val DropIndexRe =
     """(?is)^drop\s+index\s+(\w+)(?:\s+on\s+([A-Za-z_]\w*))?$""".r
 
@@ -282,17 +301,52 @@ object GraftSql {
   private def indexDdlRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     import spark.implicits._
     q match {
-      case CreateIndexRe(name, method, table, vecCol, optsTxt) =>
+      case CreateIndexRe(nameRaw, method, table, vecCol, optsTxt) =>
+        // bare reserved words are a parse error in the reference;
+        // backticked they are legal identifiers (vector_index.result)
+        if (!nameRaw.startsWith("`") && ReservedIndexNames(nameRaw.toLowerCase))
+          throw new IllegalArgumentException(
+            s"SQL parser error: syntax error near '$nameRaw'")
+        val name = nameRaw.stripPrefix("`").stripSuffix("`")
         val opts = parseIndexOpts(optsTxt)
-        val df = spark.table(table)
-        require(df.columns.contains(vecCol), s"no column $vecCol on $table")
+        val df0 = spark.table(table)
+        require(df0.columns.contains(vecCol), s"no column $vecCol on $table")
+        // the reference rejects non-vector columns; NULL vectors are
+        // simply absent from the index
+        df0.schema(vecCol).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType, _) =>
+          case other => throw new IllegalArgumentException(
+            s"not supported: vector index on column type ${other.simpleString}")
+        }
+        // an empty corpus (or all-NULL vector column) builds no cells;
+        // queries simply keep the exact plan (reference builds an empty
+        // index and scans, vector_index.result:97-98,183-186). More
+        // centroids than rows would also break the kmeans — clamp.
+        // NOTE: the index registries match user queries by the TABLE's
+        // canonicalized plan, so the unfiltered df0 is what we register;
+        // null-vector rows are dropped inside the build itself.
+        val df = df0
+        val nRows = df0.filter(col(vecCol).isNotNull).count()
+        if (nRows == 0)
+          return Some(Seq((name, table, vecCol, method.toLowerCase, "created"))
+            .toDF("index_name", "table_name", "column_name", "method", "status"))
+        def clamp(v: Int): Int = math.max(1, math.min(v, nRows).toInt)
         val pk = primaryKeys.getOrElse(table, df.columns.head)
         def iOpt(k: String, dflt: Int) = opts.get(k).map(_.toInt).getOrElse(dflt)
         val key = s"$name-$table-$vecCol"
+        // one name per table (the reference errors on re-use,
+        // vector_index.result: "duplicate key name 'idx01'")
+        val prefix = s"$name-$table-"
+        if ((graft.plans.IvfIndex.indexes.map(_.name) ++
+          graft.plans.HnswIndex.indexes.map(_.name) ++
+          graft.plans.IvfPqIndex.indexes.map(_.name)).exists(_.startsWith(prefix)))
+          throw new IllegalArgumentException(s"duplicate key name '$name'")
         method.toLowerCase match {
           case "ivfflat" =>
             graft.plans.IvfIndex.forCorpus(key, df, vecCol,
-              nlist = iOpt("lists", 16), nprobe = iOpt("nprobe", 4))
+              nlist = clamp(iOpt("lists", 16)), nprobe = iOpt("nprobe", 4))
           case "hnsw" =>
             graft.plans.HnswIndex.forCorpus(key, df, pk, vecCol,
               m = iOpt("m", 16), efConstruction = iOpt("ef_construction", 100),
@@ -328,7 +382,8 @@ object GraftSql {
     * then dropped).
     */
   private def parseIndexOpts(txt: String): Map[String, String] = {
-    val kv = """(?i)(\w+)\s*=\s*(\d+)""".r.findAllMatchIn(txt)
+    // both `lists=2` and the bare `LISTS 2` form appear in the corpus
+    val kv = """(?i)(\w+)\s*=?\s*(\d+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
     """(?i)op_type\s*=?\s*["']?(\w+)["']?""".r.findFirstMatchIn(txt).foreach { m =>
       val ot = m.group(1).toLowerCase
