@@ -44,8 +44,20 @@ object MoAliases {
     nat("to_lower", "to_lower(s)")(a => lower(a(0)))
     nat("to_upper", "to_upper(s)")(a => upper(a(0)))
     nat("lengthutf8", "lengthutf8(s) - length in characters")(a => char_length(a(0)))
-    nat("mid", "mid(s, pos, len) - MySQL alias of substring")(a =>
-      if (a.length == 3) substring(a(0), a(1), a(2)) else a(0).substr(a(1), lit(Int.MaxValue)))
+    // MySQL SUBSTRING/MID: position 0 yields '' (Spark treats 0 as 1).
+    // Catalyst Substring directly — functions.substring resolves by NAME
+    // through this registry and would recurse into this same override.
+    def moSubstr(a: Seq[Column]): Column = {
+      val pos = a(1).cast("int")
+      val len = if (a.length > 2) a(2).cast("int") else lit(Int.MaxValue)
+      when(pos === 0, lit("")).otherwise(
+        asCol(org.apache.spark.sql.catalyst.expressions.Substring(
+          eagerExpression(a(0).cast("string")), eagerExpression(pos),
+          eagerExpression(len))))
+    }
+    nat("mid", "mid(s, pos[, len]) - MySQL alias of substring")(moSubstr)
+    nat("substring", "substring(s, pos[, len]) - pos 0 yields '' (MySQL)")(moSubstr)
+    nat("substr", "substr(s, pos[, len]) - pos 0 yields '' (MySQL)")(moSubstr)
     nat("oct", "oct(n) - octal rendering")(a => conv(a(0).cast("string"), 10, 8))
     nat("ord", "ord(s) - code of the leading character")(a => ascii(a(0)))
     nat("strcmp", "strcmp(a, b) - -1/0/1")(a =>
@@ -67,6 +79,180 @@ object MoAliases {
         if (a.length > 4) intLit(a(4)) else 64))
     nat("reg_match", "reg_match(s, pattern)")(a => regexp_like(a(0), a(1)))
     nat("not_reg_match", "not_reg_match(s, pattern)")(a => !regexp_like(a(0), a(1)))
+
+    // capped string builders: the reference bounds results at
+    // MaxVarcharLen = 65535 bytes — repeat/lpad/rpad go NULL past it and
+    // space(n > 8000) errors (`func_builtin.go` builtInRepeat/doLpad/
+    // doRpad, `func_unary.go` FillSpaceNumber). Spark's builtins would
+    // happily materialize a `repeat('abc', 1e11)` and OOM the executor,
+    // so the cap is also what makes these safe at scale.
+    import org.apache.spark.sql.catalyst.expressions.{StringLPad, StringRPad, StringRepeat, StringSpace, StringSplitSQL, Substring}
+    val nullStr = lit(null).cast("string")
+    // MySQL converts a fractional count/length by ROUNDING (1.8 → 2);
+    // Spark's implicit cast truncates
+    def roundedLong(c: Column): Column = round(c.cast("double")).cast("long")
+    nat("repeat", "repeat(s, n) - NULL when the result exceeds 65535 bytes") { a =>
+      val n = roundedLong(a(1))
+      when(a(0).isNull || n.isNull, nullStr)
+        .when(n <= 0L, lit(""))
+        .when(octet_length(a(0).cast("string")).cast("long") * n > 65535L, nullStr)
+        .otherwise(asCol(StringRepeat(eagerExpression(a(0)),
+          eagerExpression(n.cast("int")))))
+    }
+    nat("space", "space(n) - errors above 8000, '' below 0") { a =>
+      val v = a(0).cast("double")
+      when(a(0).isNull, nullStr)
+        .when(v < 0d, lit(""))
+        .when(v > 8000d, raise_error(lit(
+          "invalid input: the space count is greater than max allowed value 8000"))
+          .cast("string"))
+        .otherwise(asCol(StringSpace(eagerExpression(a(0).cast("int")))))
+    }
+    def cappedPad(build: (Expression, Expression, Expression) => Expression)(
+        a: Seq[Column]): Column = {
+      val pad = if (a.length > 2) a(2) else lit(" ")
+      val t = a(1).cast("long")
+      when(a(0).isNull || t.isNull || pad.isNull, nullStr)
+        .when(t < 0L || t > 65535L, nullStr)
+        // MySQL/reference: empty pad + needed growth → '' (Spark keeps s)
+        // (char_length, not length: the length SQL name is overridden to
+        // BYTE semantics below, and pad math is in characters)
+        .when(char_length(pad.cast("string")) === 0 &&
+          t > char_length(a(0).cast("string")).cast("long"), lit(""))
+        .otherwise(asCol(build(eagerExpression(a(0)),
+          eagerExpression(t.cast("int")), eagerExpression(pad))))
+    }
+    nat("lpad", "lpad(s, len, pad) - NULL when len is out of [0, 65535]")(
+      cappedPad(StringLPad(_, _, _)))
+    nat("rpad", "rpad(s, len, pad) - NULL when len is out of [0, 65535]")(
+      cappedPad(StringRPad(_, _, _)))
+    // MySQL byte/rounding semantics Spark's builtins differ on
+    // (`func_string_char_length.result`, `func_ascii.result`,
+    // `func_string_left.result` goldens)
+    nat("ascii", "ascii(s) - value of the leading BYTE (MySQL)") { a =>
+      val s = a(0).cast("string")
+      when(a(0).isNull, lit(null).cast("int"))
+        .when(char_length(s) === 0, lit(0))
+        .otherwise(conv(substring(hex(s.cast("binary")), 1, 2), 16, 10).cast("int"))
+    }
+    nat("length", "length(s) - length in BYTES (MySQL); char_length counts chars")(
+      a => octet_length(a(0)))
+    nat("left", "left(s, n) - first round(n) chars") { a =>
+      when(a(0).isNull || a(1).isNull, nullStr)
+        .otherwise(asCol(Substring(eagerExpression(a(0).cast("string")),
+          eagerExpression(lit(1)),
+          eagerExpression(greatest(roundedLong(a(1)).cast("int"), lit(0))))))
+    }
+    nat("right", "right(s, n) - last round(n) chars") { a =>
+      val n = roundedLong(a(1)).cast("int")
+      when(a(0).isNull || a(1).isNull, nullStr)
+        .when(n <= 0, lit(""))
+        .otherwise(asCol(Substring(eagerExpression(a(0).cast("string")),
+          eagerExpression(-n), eagerExpression(n))))
+    }
+    def locate_fixed(sub: Column, s: Column): Column =
+      asCol(org.apache.spark.sql.catalyst.expressions.StringLocate(
+        eagerExpression(sub), eagerExpression(s), eagerExpression(lit(1))))
+    nat("elt", "elt(n, s1, s2, ...) - NULL out of range (MySQL; n rounds)") { a =>
+      val n = roundedLong(a(0)).cast("int")
+      val items = a.tail.map(_.cast("string"))
+      items.zipWithIndex.foldLeft(when(lit(false), nullStr)) {
+        case (acc, (it, k)) => acc.when(n === (k + 1), it)
+      }.otherwise(nullStr)
+    }
+    // MySQL LOCATE/INSTR/POSITION are case-INSENSITIVE on non-binary
+    // strings (reference goldens `func_locate.result`); lower() is
+    // length-preserving for the cased scripts so positions carry over
+    nat("locate", "locate(sub, s[, pos]) - case-insensitive (MySQL)") { a =>
+      val sub = lower(a(0).cast("string"))
+      val s = lower(a(1).cast("string"))
+      if (a.length > 2) {
+        val pos = a(2).cast("int")
+        // a NULL start is NULL in MySQL; Spark's StringLocate defines it
+        // as 0. An empty needle matches AT the start position.
+        when(a(0).isNull || a(1).isNull || a(2).isNull, lit(null).cast("int"))
+          .when(char_length(sub) === 0,
+            when(pos <= char_length(s) + 1 && pos >= 1, pos).otherwise(0))
+          .otherwise(asCol(org.apache.spark.sql.catalyst.expressions.StringLocate(
+            eagerExpression(sub), eagerExpression(s),
+            eagerExpression(pos))))
+      } else locate_fixed(sub, s)
+    }
+    nat("instr", "instr(s, sub) - case-insensitive (MySQL)")(a =>
+      locate_fixed(lower(a(1).cast("string")), lower(a(0).cast("string"))))
+    nat("split_part", "split_part(s, sep, n) - NULL past the part count") { a =>
+      val parts = asCol(StringSplitSQL(eagerExpression(a(0).cast("string")),
+        eagerExpression(a(1).cast("string"))))
+      val n = a(2).cast("int")
+      // reference SplitSingle (`func_binary.go`): NULL args → NULL,
+      // n = 0 errors, n beyond the part count → NULL
+      when(a(0).isNull || a(1).isNull || a(2).isNull, nullStr)
+        .when(n <= 0, raise_error(lit(
+          "invalid input: split_part: field contains non-positive integer")).cast("string"))
+        .when(size(parts) < n, nullStr)
+        .otherwise(element_at(parts, n))
+    }
+    // NULL-domain math edges: MySQL yields NULL where Java yields
+    // NaN/Infinity. NB the overriding builders must construct the Catalyst
+    // expressions directly — functions.sqrt/asin/... resolve BY NAME
+    // through this same registry and would recurse forever.
+    import org.apache.spark.sql.catalyst.expressions.{Acos, Asin, Logarithm, Sqrt}
+    val nullDbl = lit(null).cast("double")
+    def domainNull(build: Expression => Expression)(a: Seq[Column]): Column = {
+      val r = asCol(build(eagerExpression(a(0).cast("double"))))
+      nanvl(r, nullDbl)
+    }
+    nat("sqrt", "sqrt(x) - NULL for x < 0")(domainNull(Sqrt(_)))
+    nat("asin", "asin(x) - NULL for |x| > 1")(domainNull(Asin(_)))
+    nat("acos", "acos(x) - NULL for |x| > 1")(domainNull(Acos(_)))
+    nat("atan", "atan(x) / atan(y, x) - the 2-arg form is atan2 (MySQL)") { a =>
+      import org.apache.spark.sql.catalyst.expressions.{Atan, Atan2}
+      if (a.length == 2)
+        asCol(Atan2(eagerExpression(a(0).cast("double")),
+          eagerExpression(a(1).cast("double"))))
+      else asCol(Atan(eagerExpression(a(0).cast("double"))))
+    }
+    nat("cot", "cot(x) = tan(pi/2 - x); cot(0) errors (reference momath.Cot)") { a =>
+      import org.apache.spark.sql.catalyst.expressions.Tan
+      val v = a(0).cast("double")
+      when(v === 0d, raise_error(lit(
+        "invalid argument cot, bad value 0")).cast("double"))
+        .otherwise(asCol(Tan(eagerExpression(lit(math.Pi / 2) - v))))
+    }
+    // MySQL ROUND on DOUBLE is half-even (Go math.RoundToEven via the
+    // reference's float path); on exact types it stays half-away. The
+    // scale argument itself rounds to an int (ROUND(x, cos(0.8)) ≡ 1).
+    nat("round", "round(x[, d]) - half-even on doubles (MySQL)") { a =>
+      import org.apache.spark.sql.catalyst.expressions.{BRound, Round}
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val x = eagerExpression(a(0))
+      val scale: Expression = if (a.length > 1) {
+        val sE = eagerExpression(a(1).cast("double"))
+        if (sE.foldable) {
+          val v = sE.eval()
+          // MySQL clamps out-of-range scales instead of wrapping the
+          // int32 (round(x, 4294967296) keeps x; round(x, -4e9) → 0)
+          Literal(if (v == null) 0
+            else math.max(-30L, math.min(30L,
+              math.round(v.asInstanceOf[Double]))).toInt)
+        } else eagerExpression(a(1).cast("int"))
+      } else Literal(0)
+      val isFloating =
+        try x.dataType == DoubleType || x.dataType == FloatType
+        catch { case _: Exception => false } // unresolved child: exact-type path
+      asCol(if (isFloating) BRound(x, scale) else Round(x, scale))
+    }
+    nat("log", "log([base,] x) - NULL outside the domain (incl. base 1)") { a =>
+      if (a.length == 1)
+        asCol(org.apache.spark.sql.catalyst.expressions.Log(
+          eagerExpression(a(0).cast("double"))))
+      else {
+        val r = asCol(Logarithm(eagerExpression(a(0).cast("double")),
+          eagerExpression(a(1).cast("double"))))
+        when(r === Double.PositiveInfinity || r === Double.NegativeInfinity, nullDbl)
+          .otherwise(nanvl(r, nullDbl))
+      }
+    }
 
     // --------------------------------------------------------- datetime
     nat("curtime", "curtime()")(_ => date_format(current_timestamp(), "HH:mm:ss"))
@@ -133,7 +319,12 @@ object MoAliases {
       MoFunctions.serialFull(a))
     nat("serial_extract", "serial_extract(s, idx)")(a =>
       MoFunctions.serialExtract(a(0), intLit(a(1))))
-    nat("group_concat", "group_concat(e[, sep]) - listagg")(a =>
-      call_function("listagg", a(0), if (a.length > 1) a(1) else lit(",")))
+    // MySQL group_concat(e1, e2, ...) concatenates the expressions per
+    // row and joins rows with ',' — a separator is only ever the
+    // SEPARATOR keyword, never a positional argument
+    nat("group_concat", "group_concat(e1, e2, ...) - listagg of the row-wise concat")(a =>
+      call_function("listagg",
+        if (a.length == 1) a(0).cast("string")
+        else concat(a.map(_.cast("string")): _*), lit(",")))
   }
 }

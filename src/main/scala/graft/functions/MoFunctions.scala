@@ -18,8 +18,18 @@ object MoFunctions {
     element_at(array(options: _*), n.cast("int"))
 
   /** FIELD(e, e1, e2, ...): 1-based index of e, 0 if absent. */
-  def field(e: Column, options: Seq[Column]): Column =
-    coalesce(array_position(array(options: _*), e), lit(0L))
+  /** FIELD compares numerically when values coerce (field(1, 1.0) = 1)
+    * and case-insensitively on strings (MySQL ci collation;
+    * `func_field.result` pins field('aa','AA') = 1). A NULL needle is
+    * always 0.
+    */
+  def field(e: Column, options: Seq[Column]): Column = {
+    val hits = options.zipWithIndex.map { case (o, k) =>
+      when((o <=> e) ||
+        (lower(o.cast("string")) <=> lower(e.cast("string"))), lit(k + 1L))
+    }
+    when(e.isNull, 0L).otherwise(coalesce(hits :+ lit(0L): _*))
+  }
 
   /** INSERT(str, pos, len, newstr) — MySQL string splice (1-based). */
   def insertStr(str: Column, pos: Column, len: Column, newstr: Column): Column =

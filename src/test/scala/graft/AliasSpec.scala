@@ -82,13 +82,15 @@ class AliasSpec extends AnyFunSuite {
         |  serial_extract(serial_full('k', 7), 1) sx,
         |  group_concat(c, '|') gc
         |FROM (SELECT explode(array('x')) AS c)""".stripMargin)
+    // MySQL group_concat(e1, e2): the args CONCATENATE per row (a
+    // separator is only ever the SEPARATOR keyword) — so 'x','|' → "x|"
     assert(v(0) == "\"x\"")
     assert(v(1) == "[1,2]")
     assert(v(2) == null)
     assert(v(3) == "x")
     assert(v(4) == "2.5")
     assert(v(5) == "7")
-    assert(v(6) == "x")
+    assert(v(6) == "x|")
     // all of the above resolve natively — no ScalaUDF
     val plan = spark.sql(
       "SELECT strcmp('a','b'), week(current_date), json_extract('{}', '$.a'), l1_norm(array(1.0F))")
