@@ -23,8 +23,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // testdata events.ts is TIMESTAMP(NANOS); the vectorized reader
-      // needs the legacy long form (Tables.load truncates to micros)
+      // lets legacy TIMESTAMP(NANOS) parquet read as a long instead of
+      // erroring; Tables.load branches on the read schema, so data written
+      // with micros timestamps (the current testdata) is unaffected
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

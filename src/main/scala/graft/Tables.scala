@@ -19,22 +19,27 @@ object Tables {
   /** Columnar scan of one table. Keep filters/projections on the returned
     * DataFrame so they reach the parquet reader (PushedFilters/ReadSchema).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright — we read it as a nanosecond long
-    * (legacy flag) and truncate to a microsecond timestamp, matching how
-    * DuckDB casts TIMESTAMP_NS → TIMESTAMP.
+    * `events.ts` is normalized to a session-zone TIMESTAMP regardless of
+    * how the parquet writer encoded it: TIMESTAMP(MICROS) passes through
+    * (NTZ is re-tagged — the session zone is UTC, so wall clock is
+    * preserved), and legacy TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only surfaces as a nanosecond long behind the `nanosAsLong`
+    * flag — is truncated to micros, matching DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast. Branching on the *read* schema keeps the load correct
+    * across testdata regenerations.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // session-level nanosAsLong is set once in GraftSession.builder;
-      // set here only if the caller built its own session (library-safe:
-      // no repeated conf writes on the hot read path)
-      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros((col("ts") / 1000L).cast("long")) // legacy nanos-as-long
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp") // same wall clock; session zone is UTC
+        case _ => col("ts")
+      }
+      raw.select(col("event_id"), ts.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view for `spark.sql` queries. */

@@ -47,46 +47,110 @@ object Bm25 {
   def buildIndexMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
       tokenizer: String = "simple"): DataFrame = {
     require(textCols.nonEmpty, "MATCH() needs at least one column")
-    val text =
-      if (textCols.sizeIs == 1) col(textCols.head)
-      else concat_ws("\n", textCols.map(col): _*)
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(tokensOf(text, tokenizer)).as(Seq("pos", "term")))
+    // json parser: each column is its own document — concatenating two
+    // JSON texts with '\n' is not valid JSON (the reference loops the
+    // arg vectors per column, fulltext_tokenize.go:197-205)
+    val toks =
+      if (tokenizer == "json" && textCols.sizeIs > 1)
+        flatten(array(textCols.map(c => tokensOf(col(c), tokenizer)): _*))
+      else {
+        val text =
+          if (textCols.sizeIs == 1) col(textCols.head)
+          else concat_ws("\n", textCols.map(col): _*)
+        tokensOf(text, tokenizer)
+      }
+    docs.select(col(idCol).as("doc_id"), explode(toks).as("tk"))
+      .select(col("doc_id"), col("tk.term").as("term"), col("tk.pos").as("pos"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
   }
 
+  /** Tokenize a text column to `array<struct<term, pos>>`. The simple
+    * and json tokenizers carry the reference's byte positions; the
+    * chinese and whitespace tokenizers use sequential ordinals (their
+    * segmenters have no byte bookkeeping — phrase adjacency over them is
+    * token-sequential).
+    */
   private[fulltext] def tokensOf(c: Column, tokenizer: String): Column =
     tokenizer match {
-      case "chinese" => CjkSegmenter.tokensCol(c)
-      case "whitespace" => tokens(c)
+      case "chinese" => ordinalToks(CjkSegmenter.tokensCol(c))
+      case "whitespace" => ordinalToks(tokens(c))
+      case "json" => jsonTokU(c)
       case _ => simpleTokU(c)
     }
 
-  // -------------------------------------- reference default tokenizer
-  /** One emitted token: `tokenPos` is the sequential token counter the
-    * index stores as the position (adjacency basis for phrases).
+  private def ordinalToks(arr: Column): Column =
+    transform(arr, (t, i) => struct(t.as("term"), i.cast("int").as("pos")))
+
+  /** `WITH PARSER json` tokenization: walk the document's scalar VALUES
+    * in order — object values (keys skipped), array elements; ints and
+    * floats rendered as decimal text, booleans/null skipped — and run
+    * the simple tokenizer over each value's text
+    * (`fulltext_tokenize.go:196-236` "json" case over
+    * `bytejson.TokenizeValue(false)`, `fttokenizer.go:52-115`).
+    * Divergence: a malformed document yields no tokens instead of
+    * erroring the statement (our index builds lazily at query time, so
+    * an error here would poison unrelated MATCHes).
     */
-  private[graft] final case class SimpleTok(word: String, cpLen: Int, tokenPos: Int)
+  private[graft] def jsonValues(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(text)
+      catch { case _: Exception => return Nil }
+    val out = Seq.newBuilder[String]
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (n.isObject) n.elements().forEachRemaining(walk)
+      else if (n.isArray) n.elements().forEachRemaining(walk)
+      else if (n.isTextual) out += n.asText()
+      else if (n.isIntegralNumber) out += n.bigIntegerValue().toString
+      else if (n.isNumber) out += n.asDouble().toString
+      // true/false/null are not tokenized (fttokenizer.go:109)
+    if (root != null) walk(root)
+    out.result()
+  }
+
+  /** Positions mirror the reference: `pos = voffset + BytePos(in value)`
+    * where voffset accumulates the raw byte lengths of preceding values
+    * (`fulltext_tokenize.go:218-231`).
+    */
+  private[graft] def jsonTokenize(text: String): Seq[NgramTok] = {
+    var voffset = 0
+    jsonValues(text).flatMap { v =>
+      val toks = simpleTokenize(v).map(t => NgramTok(t.word, voffset + t.bytePos))
+      voffset += v.getBytes("UTF-8").length
+      toks
+    }
+  }
+
+  private val jsonTokU = udf((text: String) => jsonTokenize(text))
+
+  // -------------------------------------- reference default tokenizer
+  /** One emitted token: `bytePos` is the token's UTF-8 byte offset in the
+    * source text — the reference's `Token.BytePos`, and the position the
+    * index stores. Phrase adjacency compares byte DELTAS, so
+    * `"is  not red"` (two spaces) does NOT match a doc containing
+    * "is not red" (`fulltext.result:120` expects empty).
+    */
+  private[graft] final case class SimpleTok(word: String, cpLen: Int, bytePos: Int)
 
   /** The reference's default ("simple") tokenizer
     * (`pkg/monlp/tokenizer/simple.go`): breakers are ASCII
     * non-alphanumerics plus Unicode punctuation/space; Latin runs
     * (code points < 0x800) are emitted whole, lowercased, capped at 23
     * UTF-8 bytes; CJK runs emit sliding character trigrams with the
-    * natural 2/1-gram tail (`outputCJK`, simple.go:181-207). Divergence
-    * noted: the reference bumps the token counter once more after a
-    * multi-character breaker run (simple.go:100-103); positions here
-    * are strictly sequential — phrase adjacency is unaffected for
-    * single-space text.
+    * natural 2/1-gram tail (`outputCJK`, simple.go:181-207), each gram
+    * positioned at its starting character's byte offset.
     */
   private[graft] def simpleTokenize(text: String): IndexedSeq[SimpleTok] = {
     if (text == null || text.isEmpty) return Vector.empty
     val cps = text.codePoints().toArray
     def u8len(cp: Int) =
       if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+    // byte offset of each code point (byteAt(i) = offset of cps(i))
+    val byteAt = cps.scanLeft(0)((acc, cp) => acc + u8len(cp))
     def isBreaker(cp: Int): Boolean =
       if (cp < 128)
         !(cp >= '0' && cp <= '9' || cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z')
@@ -101,7 +165,6 @@ object Bm25 {
     // Go `isLatin`: fits in 1-2 UTF-8 bytes
     def isLatin(cp: Int) = cp < 0x800
     val out = Vector.newBuilder[SimpleTok]
-    var tokenPos = 0
     var i = 0
     while (i < cps.length) {
       if (isBreaker(cps(i))) i += 1
@@ -113,16 +176,15 @@ object Bm25 {
         var j = start
         while (j < end && bytes + u8len(cps(j)) <= 23) { bytes += u8len(cps(j)); j += 1 }
         end = j // 23-byte cap on a rune boundary (MAX_TOKEN_SIZE)
-        out += SimpleTok(new String(cps, start, end - start).toLowerCase, end - start, tokenPos)
-        tokenPos += 1
+        out += SimpleTok(new String(cps, start, end - start).toLowerCase,
+          end - start, byteAt(start))
       } else {
         val start = i
         while (i < cps.length && !isBreaker(cps(i)) && !isLatin(cps(i))) i += 1
         var a = start
         while (a < i) {
           val e = math.min(a + 3, i)
-          out += SimpleTok(new String(cps, a, e - a), e - a, tokenPos)
-          tokenPos += 1
+          out += SimpleTok(new String(cps, a, e - a), e - a, byteAt(a))
           a += 1
         }
       }
@@ -130,14 +192,15 @@ object Bm25 {
     out.result()
   }
 
-  private val simpleTokU = udf((text: String) => simpleTokenize(text).map(_.word))
+  private val simpleTokU = udf((text: String) =>
+    simpleTokenize(text).map(t => NgramTok(t.word, t.bytePos)))
 
   /** Natural-language-mode pattern parse for the default parser
     * (`ParsePatternInNLMode`, `fulltext.go:919-1000`): a pattern shorter
     * than 3 code points is one prefix probe; otherwise overlapping CJK
     * grams are skipped (keeping every 3rd), and a short surviving tail
     * picks the longest overlap ending at the same place or falls back
-    * to a prefix probe. Returns (pattern, isStar, tokenPos).
+    * to a prefix probe. Returns (pattern, isStar, bytePos).
     */
   private[graft] def nlParse(pattern: String): Seq[(String, Boolean, Int)] = {
     val p = pattern.trim
@@ -146,51 +209,12 @@ object Bm25 {
       return Seq((p.toLowerCase, true, 0))
     val toks = simpleTokenize(p)
     val out = Seq.newBuilder[(String, Boolean, Int)]
-    // recompute byte spans to mirror the Go overlap bookkeeping
     def u8(s: String) = s.getBytes("UTF-8").length
-    // spans per token: CJK grams overlap; rebuild byte positions from
-    // the original text by walking code points again
-    val cps = p.codePoints().toArray
-    def u8cp(cp: Int) =
-      if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
-    val byteAt = cps.scanLeft(0)((acc, cp) => acc + u8cp(cp))
-    // token start code-point index: recovered by replaying tokenization
-    // (same traversal order as simpleTokenize)
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    locally {
-      def isBreaker(cp: Int): Boolean =
-        if (cp < 128)
-          !(cp >= '0' && cp <= '9' || cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z')
-        else {
-          val t = Character.getType(cp)
-          t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
-          t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
-          t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
-          t == Character.FINAL_QUOTE_PUNCTUATION ||
-          Character.isWhitespace(cp) || Character.isSpaceChar(cp)
-        }
-      def isLatin(cp: Int) = cp < 0x800
-      var i = 0
-      while (i < cps.length) {
-        if (isBreaker(cps(i))) i += 1
-        else if (isLatin(cps(i))) {
-          starts += i
-          while (i < cps.length && !isBreaker(cps(i)) && isLatin(cps(i))) i += 1
-        } else {
-          val runEnd = {
-            var j = i
-            while (j < cps.length && !isBreaker(cps(j)) && !isLatin(cps(j))) j += 1
-            j
-          }
-          while (i < runEnd) { starts += i; i += 1 }
-        }
-      }
-    }
     var currBegin = -1
     var currEnd = -1
     var overlaps = List.empty[(SimpleTok, Int, Int)] // (tok, byteBegin, byteEnd)
-    toks.zipWithIndex.foreach { case (t, k) =>
-      val b = byteAt(starts(k))
+    toks.foreach { t =>
+      val b = t.bytePos
       val e = b + u8(t.word) // byte length of the emitted (possibly capped) word
       if (b >= currBegin && b < currEnd) {
         overlaps = overlaps :+ ((t, b, e))
@@ -200,11 +224,11 @@ object Bm25 {
           val longest = overlaps.find { case (_, _, oe) => oe == e }
           longest match {
             case Some((ot, _, _)) =>
-              out += ((ot.word, ot.cpLen < 3, ot.tokenPos))
+              out += ((ot.word, ot.cpLen < 3, ot.bytePos))
             case None =>
-              out += ((t.word, true, t.tokenPos))
+              out += ((t.word, true, t.bytePos))
           }
-        } else out += ((t.word, false, t.tokenPos))
+        } else out += ((t.word, false, t.bytePos))
         overlaps = Nil
       }
     }
@@ -266,7 +290,14 @@ object Bm25 {
   sealed trait FtNode
   final case class FtText(term: String) extends FtNode
   final case class FtStar(prefix: String) extends FtNode
-  final case class FtPhrase(words: Seq[String]) extends FtNode
+  /** A quoted phrase: each word paired with its expected position —
+    * byte offsets from tokenizing the phrase body (the reference's
+    * `ParsePhrase` keeps `Token.BytePos`, so extra interior whitespace
+    * changes the required deltas and `"is  not red"` matches nothing,
+    * `fulltext.result:120`). [[searchNgram]] supplies char ordinals
+    * instead, matching its char-offset gram index.
+    */
+  final case class FtPhrase(words: Seq[(String, Int)]) extends FtNode
   final case class FtGroup(children: Seq[FtNode]) extends FtNode
   final case class FtMod(op: Char, child: FtNode) extends FtNode // + - < > ~
 
@@ -306,7 +337,7 @@ object Bm25 {
       FtMod(c, nodeOf(tok.substring(1)))
     else if (c == '"' && tok.length > 1 && tok.last == '"') {
       val body = tok.substring(1, tok.length - 1).trim
-      FtPhrase(body.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+      FtPhrase(simpleTokenize(body).map(t => (t.word, t.bytePos)))
     } else if (c == '(' && tok.last == ')')
       FtGroup(parseBoolean(tok.substring(1, tok.length - 1)))
     else if (tok.length > 1 && tok.last == '*')
@@ -409,8 +440,11 @@ object Bm25 {
     * no `+` exists (EvalPlusOR vs EvalOR, `fulltext.go:380-470`), `-`
     * nodes anti-join.
     */
-  def searchBoolean(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
-    val nodes = parseBoolean(query)
+  def searchBoolean(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame =
+    searchBooleanNodes(index, parseBoolean(query), algo)
+
+  def searchBooleanNodes(index: FulltextIndex, nodes: Seq[FtNode],
+      algo: String = "bm25"): DataFrame = {
     var nextId = 0
     val leafBuf = Seq.newBuilder[Leaf]
 
@@ -441,9 +475,9 @@ object Bm25 {
         leafBuf += Leaf(id, "star", p, weight, -1)
         (Seq(id), Nil)
       case FtPhrase(words) =>
-        val ids = words.zipWithIndex.map { case (w, i) =>
+        val ids = words.map { case (w, off) =>
           val id = nextId; nextId += 1
-          leafBuf += Leaf(id, "text", w, weight, i)
+          leafBuf += Leaf(id, "text", w, weight, off)
           id
         }
         (ids, Seq((ids, words.length)))
@@ -606,17 +640,15 @@ object Bm25 {
     val s = needle.trim.toLowerCase
     val runs = s.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
     require(runs.nonEmpty, "empty ngram query")
-    val parts = runs.map { run =>
-      if (run.length < n) s""""${run}*""""
-      else "\"" + run.sliding(n).mkString(" ") + "\""
+    // each run is a must-phrase of its grams at CHAR-ordinal offsets
+    // (the ngram index stores char positions, so contiguity ⇔ +1 deltas);
+    // sub-ngram runs are STAR prefixes (the reference's short-token
+    // rewrite, `fulltext.go:925`)
+    val nodes: Seq[FtNode] = runs.map { run =>
+      if (run.length < n) FtMod('+', FtStar(run))
+      else FtMod('+', FtPhrase(run.sliding(n).toSeq.zipWithIndex))
     }
-    // each run is a must-phrase of its grams; sub-ngram runs are STAR
-    // prefixes (the reference's short-token rewrite)
-    val q = parts.map {
-      case p if p.endsWith("*\"") => "+" + p.stripPrefix("\"").stripSuffix("\"")
-      case p => "+" + p
-    }.mkString(" ")
-    searchBoolean(index, q).select(col("doc_id"))
+    searchBooleanNodes(index, nodes).select(col("doc_id"))
   }
 
   // ----------------------------------------------------- prebuilt index
@@ -669,10 +701,13 @@ object Bm25 {
     def forCorpusMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
         key: String, ngram: Boolean = false, n: Int = 3,
         tokenizer: String = "simple"): FulltextIndex =
-      cache.computeIfAbsent(s"$key#${textCols.mkString(",")}#$ngram#$n#$tokenizer", _ => {
+      // "bp" = byte-position postings format; versioning the store path
+      // keeps a pre-upgrade persisted index from being probed with the
+      // new position semantics
+      cache.computeIfAbsent(s"$key#${textCols.mkString(",")}#$ngram#$n#$tokenizer#bp", _ => {
         val spark = docs.sparkSession
         val dir = graft.plans.IndexStore.path(spark, "fulltext",
-          s"$key-${textCols.mkString("-")}-$ngram-$n-$tokenizer")
+          s"$key-${textCols.mkString("-")}-$ngram-$n-$tokenizer-bp")
         (if (ngram) buildNgramIndex(docs, idCol, textCols.head, n)
          else buildIndexMulti(docs, idCol, textCols, tokenizer))
           .withColumn("_tb", pmod(hash(col("term")), lit(TermBuckets)))
@@ -728,10 +763,12 @@ object Bm25 {
     */
   def matchAgainstMulti(docs: DataFrame, idCol: String, textCols: Seq[String],
       query: String, booleanMode: Boolean = false, cacheKey: String = null,
-      algo: String = "bm25"): DataFrame = {
+      algo: String = "bm25", tokenizer: String = "simple"): DataFrame = {
     val index =
-      if (cacheKey != null) FulltextIndex.forCorpusMulti(docs, idCol, textCols, cacheKey)
-      else FulltextIndex.buildMulti(docs, idCol, textCols)
+      if (cacheKey != null)
+        FulltextIndex.forCorpusMulti(docs, idCol, textCols, cacheKey,
+          tokenizer = tokenizer)
+      else FulltextIndex.buildMulti(docs, idCol, textCols, tokenizer = tokenizer)
     // the SQL MATCH surface follows the reference exactly: NL mode is a
     // positional phrase with the log10²-idf scoring (searchNaturalMo)
     if (booleanMode) searchBoolean(index, query, algo)

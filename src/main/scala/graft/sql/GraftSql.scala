@@ -71,12 +71,148 @@ object GraftSql {
               graft.plans.IvfPqIndex.drop(n)
             }
         }
-      intervalRewrite(spark, q)
-        .orElse(sampleRewrite(spark, q))
-        .orElse(fulltextDdlRewrite(spark, q))
-        .orElse(matchRewrite(spark, q))
-        .orElse(indexDdlRewrite(spark, q))
-        .getOrElse(spark.sql(q))
+      val q2 = quantifiedRewrite(q)
+      intervalRewrite(spark, q2)
+        .orElse(sampleRewrite(spark, q2))
+        .orElse(fulltextDdlRewrite(spark, q2))
+        .orElse(matchRewrite(spark, q2))
+        .orElse(indexDdlRewrite(spark, q2))
+        .getOrElse(spark.sql(q2))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Quantified comparison subqueries: x OP ALL|ANY|SOME (SELECT ...)
+  // ------------------------------------------------------------------
+
+  /** Spark has no `x > ALL (SELECT ...)` surface (MySQL/the reference
+    * parse it, `subquery-with-any.sql`, `subquery-with-exists.sql:221`);
+    * rewrite into NULL-aware min/max scalar-subquery forms:
+    *   - `<> ALL` → `NOT IN`, `= ANY` → `IN` (Spark's native NULL-aware
+    *     [anti-]semi joins — the scale path);
+    *   - ordering ops → compare against `max`/`min` with empty-set and
+    *     NULL-in-set handling per 3VL (ALL over ∅ is TRUE, ANY over ∅ is
+    *     FALSE; a NULL element forces UNKNOWN unless the comparison is
+    *     already decided FALSE for ALL / TRUE for ANY).
+    * The scalar subqueries this emits are uncorrelated w.r.t. the left
+    * operand, so Catalyst plans each once (ReusedSubquery) — no per-row
+    * re-execution. Known divergence: in a filter context UNKNOWN and
+    * FALSE both drop the row, but under an enclosing NOT(...) the
+    * rewrite's FALSE-vs-UNKNOWN choice for a NULL left operand can
+    * differ from strict 3VL.
+    */
+  private[graft] def quantifiedRewrite(q0: String): String = {
+    val KeyRe = """(?i)\b(all|any|some)\s*\(""".r
+    var s = q0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      val hit = KeyRe.findAllMatchIn(s).flatMap { m =>
+        lhsBefore(s, m.start).flatMap { case (lhs, op, lhsStart) =>
+          val open = s.indexOf('(', m.start)
+          balancedSpan(s, open).flatMap { case (inner, end) =>
+            if ("""(?is)^\s*(select|with)\b""".r.findFirstIn(inner).isDefined)
+              Some((lhs, op, m.group(1).toLowerCase, inner, lhsStart, end))
+            else None
+          }
+        }
+      }.toSeq.headOption
+      hit.foreach { case (lhs, op, kind, sq, from, to) =>
+        s = s.substring(0, from) + quantTemplate(lhs, op, kind, sq) + s.substring(to)
+        changed = true
+      }
+    }
+    s
+  }
+
+  /** Left operand + comparison operator ending right before `idx`
+    * (a bare column/literal/qualified name, or one balanced
+    * parenthesized expression / call).
+    */
+  private def lhsBefore(s: String, idx: Int): Option[(String, String, Int)] = {
+    val pre = s.substring(0, idx)
+    val m = """(?s)(<=|>=|<>|!=|=|<|>)\s*$""".r.findFirstMatchIn(pre).getOrElse(return None)
+    val op = m.group(1)
+    var e = m.start
+    while (e > 0 && Character.isWhitespace(pre(e - 1))) e -= 1
+    if (e == 0) return None
+    if (pre(e - 1) == ')') {
+      var depth = 0
+      var i = e - 1
+      while (i >= 0) {
+        val c = pre(i)
+        if (c == ')') depth += 1
+        else if (c == '(') {
+          depth -= 1
+          if (depth == 0) {
+            // include a function name directly before the '('
+            var j = i
+            while (j > 0 && (pre(j - 1).isLetterOrDigit || pre(j - 1) == '_' || pre(j - 1) == '.')) j -= 1
+            return Some((pre.substring(j, e), op, j))
+          }
+        }
+        i -= 1
+      }
+      None
+    } else {
+      """[\w.`']+$""".r.findFirstIn(pre.substring(0, e))
+        .map(t => (t, op, e - t.length))
+    }
+  }
+
+  /** `(inner, endIndexAfterClose)` for the paren opening at `open`,
+    * skipping quoted strings.
+    */
+  private def balancedSpan(s: String, open: Int): Option[(String, Int)] = {
+    if (open < 0 || s(open) != '(') return None
+    var depth = 0
+    var i = open
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return Some((s.substring(open + 1, i), i + 1))
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def quantTemplate(x: String, op0: String, kind: String, sq: String): String = {
+    val a = s"__q${viewSeq.incrementAndGet()}"
+    val cnt = s"(SELECT count(*) FROM ($sq) ${a}c)"
+    val nulls = s"(SELECT count(*) FROM ($sq) ${a}n(__qv) WHERE __qv IS NULL)"
+    val mx = s"(SELECT max(__qv) FROM ($sq) ${a}x(__qv))"
+    val mn = s"(SELECT min(__qv) FROM ($sq) ${a}m(__qv))"
+    val dc = s"(SELECT count(DISTINCT __qv) FROM ($sq) ${a}d(__qv))"
+    val nul = "CAST(NULL AS BOOLEAN)"
+    val op = if (op0 == "!=") "<>" else op0
+    val all = kind == "all"
+    (op, all) match {
+      case ("<>", true) => s"(($x) NOT IN ($sq))"
+      case ("=", false) => s"(($x) IN ($sq))"
+      case ("=", true) =>
+        s"(CASE WHEN $cnt = 0 THEN TRUE WHEN $dc > 1 THEN FALSE " +
+          s"WHEN NOT(($x) = $mx) THEN FALSE " +
+          s"WHEN $nulls > 0 OR ($x) IS NULL THEN $nul ELSE TRUE END)"
+      case ("<>", false) =>
+        s"(CASE WHEN $cnt = 0 THEN FALSE WHEN ($x) IS NULL THEN $nul " +
+          s"WHEN $dc > 1 THEN TRUE WHEN $dc = 1 AND ($x) <> $mx THEN TRUE " +
+          s"WHEN $nulls > 0 THEN $nul ELSE FALSE END)"
+      case (o, true) => // >, >=, <, <= ALL: compare against the extreme
+        val m = if (o == ">" || o == ">=") mx else mn
+        s"(CASE WHEN $cnt = 0 THEN TRUE " +
+          s"WHEN $nulls > 0 THEN (CASE WHEN NOT(($x) $o $m) THEN FALSE ELSE $nul END) " +
+          s"ELSE ($x) $o $m END)"
+      case (o, false) => // >, >=, <, <= ANY
+        val m = if (o == ">" || o == ">=") mn else mx
+        s"(CASE WHEN $cnt = 0 THEN FALSE WHEN ($x) $o $m THEN TRUE " +
+          s"WHEN $nulls > 0 OR ($x) IS NULL THEN $nul ELSE FALSE END)"
     }
   }
 
@@ -85,10 +221,12 @@ object GraftSql {
   // ------------------------------------------------------------------
 
   /** table-key → (index name, column set, parser). The reference
-    * REJECTS a CREATE whose columns overlap an existing fulltext index
-    * ("not allowed to use the same column",
-    * `test/distributed/cases/fulltext/fulltext.result:46-58`) but lets
-    * ALTER ADD bypass the check (ftidx2 at `:54`); MATCH over a table
+    * REJECTS a CREATE/ALTER ADD whose column set EQUALS an existing
+    * fulltext index's set — same length and same members, not mere
+    * overlap ("not allowed to use the same column",
+    * `pkg/fulltext/plugin/plan/schema.go:77-95`; golden accepts
+    * `(json1)` then `(json1, json2)` at `fulltext.result:285-291`,
+    * rejects a second `(body, title)` at `:46`). MATCH over a table
     * with registered indexes requires one whose column set matches.
     * Tables with NO registered index build postings on demand — the
     * programmatic convenience surface.
@@ -110,11 +248,11 @@ object GraftSql {
 
   private def fulltextDdlRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     import spark.implicits._
-    def register(table: String, name: String, cols: Set[String], parser: String,
-        checkOverlap: Boolean): DataFrame = {
+    def register(table: String, name: String, cols: Set[String],
+        parser: String): DataFrame = {
       val key = ftKey(spark, table)
       val existing = ftIndexCols.getOrElse(key, Vector.empty)
-      if (checkOverlap && existing.exists(_._2.intersect(cols).nonEmpty))
+      if (existing.exists(_._2 == cols))
         throw new IllegalArgumentException(
           "not supported: Fulltext index are not allowed to use the same column")
       ftIndexCols.put(key, existing :+ ((name, cols, Option(parser).getOrElse("").toLowerCase)))
@@ -123,9 +261,9 @@ object GraftSql {
     }
     q match {
       case CreateFtRe(name, table, colsTxt, parser) =>
-        Some(register(table, name, ftCols(colsTxt), parser, checkOverlap = true))
+        Some(register(table, name, ftCols(colsTxt), parser))
       case AlterFtRe(table, name, colsTxt, parser) =>
-        Some(register(table, name, ftCols(colsTxt), parser, checkOverlap = false))
+        Some(register(table, name, ftCols(colsTxt), parser))
       case _ => None
     }
   }
@@ -628,24 +766,30 @@ object GraftSql {
       val textCols = splitTop(colsTxt).map(_.trim.split('.').last)
       // once the table has DDL-registered fulltext indexes, the
       // reference's rules apply: the MATCH columns must equal one
-      // index's column set, and only the default parser is implemented
-      ftIndexCols.get(ftKey(spark, table)).foreach { idxs =>
+      // index's column set; the index's parser picks the tokenizer
+      // (query-side parsing is parser-independent except gojieba —
+      // `ParsePatternInNLMode`, fulltext.go:919-923)
+      val tokenizer = ftIndexCols.get(ftKey(spark, table)).map { idxs =>
         val want = textCols.map(_.toLowerCase).toSet
         val hit = idxs.find(_._2 == want).getOrElse(
           throw new IllegalStateException(
             "not supported: MATCH() AGAINST() cannot be replaced by FULLTEXT INDEX " +
               s"(no fulltext index on (${textCols.mkString(", ")}))"))
-        if (hit._3.nonEmpty && hit._3 != "default")
-          throw new UnsupportedOperationException(
-            s"UNSUPPORTED_FEATURE: fulltext parser '${hit._3}' on the SQL MATCH surface")
-      }
+        hit._3 match {
+          case "" | "default" => "simple"
+          case "json" => "json"
+          case "gojieba" => "chinese"
+          case other => throw new UnsupportedOperationException(
+            s"UNSUPPORTED_FEATURE: fulltext parser '$other' on the SQL MATCH surface")
+        }
+      }.getOrElse("simple")
       // key the cached postings index by the table's resolved plan, not
       // just its name — the same view name over different data must not
       // hit a stale index
       val planKey = spark.table(table).queryExecution.analyzed.semanticHash()
       val scores = Bm25.matchAgainstMulti(spark.table(table), pk, textCols, query,
           booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey",
-          algo = sessionAlgo(spark))
+          algo = sessionAlgo(spark), tokenizer = tokenizer)
         .withColumnRenamed("doc_id", "__ft_id")
       val v = s"_graft_ft_${viewSeq.incrementAndGet()}"
       scores.createOrReplaceTempView(v)

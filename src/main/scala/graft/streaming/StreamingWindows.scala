@@ -14,19 +14,20 @@ import org.apache.spark.sql.types._
   */
 object StreamingWindows {
 
-  /** Schema of the events stream as stored (ts is TIMESTAMP(NANOS) in
-    * parquet → read as nanosecond long, converted after).
+  /** Streaming scan of an events parquet directory. Structured Streaming
+    * needs an explicit schema, so we take it from a one-off batch read of
+    * the same dir, then normalize `ts` to a session-zone TIMESTAMP exactly
+    * like `Tables.load`: legacy TIMESTAMP(NANOS)-as-long is truncated to
+    * micros, TIMESTAMP(MICROS)/NTZ passes through (session zone is UTC).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming scan of an events parquet directory. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val fileSchema = spark.read.parquet(dir).schema
+    val ts = fileSchema("ts").dataType match {
+      case LongType => timestamp_micros((col("ts") / 1000L).cast("long"))
+      case _: TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+    spark.readStream.schema(fileSchema).parquet(dir).withColumn("ts", ts)
   }
 
   /** Watermarked tumbling-window aggregate (append-mode capable). */

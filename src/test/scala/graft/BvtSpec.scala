@@ -26,7 +26,7 @@ class BvtSpec extends AnyFunSuite {
     """(?is)^(select|insert|create|drop|delete|update|with|use |set |show |desc |explain|start |commit|rollback|begin|truncate|alter|rename|replace\s+into|load|call|prepare|execute|deallocate|grant|revoke|analyze|values|\(\s*\(*\s*select).*""".r
   private val QueryStart = """(?is)^(select|with|\().*""".r
   private val ErrorMarker =
-    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column)""".r
+    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column|will be supported)""".r
 
   /** Parse a `.result` file into statement/golden-row blocks. Result
     * blocks start with `➤` (header), columns separated by `¦`, every
@@ -335,6 +335,10 @@ class BvtSpec extends AnyFunSuite {
     // scala.Seq is immutable.Seq on 2.13 — Spark rows carry arrays as
     // mutable.ArraySeq, so match the collection root
     case s: scala.collection.Seq[_] => s.map(render).mkString("[", ", ", "]")
+    // the plain result format escapes embedded newlines as the two
+    // characters `\n` (see any `show create table` golden); a stored
+    // string with a real newline must render the same way to compare
+    case s: String if s.contains('\n') => s.replace("\n", "\\n")
     case x => x.toString
   }
 
@@ -503,6 +507,11 @@ class BvtSpec extends AnyFunSuite {
     l.contains("greatest(d_nullable") ||           // MySQL greatest(NULL,…)=NULL vs Spark skip-null
     l.contains("over (rows") ||                    // frame w/o ORDER BY: insertion-order running agg
     l.contains("c2.id = c1.id") ||                 // 2-level-deep correlation: Spark can't resolve
+    // MySQL outer-aggregate references inside nested subqueries
+    // (MAX(b)/MIN(b) aggregate the OUTER grouped t1 from 2 scopes down;
+    // SUM(t1.a+t2.c) mixes two outer levels in one aggregate) — Spark's
+    // decorrelation is one-level and rejects these at analysis
+    l.contains("max(b)=e") || l.contains("sum(t1.a+t2.c)") ||
     l.contains("row_number() over (order by b) as rn") || // row_number over tied keys: pick is engine-defined
     l.contains("row_number() over (partition by cte01.customer_id") || // ditto: tied order_date
     l.contains("~") ||                             // MySQL bitwise-NOT is unsigned 64-bit
@@ -727,8 +736,19 @@ class BvtSpec extends AnyFunSuite {
         }
       }
 
+  /** Debug aid: `BVT_ONLY=substr1,substr2 sbt "testOnly graft.BvtSpec"`
+    * narrows every batch to matching files (floor assertions relax so a
+    * filtered run can still pass/fail on golden matches alone).
+    */
+  private def only(files: Seq[String]): Seq[String] =
+    sys.env.get("BVT_ONLY") match {
+      case Some(pat) => files.filter(f => pat.split(",").exists(f.contains))
+      case None => files
+    }
+  private def filtered = sys.env.contains("BVT_ONLY")
+
   test("reference BVT slice runs verbatim with matching golden rows") {
-    val files = Seq(
+    val files = only(Seq(
       "distinct/distinct.result",
       "join/join.result",
       "expression/case_when.result",
@@ -749,7 +769,7 @@ class BvtSpec extends AnyFunSuite {
       "window/rollup.result",
       "window/cube.result",
       "window/value_window_functions.result",
-      "window/window.result")
+      "window/window.result"))
     var totalExec = 0
     var totalVerified = 0
     val allFailures = Seq.newBuilder[String]
@@ -778,15 +798,18 @@ class BvtSpec extends AnyFunSuite {
     val fails = allFailures.result()
     info(s"executed $totalExec statements, verified $totalVerified golden " +
       s"SELECTs, $dialectGaps dialect gaps")
-    assert(fails.isEmpty, fails.take(8).mkString("\n\n"))
-    assert(totalExec >= 1000, s"only $totalExec statements executed")
-    assert(totalVerified >= 150, s"only $totalVerified SELECTs verified")
-    assert(dialectGaps <= totalExec / 5,
-      s"$dialectGaps dialect gaps vs $totalExec executed — investigate")
+    assert(fails.isEmpty, s"${fails.length} failures:\n" +
+      fails.take(20).mkString("\n\n"))
+    if (!filtered) {
+      assert(totalExec >= 1000, s"only $totalExec statements executed")
+      assert(totalVerified >= 150, s"only $totalVerified SELECTs verified")
+      assert(dialectGaps <= totalExec / 5,
+        s"$dialectGaps dialect gaps vs $totalExec executed — investigate")
+    }
   }
 
   test("BVT dialect categories: dtype, optimizer, prepare, fulltext, vector, time_window") {
-    val files = Seq(
+    val files = only(Seq(
       "dtype/int.result",
       "dtype/bigint.result",
       "dtype/smallint.result",
@@ -821,7 +844,7 @@ class BvtSpec extends AnyFunSuite {
       "function/func_cume_dist.result",
       "function/func_ntile.result",
       "function/func_if.result",
-      "function/greatest_least_numeric.result")
+      "function/greatest_least_numeric.result"))
     var totalExec = 0
     var totalVerified = 0
     val gapsBefore = dialectGaps
@@ -851,10 +874,12 @@ class BvtSpec extends AnyFunSuite {
       s"SELECTs, $gaps dialect gaps")
     assert(fails.isEmpty, s"${fails.length} failures:\n" +
       fails.take(60).mkString("\n\n"))
-    assert(totalExec >= 1200, s"only $totalExec statements executed")
-    assert(totalVerified >= 250, s"only $totalVerified SELECTs verified")
-    assert(gaps <= totalExec / 5,
-      s"$gaps dialect gaps vs $totalExec executed — investigate")
+    if (!filtered) {
+      assert(totalExec >= 1200, s"only $totalExec statements executed")
+      assert(totalVerified >= 250, s"only $totalVerified SELECTs verified")
+      assert(gaps <= totalExec / 5,
+        s"$gaps dialect gaps vs $totalExec executed — investigate")
+    }
   }
 
   test("BVT function long tail: string, hash, math") {
@@ -919,7 +944,8 @@ class BvtSpec extends AnyFunSuite {
     * char-as-string (MySQL retrieval semantics), per-file catalog
     * cleanup, and the standard exec/verify/gap floor assertions.
     */
-  private def runBatch(files: Seq[String], minExec: Int, minVerified: Int): Unit = {
+  private def runBatch(files0: Seq[String], minExec: Int, minVerified: Int): Unit = {
+    val files = only(files0)
     var totalExec = 0
     var totalVerified = 0
     val gapsBefore = dialectGaps
@@ -949,9 +975,11 @@ class BvtSpec extends AnyFunSuite {
       s"SELECTs, $gaps dialect gaps")
     assert(fails.isEmpty, s"${fails.length} failures:\n" +
       fails.take(60).mkString("\n\n"))
-    assert(totalExec >= minExec, s"only $totalExec statements executed")
-    assert(totalVerified >= minVerified, s"only $totalVerified SELECTs verified")
-    assert(gaps <= totalExec / 5,
-      s"$gaps dialect gaps vs $totalExec executed — investigate")
+    if (!filtered) {
+      assert(totalExec >= minExec, s"only $totalExec statements executed")
+      assert(totalVerified >= minVerified, s"only $totalVerified SELECTs verified")
+      assert(gaps <= totalExec / 5,
+        s"$gaps dialect gaps vs $totalExec executed — investigate")
+    }
   }
 }

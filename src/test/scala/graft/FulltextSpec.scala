@@ -31,7 +31,7 @@ class FulltextSpec extends AnyFunSuite {
     assert(nodes == Seq(
       FtMod('+', FtText("apple")), FtMod('-', FtText("banana")),
       FtMod('<', FtText("cat")), FtMod('>', FtText("dog")),
-      FtMod('~', FtText("eel")), FtPhrase(Seq("big", "data")),
+      FtMod('~', FtText("eel")), FtPhrase(Seq(("big", 0), ("data", 4))),
       FtGroup(Seq(FtText("x"), FtStar("y"))), FtStar("pre")))
   }
 

@@ -219,4 +219,39 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(GraftSql.preparedBody(spark, "pi").exists(_.startsWith("insert into prep_ins")))
     spark.sql("drop table prep_ins")
   }
+
+  // ------------------------------------------- quantified ALL/ANY/SOME
+  test("quantified comparisons: ALL/ANY/SOME over subqueries with 3VL") {
+    Seq(1, 5, 9).toDF("a").createOrReplaceTempView("qt")
+    Seq(Some(2), Some(4), None).toDF("s").createOrReplaceTempView("qs_null")
+    Seq(2, 4).toDF("s").createOrReplaceTempView("qs")
+    Seq.empty[Int].toDF("s").createOrReplaceTempView("qs_empty")
+    def as(q: String): Seq[Int] =
+      GraftSql.sql(spark, q).orderBy("a").as[Int].collect().toSeq
+
+    // plain set, ordering ops
+    assert(as("select a from qt where a > all(select s from qs)") == Seq(5, 9))
+    assert(as("select a from qt where a < all(select s from qs)") == Seq(1))
+    assert(as("select a from qt where a > any(select s from qs)") == Seq(5, 9))
+    assert(as("select a from qt where a < some(select s from qs)") == Seq(1))
+    // NULL in the set: ALL comparisons go UNKNOWN unless already FALSE
+    assert(as("select a from qt where a > all(select s from qs_null)").isEmpty)
+    // ANY still TRUE when a witness exists, UNKNOWN otherwise
+    assert(as("select a from qt where a > any(select s from qs_null)") == Seq(5, 9))
+    // empty set: ALL is TRUE, ANY is FALSE
+    assert(as("select a from qt where a > all(select s from qs_empty)") == Seq(1, 5, 9))
+    assert(as("select a from qt where a > any(select s from qs_empty)").isEmpty)
+    // = / <> route through IN / NOT IN (NULL-aware)
+    assert(as("select a from qt where a = any(select s from qs union all select 5)") == Seq(5))
+    assert(as("select a from qt where a <> all(select s from qs)") == Seq(1, 5, 9))
+    assert(as("select a from qt where a <> all(select s from qs_null)").isEmpty)
+    // = ALL over a single-value set
+    assert(as("select a from qt where a = all(select 5)") == Seq(5))
+    assert(as("select a from qt where a <> any(select 5 union all select 5)") == Seq(1, 9))
+    // HAVING context (the reference BVT shape, subquery-with-exists.sql:221)
+    assert(as("select a from qt group by a having a > all(select s from qs)") == Seq(5, 9))
+    // no false positives: UNION ALL ( SELECT, aggregate ALL, GROUP BY ALL
+    assert(GraftSql.sql(spark,
+      "select a from qt union all (select s from qs)").count() == 5)
+  }
 }
