@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // the reference's recursive CTEs iterate well past Spark's default
+      // 100 levels (recursive_cte.sql runs to 150+); depth is bounded by
+      // the data, not the plan, so a high ceiling is safe
+      .config("spark.sql.cteRecursionLevelLimit", "10000")
       // lets legacy TIMESTAMP(NANOS) parquet read as a long instead of
       // erroring; Tables.load branches on the read schema, so data written
       // with micros timestamps (the current testdata) is unaffected

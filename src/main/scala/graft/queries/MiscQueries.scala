@@ -136,11 +136,56 @@ object MiscQueries extends QueryModule {
       |  FROM events CROSS JOIN range(0, 3) r(i))
       |ORDER BY event_id, kind, "index"""".stripMargin
 
+  // ----------------------------------------------- LOAD DATA ingestion
+  /** The reference's `LOAD DATA INFILE` SQL ingest path
+    * (`pkg/sql/colexec/external/external.go:152,829`) through GraftSql:
+    * pipe-separated CSV with empty-string numerics (→ NULL, issue_24211
+    * semantics) loaded into a catalog table, then aggregated. The oracle
+    * re-reads the same fixture with DuckDB's read_csv.
+    */
+  private val loadFixture = "/root/repo/fixtures/load_demo.csv"
+
+  private def load1(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS load_demo")
+    // explicit temp LOCATION: immune to warehouse leftovers from a
+    // crashed prior run (LOCATION_ALREADY_EXISTS on managed create)
+    val loc = java.nio.file.Files.createTempDirectory("graft_load_demo")
+    s.sql("CREATE TABLE load_demo(id INT, qty INT, amount DOUBLE, label STRING) " +
+      s"USING parquet LOCATION '$loc/t'")
+    graft.sql.GraftSql.sql(s,
+      s"load data infile '$loadFixture' into table load_demo " +
+        "fields terminated by '|' parallel 'true'")
+    s.table("load_demo")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("total_qty"),
+        round(sum(col("amount").cast("decimal(30,6)")), 2).cast("double")
+          .as("total_amount"),
+        count(col("amount")).as("n_amount"),
+        count(col("qty")).as("n_qty"))
+      .orderBy(col("label"))
+  }
+
+  // empty numeric cells load as 0 (MySQL/issue_24211 semantics) — the
+  // oracle reads raw strings and applies the same coercion
+  private val load1Sql =
+    s"""SELECT label, count(*) AS n,
+      |  CAST(sum(CASE WHEN qty = '' THEN 0 ELSE CAST(qty AS INTEGER) END) AS BIGINT)
+      |    AS total_qty,
+      |  CAST(round(sum(CAST(CASE WHEN amount = '' THEN '0' ELSE amount END
+      |    AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_amount,
+      |  count(amount) AS n_amount, count(qty) AS n_qty
+      |FROM read_csv('/root/repo/fixtures/load_demo.csv', delim='|', header=false,
+      |  nullstr='\\N', all_varchar=true,
+      |  columns={'id':'VARCHAR','qty':'VARCHAR','amount':'VARCHAR','label':'VARCHAR'})
+      |GROUP BY label ORDER BY label""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("tf4_unnest_json", tf4, Some(tf4Sql)),
     Q("sp1_group_sample", sp1, Some(sp1Sql)),
     Q("sp2_random_sample_sizes", sp2, Some(sp2Sql)),
     Q("tf1_generate_series", tf1, Some(tf1Sql)),
     Q("tf2_unnest", tf2, Some(tf2Sql)),
-    Q("tf3_lateral_topn", tf3, Some(tf3Sql)))
+    Q("tf3_lateral_topn", tf3, Some(tf3Sql)),
+    Q("load1_csv_ingest", load1, Some(load1Sql)))
 }

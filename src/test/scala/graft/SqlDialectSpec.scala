@@ -254,4 +254,131 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(GraftSql.sql(spark,
       "select a from qt union all (select s from qs)").count() == 5)
   }
+
+  // ------------------------------------------------------ sequences
+  test("sequences: DDL, nextval/currval/setval/lastval, cycle, state row") {
+    def one(q: String): Any = GraftSql.sql(spark, q).collect().head.get(0)
+    GraftSql.sql(spark, "drop sequence if exists sq1")
+    GraftSql.sql(spark,
+      "create sequence sq1 as smallint increment by -40 minvalue 30 maxvalue 100 cycle")
+    assert(one("select nextval('sq1')") == 100L) // first call returns start=max
+    assert(one("select nextval('sq1')") == 60L)
+    assert(one("select nextval('sq1')") == 100L) // 20 < min → cycle to max
+    assert(one("select currval('sq1')") == 100L)
+    assert(one("select lastval()") == 100L)
+    assert(one("select setval('sq1', 50)") == 50L)
+    assert(one("select nextval('sq1')") == 100L) // 10 < min → cycle
+    // state row shape + drop-table guard
+    val st = GraftSql.sql(spark, "select * from sq1").collect().head
+    assert(st.getDecimal(1).intValue == 30 && st.getDecimal(2).intValue == 100)
+    intercept[IllegalArgumentException](GraftSql.sql(spark, "drop table sq1"))
+    // no-cycle exhaustion errors; left-to-right evaluation in one row
+    GraftSql.sql(spark, "create sequence sq2 increment 2 minvalue 10 maxvalue 12 no cycle")
+    val row = GraftSql.sql(spark,
+      "select nextval('sq2'), currval('sq2'), nextval('sq2')").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((10L, 10L, 12L)))
+    val e = intercept[Exception](GraftSql.sql(spark, "select nextval('sq2')").collect())
+    assert(e.getMessage.contains("Reached maximum") ||
+      Option(e.getCause).exists(_.getMessage.contains("Reached maximum")))
+    // show sequences lists both in creation order
+    val names = GraftSql.sql(spark, "show sequences").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("sq1", "sq2"))
+    GraftSql.sql(spark, "drop sequence sq1")
+    GraftSql.sql(spark, "drop sequence if exists sq2")
+    assert(GraftSql.sql(spark, "show sequences").count() == 0)
+  }
+
+  // ---------------------------------------------- save_query_result
+  test("save_query_result: hint saves, result_scan/meta_scan re-read") {
+    spark.sql("DROP TABLE IF EXISTS qr_t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qr_t")
+    spark.sql(s"CREATE TABLE qr_t(a INT) USING parquet LOCATION '$dir/t'")
+    spark.sql("INSERT INTO qr_t VALUES (1), (2)")
+
+    // off → result_scan is the reference's "no configure" error
+    GraftSql.sql(spark, "set save_query_result = off")
+    val off = intercept[IllegalStateException](
+      GraftSql.sql(spark, "select * from result_scan(last_query_id()) as u"))
+    assert(off.getMessage.contains("no configure"))
+
+    GraftSql.sql(spark, "set save_query_result = on")
+    GraftSql.sql(spark, "/* save_result */select * from qr_t")
+    val back = GraftSql.sql(spark,
+      "select * from result_scan(last_query_id()) as u").orderBy("a")
+    assert(back.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+
+    // saved result is frozen against later table mutation
+    spark.sql("INSERT INTO qr_t VALUES (9)")
+    assert(GraftSql.sql(spark,
+      "select count(*) from result_scan(last_query_id()) as u")
+      .collect().head.getLong(0) == 2L)
+
+    // column names lowercase on re-read; offsets address earlier saves
+    GraftSql.sql(spark, "/* save_result */select 1 as AbC, 2 as DeF")
+    val cols = GraftSql.sql(spark,
+      "select * from result_scan(last_query_id()) as u").columns.toSeq
+    assert(cols == Seq("abc", "def"))
+    assert(GraftSql.sql(spark,
+      "select count(*) from result_scan(last_query_id(-2)) as u")
+      .collect().head.getLong(0) == 2L) // save #1 frozen at 2 rows
+
+    // meta_scan reports the read tables and a real result file
+    val meta = GraftSql.sql(spark,
+      "select tables, result_size from meta_scan(last_query_id(-2)) as u")
+      .collect().head
+    assert(meta.getString(0) == "qr_t" && meta.getLong(1) > 0)
+
+    // maxsize 0: no result file, metadata says so
+    GraftSql.sql(spark, "set query_result_maxsize = 0")
+    GraftSql.sql(spark, "/* save_result */select * from qr_t")
+    val m0 = GraftSql.sql(spark,
+      "select char_length(result_path), result_size from meta_scan(last_query_id()) as u")
+      .collect().head
+    assert(m0.getInt(0) == 0 && m0.getLong(1) == 0L)
+    GraftSql.sql(spark, "set query_result_maxsize = 100")
+
+    // unknown id errors; result_scan(?) is rejected at PREPARE
+    assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "select * from result_scan('no-such-id') as u")).getMessage.contains("not found"))
+    assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "prepare qr_st from 'select count(*) from result_scan(?) as u'"))
+      .getMessage.contains("invalid argument"))
+    GraftSql.sql(spark, "set save_query_result = off")
+    spark.sql("DROP TABLE qr_t")
+  }
+
+  // -------------------------------------- LOAD DATA INFILE / OUTFILE
+  test("LOAD DATA INFILE loads csv with MySQL clauses; INTO OUTFILE exports") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_load")
+    val f = dir.resolve("in.csv")
+    // row 2: empty numeric → 0; row 3: \N → NULL (issue_24211 semantics)
+    java.nio.file.Files.writeString(f,
+      "skipme\n1|10|x\n2||y\n3|\\N|z\n")
+    spark.sql("DROP TABLE IF EXISTS ld_t")
+    // explicit temp LOCATION: immune to warehouse leftovers from a
+    // crashed prior run (LOCATION_ALREADY_EXISTS on managed create)
+    spark.sql("CREATE TABLE ld_t(a INT, b INT, c STRING) USING parquet " +
+      s"LOCATION '${dir.resolve("ld_t")}'")
+    GraftSql.sql(spark,
+      s"load data local infile '$f' into table ld_t " +
+        "fields terminated by '|' lines terminated by '\\n' ignore 1 lines parallel 'true'")
+    val rows = spark.table("ld_t").orderBy("a")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1, 10, "x"), (2, 0, "y"), (3, -1, "z")))
+
+    // column-list form: unlisted columns arrive NULL
+    val f2 = dir.resolve("in2.csv")
+    java.nio.file.Files.writeString(f2, "7,seven\n8,eight\n")
+    GraftSql.sql(spark, s"load data infile '$f2' into table ld_t (a, c)")
+    assert(spark.table("ld_t").filter("b is null and a >= 7").count() == 2)
+
+    // export round trip
+    val out = dir.resolve("out.csv").toString
+    GraftSql.sql(spark,
+      s"select a, c from ld_t where a <= 3 order by a into outfile '$out'")
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("a", "c"))
+    spark.sql("DROP TABLE ld_t")
+  }
 }
