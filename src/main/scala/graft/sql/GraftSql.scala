@@ -87,7 +87,8 @@ object GraftSql {
               graft.plans.IvfPqIndex.drop(n)
             }
         }
-      val q2 = normalizeSetval(quantifiedRewrite(q))
+      val q2 = normalizeSetval(
+        MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(q))))
       sequenceRewrite(spark, q2)
         .orElse(queryResultRewrite(spark, q2))
         .orElse(insertSeqRewrite(spark, q2))

@@ -1,0 +1,494 @@
+package graft.sql
+
+/** Pre-parse string rewrites for MySQL dialect constructs Spark's parser
+  * or analyzer handles differently — pure text-to-text, applied by
+  * [[GraftSql.sql]] before dispatch. Each rewrite cites the reference
+  * behavior it reproduces (goldens under `test/distributed/cases/`).
+  */
+object MySqlCompat {
+
+  // ------------------------------------------------------------------
+  // shared scanning helpers
+  // ------------------------------------------------------------------
+
+  /** Index of the matching close paren for the open at `open`, or -1. */
+  private def closeOf(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var q: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** First depth-0, unquoted occurrence of word `w` at/after `from`. */
+  private def topIndexOf(s: String, w: String, from: Int = 0): Int = {
+    var depth = 0; var i = from; var q: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '"' || c == '`') q = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s(i - 1)) && s(i - 1) != '_') &&
+        (i + w.length >= s.length ||
+          !Character.isLetterOrDigit(s(i + w.length)) && s(i + w.length) != '_'))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  // ------------------------------------------------------------------
+  // MySQL compound INTERVAL units
+  // ------------------------------------------------------------------
+
+  private val CompoundUnits: Map[String, Seq[Long]] = {
+    val D = 86400000000L; val H = 3600000000L; val M = 60000000L
+    val S = 1000000L; val U = 1L
+    Map(
+      "day_hour" -> Seq(D, H),
+      "day_minute" -> Seq(D, H, M),
+      "day_second" -> Seq(D, H, M, S),
+      "day_microsecond" -> Seq(D, H, M, S, U),
+      "hour_minute" -> Seq(H, M),
+      "hour_second" -> Seq(H, M, S),
+      "hour_microsecond" -> Seq(H, M, S, U),
+      "minute_second" -> Seq(M, S),
+      "minute_microsecond" -> Seq(M, S, U),
+      "second_microsecond" -> Seq(S, U))
+  }
+
+  private val IntervalRe =
+    ("""(?i)\binterval\s+("[^"]*"|'[^']*'|null|-?\d+(?:\.\d+)?|-?\d+<<\d+)\s+""" +
+      """(day_hour|day_minute|day_second|day_microsecond|hour_minute|hour_second|""" +
+      """hour_microsecond|minute_second|minute_microsecond|second_microsecond|""" +
+      """year_month|quarter|year|month|week|day|hour|minute|second|microsecond)\b""").r
+
+  /** MySQL's compound interval units (`INTERVAL "1 1:1:1.5" DAY_SECOND`,
+    * `QUARTER`, decimal counts, NULL counts, `1<<37` counts — goldens
+    * `expression/temporal_interval.result`; reference unit table in
+    * `pkg/sql/parsers/tree/interval.go`). Parts are right-aligned,
+    * out-of-range parts carry (99 seconds = 1m39s), a lone fraction
+    * right-pads to microseconds, NULL yields a NULL interval. Rewritten
+    * to `make_dt_interval` / `make_interval` calls, which accept any
+    * numeric magnitude and NULL.
+    */
+  def intervalUnits(q0: String): String =
+    IntervalRe.replaceAllIn(q0, m => {
+      val rawVal = m.group(1)
+      val unit = m.group(2).toLowerCase
+      val quoted = rawVal.head == '"' || rawVal.head == '\''
+      val body = if (quoted) rawVal.substring(1, rawVal.length - 1).trim else rawVal
+      val isNull = body.equalsIgnoreCase("null")
+      def out(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+
+      def shifted(s: String): Option[BigInt] =
+        """^(-?\d+)<<(\d+)$""".r.findFirstMatchIn(s)
+          .map(sm => BigInt(sm.group(1)) << sm.group(2).toInt)
+
+      if (isNull) {
+        if (unit == "year_month" || unit == "quarter" || unit == "year" || unit == "month")
+          out("make_interval(0, CAST(NULL AS INT))")
+        else out("make_dt_interval(0, 0, 0, CAST(NULL AS DECIMAL(30,6)))")
+      } else if (unit == "year_month") {
+        val neg = body.startsWith("-")
+        val parts = body.stripPrefix("-").split("[^0-9]+").filter(_.nonEmpty)
+        val (y, mo) =
+          if (parts.length >= 2) (BigInt(parts(0)), BigInt(parts(1)))
+          else (BigInt(0), BigInt(parts.headOption.getOrElse("0")))
+        val months = (y * 12 + mo) * (if (neg) -1 else 1)
+        out(s"make_interval(0, $months)")
+      } else if (unit == "quarter") {
+        val n = shifted(body).orElse(
+          try Some(BigInt(new java.math.BigDecimal(body)
+            .setScale(0, java.math.RoundingMode.HALF_UP).toBigInteger))
+          catch { case _: NumberFormatException => None })
+        n.map(v => out(s"make_interval(0, ${v * 3})")).getOrElse(m.matched)
+      } else if (CompoundUnits.contains(unit)) {
+        val factors = CompoundUnits(unit)
+        val neg = body.trim.startsWith("-")
+        val digits = body.trim.stripPrefix("-")
+        val rawParts = digits.split("[^0-9]+").filter(_.nonEmpty)
+        // right-aligned: "1:1" MINUTE_SECOND is 1 minute 1 second; a
+        // microsecond slot fed from a '.' fraction pads right to 6
+        val parts = rawParts.takeRight(factors.length)
+        val aligned = Seq.fill(factors.length - parts.length)("0") ++ parts
+        val lastIsMicro = factors.last == 1L
+        val vals = aligned.zipWithIndex.map { case (p, i) =>
+          if (lastIsMicro && i == factors.length - 1 && digits.contains('.'))
+            BigInt(p.padTo(6, '0').take(6))
+          else BigInt(p)
+        }
+        val micros = vals.zip(factors).map { case (v, f) => v * f }.sum *
+          (if (neg) -1 else 1)
+        val secs = micros / 1000000L
+        val us = (micros - secs * 1000000L).abs
+        out(s"make_dt_interval(0, 0, 0, CAST('$secs.${f"$us%06d"}' AS DECIMAL(30,6)))")
+      } else {
+        // simple unit: rewrite only when Spark's literal grammar cannot
+        // take the value (decimal count on a non-second unit, << expr)
+        val shiftedV = shifted(body)
+        val isDec = body.matches("-?\\d+\\.\\d+")
+        if (shiftedV.isEmpty && !(isDec && unit != "second")) m.matched
+        else {
+          val n = shiftedV.map(BigDecimal(_)).getOrElse(BigDecimal(body))
+          // fractional day-time counts are EXACT in MySQL (1.5 MINUTE =
+          // 90 seconds, temporal_interval.result); year/month fractions
+          // round to whole units (months are discrete)
+          unit match {
+            case "year" => out(s"make_interval(${n.setScale(0, BigDecimal.RoundingMode.HALF_UP)})")
+            case "month" => out(s"make_interval(0, ${n.setScale(0, BigDecimal.RoundingMode.HALF_UP)})")
+            case "week" => out(s"make_dt_interval(0, 0, 0, ${n * 604800})")
+            case "day" => out(s"make_dt_interval(0, 0, 0, ${n * 86400})")
+            case "hour" => out(s"make_dt_interval(0, 0, 0, ${n * 3600})")
+            case "minute" => out(s"make_dt_interval(0, 0, 0, ${n * 60})")
+            case "second" => out(s"make_dt_interval(0, 0, 0, $n)")
+            case "microsecond" =>
+              out(s"make_dt_interval(0, 0, 0, CAST(${n / 1000000} AS DECIMAL(30,6)))")
+            case _ => m.matched
+          }
+        }
+      }
+    })
+
+  // ------------------------------------------------------------------
+  // DATE_ADD / DATE_SUB with interval expressions
+  // ------------------------------------------------------------------
+
+  private val DateAddRe = """(?i)\b(date_add|date_sub|adddate|subdate)\s*\(""".r
+
+  /** MySQL `DATE_ADD(x, INTERVAL n unit)` — Spark's date_add takes an
+    * int day count, so the interval form becomes `+`/`-` arithmetic
+    * (which Spark types natively). MySQL's result-type rule is kept for
+    * the decidable case: a DATE-shaped literal combined with a
+    * date-granularity interval stays a DATE
+    * (`expression/temporal_interval.result:1` renders no time part).
+    */
+  def dateAddSub(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      DateAddRe.findAllMatchIn(q).toList.reverseIterator.find { m =>
+        val close = closeOf(q, m.end - 1)
+        close > 0 && {
+          val args = GraftSql.splitTop(q.substring(m.end, close)).map(_.trim)
+          args.lengthIs == 2 &&
+            """(?i)^(interval\b|make_interval|make_dt_interval)""".r
+              .findFirstIn(args(1)).isDefined
+        }
+      }.foreach { m =>
+        val close = closeOf(q, m.end - 1)
+        val args = GraftSql.splitTop(q.substring(m.end, close)).map(_.trim)
+        val op = if (m.group(1).toLowerCase.startsWith("date_a") ||
+          m.group(1).equalsIgnoreCase("adddate")) "+" else "-"
+        val dateOnly =
+          """(?i)^(make_interval\b|interval\s+\S+\s+(year|quarter|month|week|day)\b)""".r
+            .findFirstIn(args(1)).isDefined
+        val litDate = args(0).matches("""^["'][^"':]*["']$""")
+        val rep0 =
+          if (litDate && dateOnly)
+            s"CAST(CAST(${args(0)} AS DATE) $op ${args(1)} AS DATE)"
+          else s"((${args(0)}) $op ${args(1)})"
+        // MySQL's DATETIME domain is [1000-01-01, 9999-12-31]; a result
+        // outside it is NULL (temporal_interval.result: 100000 QUARTER)
+        val rep = s"(CASE WHEN ($rep0) BETWEEN TIMESTAMP'1000-01-01 00:00:00' " +
+          s"AND TIMESTAMP'9999-12-31 23:59:59.999999' THEN ($rep0) ELSE NULL END)"
+        q = q.substring(0, m.start) + rep + q.substring(close + 1)
+        changed = true
+      }
+    }
+    q
+  }
+
+  // ------------------------------------------------------------------
+  // VALUES-table and TABLE statements in subquery position
+  // ------------------------------------------------------------------
+
+  /** MySQL 8 table-value constructors (`ANY (VALUES ROW(1), ROW(2))`)
+    * and `TABLE t` shorthand inside subqueries
+    * (`subquery/mysql_compat_values_table_subquery.result`) → the
+    * SELECT forms Spark parses.
+    */
+  def valuesTable(q0: String): String = {
+    var q = """(?i)\bvalues\s+row\s*\(""".r.findFirstIn(q0) match {
+      case None => q0
+      case Some(_) =>
+        """(?is)\bvalues\s+(row\s*\([^)]*\)(?:\s*,\s*row\s*\([^)]*\))*)""".r
+          .replaceAllIn(q0, m => {
+            val rows = """(?is)row\s*(\([^)]*\))""".r
+              .findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+            // MySQL names values-table columns column_0, column_1, …
+            val n = GraftSql.splitTop(
+              rows.head.substring(1, rows.head.length - 1)).length
+            val cols = (0 until n).map(i => s"column_$i").mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(
+              s"SELECT * FROM VALUES ${rows.mkString(", ")} AS _gvals($cols)")
+          })
+    }
+    // `TABLE t` query shorthand in subquery / set-operation position
+    q = """(?i)(\(|\bunion(?:\s+all|\s+distinct)?|\bintersect|\bexcept)\s*table\s+(`?\w+`?)""".r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} SELECT * FROM ${m.group(2)}"))
+    q
+  }
+
+  // ------------------------------------------------------------------
+  // Row-constructor (tuple) comparisons with MySQL 3VL semantics
+  // ------------------------------------------------------------------
+
+  /** `(a,b,c) OP (d,e,f)` — MySQL compares row constructors elementwise
+    * with NULL propagation ((1,2,3)=(1,NULL,3) is NULL, not false;
+    * `operator/row_constructor.result`). Spark's struct comparison
+    * treats NULL fields as ordinary values, so expand to the
+    * three-valued boolean combination before parse. Ordering compares
+    * are lexicographic: a<d OR (a=d AND (b<e ...)).
+    */
+  def rowCompare(q0: String): String = {
+    var q = q0
+    var changed = true
+    val OpRe = """\)\s*(<=>|=|<>|!=|<=|>=|<|>)\s*\(""".r
+    val InListRe = """(?i)\)\s*(not\s+)?in\s*\(""".r
+    while (changed) {
+      changed = false
+      // `(tuple) [NOT] IN ((t1),(t2),…)` — a list of row constructors:
+      // OR of row equalities (each re-expanded by the pass below), so
+      // NULL components propagate like MySQL (row_constructor.result:63)
+      val inHit = InListRe.findAllMatchIn(q).find { m =>
+        val lOpen = openOf(q, m.start)
+        val rClose = closeOf(q, m.end - 1)
+        lOpen >= 0 && rClose > 0 && !isFunctionCall(q, lOpen) &&
+          isTuple(q.substring(lOpen + 1, m.start)) && {
+            val items = GraftSql.splitTop(q.substring(m.end, rClose)).map(_.trim)
+            items.nonEmpty && items.forall(it =>
+              it.startsWith("(") && it.endsWith(")") &&
+                isTuple(it.substring(1, it.length - 1)))
+          }
+      }
+      inHit.foreach { m =>
+        val lOpen = openOf(q, m.start)
+        val rClose = closeOf(q, m.end - 1)
+        val lhs = q.substring(lOpen, m.start + 1)
+        val items = GraftSql.splitTop(q.substring(m.end, rClose)).map(_.trim)
+        val eqs = items.map(it => s"($lhs = $it)").mkString(" OR ")
+        val body = if (m.group(1) != null) s"(NOT ($eqs))" else s"($eqs)"
+        q = q.substring(0, lOpen) + body + q.substring(rClose + 1)
+        changed = true
+      }
+      if (changed) { /* re-scan from the top */ }
+      val hit = if (changed) None else OpRe.findAllMatchIn(q).find { m =>
+        val rClose = closeOf(q, m.end - 1)
+        val lClose = m.start
+        val lOpen = openOf(q, lClose)
+        rClose > 0 && lOpen >= 0 &&
+          isTuple(q.substring(lOpen + 1, lClose)) &&
+          isTuple(q.substring(m.end, rClose)) &&
+          !isFunctionCall(q, lOpen)
+      }
+      hit.foreach { m =>
+        val op0 = m.group(1)
+        val rOpen = m.end - 1
+        val rClose = closeOf(q, rOpen)
+        val lClose = m.start
+        val lOpen = openOf(q, lClose)
+        val ls = GraftSql.splitTop(q.substring(lOpen + 1, lClose)).map(_.trim)
+        val rs = GraftSql.splitTop(q.substring(m.end, rClose)).map(_.trim)
+        val rep =
+          if (ls.length != rs.length) null
+          else {
+            val op = if (op0 == "!=") "<>" else op0
+            op match {
+              case "=" | "<=>" =>
+                "(" + ls.zip(rs).map { case (a, b) => s"(($a) $op ($b))" }
+                  .mkString(" AND ") + ")"
+              case "<>" =>
+                "(NOT (" + ls.zip(rs).map { case (a, b) => s"(($a) = ($b))" }
+                  .mkString(" AND ") + "))"
+              case _ => // lexicographic <, <=, >, >=
+                val strict = op.stripSuffix("=")
+                def lex(i: Int): String =
+                  if (i == ls.length - 1) s"((${ls(i)}) $op (${rs(i)}))"
+                  else s"(((${ls(i)}) $strict (${rs(i)})) OR (((${ls(i)}) = (${rs(i)})) AND ${lex(i + 1)}))"
+                lex(0)
+            }
+          }
+        if (rep != null) {
+          q = q.substring(0, lOpen) + rep + q.substring(rClose + 1)
+          changed = true
+        }
+      }
+    }
+    q
+  }
+
+  /** Matching open paren for the close at `close`, or -1. */
+  private def openOf(s: String, close: Int): Int = {
+    var depth = 0; var i = close
+    while (i >= 0) {
+      val c = s(i)
+      if (c == ')') depth += 1
+      else if (c == '(') { depth -= 1; if (depth == 0) return i }
+      i -= 1
+    }
+    -1
+  }
+
+  /** ≥2 top-level comma items, none of which opens a SELECT. */
+  private def isTuple(inner: String): Boolean =
+    GraftSql.splitTop(inner).lengthIs >= 2 &&
+      !"""(?is)^\s*select\b""".r.findFirstIn(inner).isDefined
+
+  private val SqlKeywords = Set(
+    "select", "where", "and", "or", "not", "on", "when", "then", "else",
+    "in", "all", "any", "some", "from", "by", "having", "set", "values",
+    "case", "end", "union", "intersect", "except", "distinct", "as",
+    "between", "like", "is", "exists", "if")
+
+  /** The paren at `open` is a call-argument list (preceded by an
+    * identifier that is not a SQL keyword), not a bare row constructor.
+    */
+  private def isFunctionCall(s: String, open: Int): Boolean = {
+    var i = open - 1
+    while (i >= 0 && s(i).isWhitespace) i -= 1
+    if (i < 0 || !(s(i).isLetterOrDigit || s(i) == '_' || s(i) == '`')) return false
+    var b = i
+    while (b >= 0 && (s(b).isLetterOrDigit || s(b) == '_' || s(b) == '`')) b -= 1
+    !SqlKeywords.contains(s.substring(b + 1, i + 1).toLowerCase)
+  }
+
+  // ------------------------------------------------------------------
+  // Projection-context [NOT] IN (subquery): MySQL three-valued result
+  // ------------------------------------------------------------------
+
+  /** In a SELECT list, MySQL's `x IN (subquery)` yields NULL when no
+    * match is decidable (x NULL, or the subquery produced a NULL) —
+    * Spark's InSubquery yields FALSE there
+    * (`subquery/subquery-with-in.result`, the engine's MARK-join
+    * semantics, reference `pkg/sql/colexec/join/mark.go`). Expand into
+    * a null-aware CASE; the extra EXISTS probes reuse the subquery with
+    * an is-null filter so correlation depth is unchanged.
+    */
+  def projectionIn(q0: String): String = {
+    if (!"""(?is)^\s*select\b""".r.findFirstIn(q0).isDefined) return q0
+    val selStart = q0.toLowerCase.indexOf("select") + 6
+    val fromIdx = topIndexOf(q0, "from", selStart)
+    // predicate-position IN already filters identically under Spark's
+    // 2VL (null rows drop either way) — but a query that OBSERVES the
+    // unknown (`(x IN (...)) IS NULL`, subquery-with-in.result:608)
+    // needs the three-valued form everywhere
+    val observesNull = """(?i)\)\s*is\s+(not\s+)?null""".r.findFirstIn(q0).isDefined
+    val selEnd =
+      if (observesNull || fromIdx < 0) q0.length else fromIdx
+    val InRe = """(?i)\b(not\s+)?in\s*\(""".r
+    val hits = InRe.findAllMatchIn(q0).filter(m =>
+      m.start >= selStart && m.start < selEnd).toList.reverse
+    if (hits.isEmpty) return q0
+    // a bare lhs column inside the probe EXISTS would resolve against
+    // the SUBQUERY's table first (`a IN (select a from t1 ...)` — both
+    // named a); when the outer FROM is one simple table, qualify it
+    val outerAlias: Option[String] =
+      if (fromIdx < 0) None
+      else ("""(?is)^from\s+`?(\w+)`?""" +
+        """(?:\s+(?:as\s+)?(?!where\b|order\b|group\b|limit\b|join\b|on\b|left\b|right\b|inner\b|cross\b)`?(\w+)`?)?""" +
+        """\s*(?:where\b.*|order\b.*|group\b.*|limit\b.*)?$""").r
+        .findFirstMatchIn(q0.substring(fromIdx).trim)
+        .map(mm => Option(mm.group(2)).getOrElse(mm.group(1)))
+    var q = q0
+    for (m <- hits) {
+      val open = m.end - 1
+      val close = closeOf(q, open)
+      if (close > 0) {
+        val sub = q.substring(open + 1, close).trim
+        if ("""(?is)^select\b""".r.findFirstIn(sub).isDefined) {
+          // LHS: tuple or single term directly before [NOT] IN
+          var e = m.start - 1
+          while (e >= 0 && q(e).isWhitespace) e -= 1
+          val (lOpen, lhsItems0) =
+            if (e >= 0 && q(e) == ')') {
+              val lo = openOf(q, e)
+              if (lo >= 0 && !isFunctionCall(q, lo))
+                (lo, GraftSql.splitTop(q.substring(lo + 1, e)).map(_.trim))
+              else (-1, Seq.empty[String])
+            } else {
+              var b = e
+              while (b >= 0 && (q(b).isLetterOrDigit || "._`".contains(q(b)))) b -= 1
+              if (b < e) (b + 1, Seq(q.substring(b + 1, e + 1))) else (-1, Seq.empty[String])
+            }
+          val lhsItems = lhsItems0.map { it =>
+            outerAlias match {
+              case Some(a) if it.matches("^[A-Za-z_]\\w*$") &&
+                  !it.equalsIgnoreCase("null") => s"$a.$it"
+              case _ => it
+            }
+          }
+          val plainShape = topIndexOf(sub, "union") < 0 &&
+            topIndexOf(sub, "group") < 0 && topIndexOf(sub, "order") < 0 &&
+            topIndexOf(sub, "limit") < 0
+          val subFrom = topIndexOf(sub, "from")
+          val subItems =
+            if (subFrom > 0) GraftSql.splitTop(sub.substring(6, subFrom).trim).map(_.trim)
+            else Seq.empty
+          // MySQL IN = OR over rows of (AND over components), each 3VL.
+          // The unknown-probe asks: does a row exist whose equality is
+          // UNDECIDED — every component potentially equal (equal, or one
+          // side NULL) and at least one component actually NULL. In-place
+          // injection for the plain shape keeps correlation depth; a
+          // derived-table wrap covers UNION/GROUP/ORDER shapes (the
+          // goldens' are uncorrelated). Handles empty subqueries (probe
+          // finds nothing → FALSE) and NULL lhs components for free.
+          def probeUnknown(ss: Seq[String]): String = {
+            val pot = lhsItems.zip(ss).map { case (l, s) =>
+              s"((($l) = ($s)) OR ($l) IS NULL OR ($s) IS NULL)"
+            }.mkString(" AND ")
+            val unk = lhsItems.zip(ss).map { case (l, s) =>
+              s"($l) IS NULL OR ($s) IS NULL"
+            }.mkString(" OR ")
+            s"($pot) AND ($unk)"
+          }
+          def probeMatch(ss: Seq[String]): String =
+            lhsItems.zip(ss).map { case (l, s) => s"(($l) = ($s))" }
+              .mkString(" AND ")
+          def variant(cond: Seq[String] => String): String =
+            if (plainShape && subFrom > 0 && subItems.length == lhsItems.length &&
+                subItems.forall(_ != "*")) {
+              val fromTail = sub.substring(subFrom)
+              val whereIdx = topIndexOf(fromTail, "where")
+              val c = cond(subItems)
+              if (whereIdx < 0) s"SELECT 1 $fromTail WHERE $c"
+              else s"SELECT 1 ${fromTail.substring(0, whereIdx)} WHERE (" +
+                s"${fromTail.substring(whereIdx + 5)}) AND ($c)"
+            } else if (lhsItems.nonEmpty) {
+              val vs = lhsItems.indices.map(i => s"_gv$i")
+              s"SELECT 1 FROM ($sub) _gnul(${vs.mkString(", ")}) WHERE " +
+                cond(vs)
+            } else null
+          val nullSub = variant(probeUnknown)
+          val matchSub = variant(probeMatch)
+          if (lhsItems.nonEmpty && nullSub != null) {
+            // decisive membership needs a strictly-equal row (Spark's
+            // struct-IN would treat NULL fields as matching values)
+            val neg = m.group(1) != null
+            val (t, f) = if (neg) ("FALSE", "TRUE") else ("TRUE", "FALSE")
+            val rep =
+              s"(CASE WHEN EXISTS ($matchSub) THEN $t " +
+                s"WHEN EXISTS ($nullSub) THEN CAST(NULL AS BOOLEAN) ELSE $f END)"
+            q = q.substring(0, lOpen) + rep + q.substring(close + 1)
+          }
+        }
+      }
+    }
+    q
+  }
+
+  /** Pre-quantifier compat passes (run before the ANY/ALL rewrite so a
+    * `ANY (VALUES ...)` has become `ANY (SELECT ...)` by then).
+    */
+  def pre(q: String): String =
+    dateAddSub(rowCompare(valuesTable(intervalUnits(q))))
+}
