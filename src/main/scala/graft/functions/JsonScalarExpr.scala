@@ -75,7 +75,14 @@ case class JsonScalarExpr(fn: String, children: Seq[Expression])
       case "json_valid" => b(JsonExtras.jsonValid(str(0)))
       case "json_quote" => s(JsonExtras.jsonQuote(str(0)))
       case "json_unquote" => s(JsonExtras.jsonUnquote(str(0)))
-      case "json_contains" => b(JsonExtras.jsonContains(str(0), str(1)))
+      case "json_contains" =>
+        // 3-arg form tests containment AT the path (func_json_contains)
+        val target =
+          if (children.length == 3) {
+            val p = str(2)
+            if (p == null) null else JsonTail.jsonExtract(str(0), p)
+          } else str(0)
+        b(JsonExtras.jsonContains(target, str(1)))
       case "json_depth" =>
         JsonExtras.jsonDepth(str(0)).map(java.lang.Integer.valueOf).orNull
       case "json_merge_preserve" => s(JsonExtras.jsonMergePreserve(str(0), str(1)))
@@ -113,7 +120,7 @@ object JsonScalarExpr {
     "json_valid" -> Set(1),
     "json_quote" -> Set(1),
     "json_unquote" -> Set(1),
-    "json_contains" -> Set(2),
+    "json_contains" -> Set(2, 3), // 3rd arg: path to test at (MySQL)
     "json_depth" -> Set(1),
     "json_merge_preserve" -> Set(2),
     "json_contains_path" -> Set(3))

@@ -34,6 +34,12 @@ object MoAliases {
       case other => throw new IllegalArgumentException(
         s"expected a string literal argument, got $other")
     }
+    // a format built from literals (replace('yyyy…')-chains) folds to a
+    // constant — the reference types those like plain literals
+    def foldableStr(e: Column): Boolean = {
+      val ex = eagerExpression(e)
+      try ex.foldable catch { case _: Exception => false }
+    }
     def intLit(e: Column): Int = eagerExpression(e) match {
       case Literal(v, _) if v != null => v.toString.toInt
       case other => throw new IllegalArgumentException(
@@ -50,10 +56,13 @@ object MoAliases {
     def moSubstr(a: Seq[Column]): Column = {
       val pos = a(1).cast("int")
       val len = if (a.length > 2) a(2).cast("int") else lit(Int.MaxValue)
-      when(pos === 0, lit("")).otherwise(
-        asCol(org.apache.spark.sql.catalyst.expressions.Substring(
-          eagerExpression(a(0).cast("string")), eagerExpression(pos),
-          eagerExpression(len))))
+      when(pos === 0, lit(""))
+        // MySQL: |negative pos| beyond the length yields ''
+        .when(pos < 0 && -pos > char_length(a(0).cast("string")), lit(""))
+        .otherwise(
+          asCol(org.apache.spark.sql.catalyst.expressions.Substring(
+            eagerExpression(a(0).cast("string")), eagerExpression(pos),
+            eagerExpression(len))))
     }
     nat("mid", "mid(s, pos[, len]) - MySQL alias of substring")(moSubstr)
     nat("substring", "substring(s, pos[, len]) - pos 0 yields '' (MySQL)")(moSubstr)
@@ -63,7 +72,10 @@ object MoAliases {
     nat("strcmp", "strcmp(a, b) - -1/0/1")(a =>
       when(a(0).isNull || a(1).isNull, lit(null))
         .when(a(0) < a(1), -1).when(a(0) === a(1), 0).otherwise(1))
-    nat("from_base64", "from_base64(s)")(a => unbase64(a(0)).cast("string"))
+    // strict decode: invalid base64 is NULL in MySQL (Spark's unbase64
+    // errors under ANSI); bytes return so LENGTH/HEX see octets
+    nat("from_base64", "from_base64(s) - NULL on invalid input")(a =>
+      MoFunctions.fromBase64(a(0)))
     nat("to_base64", "to_base64(s)")(a => base64(a(0).cast("binary")))
     nat("findinset", "findinset(s, set)")(a => find_in_set(a(0), a(1)))
     nat("format", "format(x, d) - thousands-grouped rendering")(a =>
@@ -78,6 +90,15 @@ object MoAliases {
         if (a.length > 3) strLit(a(3)) else ",",
         if (a.length > 4) intLit(a(4)) else 64))
     nat("reg_match", "reg_match(s, pattern)")(a => regexp_like(a(0), a(1)))
+    nat("regexp_instr", "regexp_instr(s, p[, pos[, occurrence[, return_opt]]])")(a =>
+      MoFunctions.regexpInstr(a(0), a(1),
+        if (a.length > 2) a(2) else lit(1),
+        if (a.length > 3) a(3) else lit(1),
+        if (a.length > 4) a(4) else lit(0)))
+    nat("regexp_substr", "regexp_substr(s, p[, pos[, occurrence]])")(a =>
+      MoFunctions.regexpSubstr(a(0), a(1),
+        if (a.length > 2) a(2) else lit(1),
+        if (a.length > 3) a(3) else lit(1)))
     nat("not_reg_match", "not_reg_match(s, pattern)")(a => !regexp_like(a(0), a(1)))
 
     // capped string builders: the reference bounds results at
@@ -262,7 +283,8 @@ object MoAliases {
     // session timezone is UTC (GraftSession) so now() IS the UTC reading
     nat("utc_timestamp", "utc_timestamp()")(_ => current_timestamp())
     nat("utc_date", "utc_date()")(_ => current_date())
-    nat("week", "week(d)")(a => weekofyear(a(0)))
+    nat("week", "week(d[, mode]) - MySQL calc_week, default mode 0")(a =>
+      MoFunctions.mysqlWeek(a(0), if (a.length > 1) a(1) else lit(0)))
     nat("microsecond", "microsecond(ts)")(a =>
       (unix_micros(a(0).cast("timestamp")) % 1000000L).cast("int"))
     // MySQL TO_SECONDS: seconds since year 0 (TO_SECONDS('1970-01-01') =
@@ -278,7 +300,15 @@ object MoAliases {
     nat("subtime", "subtime(t, delta)")(a => MoFunctions.subTime(a(0), a(1)))
     nat("timediff", "timediff(t1, t2)")(a => MoFunctions.timeDiff(a(0), a(1)))
     nat("str_to_date", "str_to_date(s, mysql_fmt)")(a =>
-      MoFunctions.moStrToDate(a(0), strLit(a(1))))
+      if (foldableStr(a(1))) MoFunctions.moStrToDate(a(0), a(1))
+      else MoFunctions.moStrToDateDyn(a(0), a(1)))
+    // TO_DATE(str, fmt) ≡ STR_TO_DATE in the current reference (the
+    // datetime_todate goldens keeping impossible dates are the older
+    // behavior; strict wins the conflict — see moToDate for the lenient
+    // variant if that flips back)
+    nat("mo_to_date", "mo_to_date(s, mysql_fmt)")(a =>
+      if (foldableStr(a(1))) MoFunctions.moStrToDate(a(0), a(1))
+      else MoFunctions.moStrToDateDyn(a(0), a(1)))
 
     // ------------------------------------------------------- predicates
     nat("is_null", "is_null(x)")(a => a(0).isNull)
@@ -321,10 +351,23 @@ object MoAliases {
       MoFunctions.serialExtract(a(0), intLit(a(1))))
     // MySQL group_concat(e1, e2, ...) concatenates the expressions per
     // row and joins rows with ',' — a separator is only ever the
-    // SEPARATOR keyword, never a positional argument
-    nat("group_concat", "group_concat(e1, e2, ...) - listagg of the row-wise concat")(a =>
-      call_function("listagg",
+    // SEPARATOR keyword, never a positional argument (the ORDER
+    // BY/SEPARATOR/DISTINCT forms rewrite in MySqlCompat.groupConcat).
+    // Without an ORDER BY the reference emits scan order; a sorted join
+    // is the deterministic stand-in an oracle can reproduce
+    // (function_group_concat.result goldens list values ascending).
+    nat("group_concat", "group_concat(e1, e2, ...) - sorted join of the row-wise concat")({ a =>
+      val v =
         if (a.length == 1) a(0).cast("string")
-        else concat(a.map(_.cast("string")): _*), lit(",")))
+        else concat(a.map(_.cast("string")): _*)
+      // an all-NULL (or empty) group is NULL, not '' (function_group_concat)
+      when(count(v) === 0, lit(null).cast("string"))
+        .otherwise(array_join(array_sort(collect_list(v)), ","))
+    })
+    // MySQL CONV with full sign/base semantics (negative bases are
+    // signed views of the unsigned-64 domain; overflow clamps) — Spark's
+    // conv keeps -1 as -1 and misses the +/- from-base rules
+    nat("conv", "conv(s, from_base, to_base) - MySQL two's-complement semantics")(a =>
+      MoFunctions.moConv(a(0), a(1), a(2)))
   }
 }

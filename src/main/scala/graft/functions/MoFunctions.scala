@@ -94,13 +94,419 @@ object MoFunctions {
     sb.toString
   }
 
-  /** MySQL DATE_FORMAT. */
-  def moDateFormat(ts: Column, mysqlFmt: String): Column =
-    date_format(ts, mysqlFormatToJava(mysqlFmt))
+  /** MySQL DATE_FORMAT — a direct %-token renderer (the Java-pattern
+    * translation cannot express %D ordinal days, %l, %r, %U..%x week
+    * numbers; `function/func_date_format_1.result`).
+    */
+  def mysqlFormatDateTime(ts: java.sql.Timestamp, fmt: String): String = {
+    if (ts == null || fmt == null) return null
+    val ldt = ts.toLocalDateTime
+    val d = ldt.toLocalDate
+    import java.time.format.TextStyle
+    import java.util.Locale.ENGLISH
+    def two(v: Int) = f"$v%02d"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt(i + 1) match {
+          case 'Y' => sb.append(f"${ldt.getYear}%04d")
+          case 'y' => sb.append(two(ldt.getYear % 100))
+          case 'm' => sb.append(two(ldt.getMonthValue))
+          case 'c' => sb.append(ldt.getMonthValue)
+          case 'd' => sb.append(two(ldt.getDayOfMonth))
+          case 'e' => sb.append(ldt.getDayOfMonth)
+          case 'D' =>
+            val dd = ldt.getDayOfMonth
+            val suf =
+              if (dd / 10 == 1) "th"
+              else dd % 10 match {
+                case 1 => "st"; case 2 => "nd"; case 3 => "rd"; case _ => "th"
+              }
+            sb.append(s"$dd$suf")
+          case 'H' => sb.append(two(ldt.getHour))
+          case 'k' => sb.append(ldt.getHour)
+          case 'h' | 'I' =>
+            val h = ldt.getHour % 12
+            sb.append(two(if (h == 0) 12 else h))
+          case 'l' =>
+            val h = ldt.getHour % 12
+            sb.append(if (h == 0) 12 else h)
+          case 'i' => sb.append(two(ldt.getMinute))
+          case 's' | 'S' => sb.append(two(ldt.getSecond))
+          case 'f' => sb.append(f"${ldt.getNano / 1000}%06d")
+          case 'p' => sb.append(if (ldt.getHour < 12) "AM" else "PM")
+          case 'r' =>
+            val h0 = ldt.getHour % 12
+            sb.append(f"${if (h0 == 0) 12 else h0}%02d:${ldt.getMinute}%02d:" +
+              f"${ldt.getSecond}%02d ${if (ldt.getHour < 12) "AM" else "PM"}")
+          case 'T' =>
+            sb.append(f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d")
+          case 'W' => sb.append(d.getDayOfWeek.getDisplayName(TextStyle.FULL, ENGLISH))
+          case 'a' => sb.append(d.getDayOfWeek.getDisplayName(TextStyle.SHORT, ENGLISH))
+          case 'M' => sb.append(d.getMonth.getDisplayName(TextStyle.FULL, ENGLISH))
+          case 'b' => sb.append(d.getMonth.getDisplayName(TextStyle.SHORT, ENGLISH))
+          case 'j' => sb.append(f"${d.getDayOfYear}%03d")
+          case 'w' => sb.append(d.getDayOfWeek.getValue % 7) // 0 = Sunday
+          case 'U' => sb.append(two(mysqlCalcWeek(d, 0)))
+          case 'u' => sb.append(two(mysqlCalcWeek(d, 1)))
+          case 'V' => sb.append(two(mysqlCalcWeek(d, 2)))
+          case 'v' => sb.append(two(mysqlCalcWeek(d, 3)))
+          case 'X' | 'x' =>
+            val mode = if (fmt(i + 1) == 'X') 2 else 3
+            val w = mysqlCalcWeek(d, mode)
+            val y =
+              if (w >= 52 && d.getMonthValue == 1) d.getYear - 1
+              else if (w <= 1 && d.getMonthValue == 12) d.getYear + 1
+              else d.getYear
+            sb.append(f"$y%04d")
+          case '%' => sb.append('%')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
-  /** MySQL STR_TO_DATE (timestamp result). */
-  def moStrToDate(s: Column, mysqlFmt: String): Column =
-    to_timestamp(s, mysqlFormatToJava(mysqlFmt))
+  private val dateFormatUdf = org.apache.spark.sql.functions.udf(
+    (ts: java.sql.Timestamp, f: String) => mysqlFormatDateTime(ts, f))
+
+  /** %-tokens a JVM DateTimeFormatter pattern expresses faithfully —
+    * formats using only these stay on the codegen'd `date_format`
+    * (the hot path the plan-quality spec pins); anything else (%D
+    * ordinals, 12-hour %l, %r/%T, MySQL week numbers) takes the
+    * renderer UDF.
+    */
+  private val JavaSafeTokens = "YymcdeHkhIisSfpWaMbj%".toSet
+
+  /** MySQL DATE_FORMAT. */
+  def moDateFormat(ts: Column, mysqlFmt: String): Column = {
+    val tokens = """%(.)""".r.findAllMatchIn(mysqlFmt).map(_.group(1).head)
+    if (tokens.forall(JavaSafeTokens.contains))
+      date_format(ts, mysqlFormatToJava(mysqlFmt))
+    else dateFormatUdf(ts.cast("timestamp"), lit(mysqlFmt))
+  }
+
+  /** MySQL STR_TO_DATE / TO_DATE(str, fmt): a lenient %-token parser
+    * with the reference's semantics (`pkg/vectorize/str_to_date.go`,
+    * goldens `function/func_str_to_date.result`,
+    * `func_datetime_todate.result`):
+    *  - numeric fields are variable-width (1..max digits), leading
+    *    spaces skip, leftover text after the pattern is ignored;
+    *  - an invalid calendar date (April 31) or missing date component
+    *    yields NULL, never an error;
+    *  - the result TYPE follows the fields parsed: date-only fields →
+    *    DATE string, time-only → TIME string, both → DATETIME string
+    *    (rendered with 9-digit fractions when %f was parsed);
+    *  - 12-hour %h maps 12→0 and adds 12 for PM; %y uses the 70 pivot.
+    */
+  def mysqlParseDateTime(text: String, fmt: String,
+      strictDate: Boolean = true): String = {
+    if (text == null || fmt == null) return null
+    val n = text.length
+    var ti = 0
+    var year = -1; var month = -1; var day = -1; var doy = -1
+    var hour = -1; var minute = -1; var sec = -1; var micros = -1L
+    var hour12 = false; var pm = false
+    var sawDate = false; var sawTime = false; var sawFrac = false
+    var weekNum = -1; var weekMode = -1; var weekdayNo = -1
+    var ok = true
+    def skipSpace(): Unit = while (ti < n && text(ti) == ' ') ti += 1
+    def num(maxLen: Int): Int = {
+      skipSpace(); val st = ti
+      while (ti < n && ti - st < maxLen && text(ti).isDigit) ti += 1
+      if (ti == st) -1 else text.substring(st, ti).toInt
+    }
+    def word(): String = {
+      skipSpace(); val st = ti
+      while (ti < n && text(ti).isLetter) ti += 1
+      text.substring(st, ti)
+    }
+    def lit(c: Char): Unit = {
+      if (c == ' ') skipSpace()
+      else { skipSpace(); if (ti < n && text(ti) == c) ti += 1 else ok = false }
+    }
+    def meridiem(): Unit = {
+      skipSpace()
+      if (ti + 1 < n && (text(ti) == 'A' || text(ti) == 'a' ||
+          text(ti) == 'P' || text(ti) == 'p') &&
+          (text(ti + 1) == 'M' || text(ti + 1) == 'm')) {
+        pm = text(ti) == 'P' || text(ti) == 'p'; ti += 2
+      }
+    }
+    val monthNames = Seq("january", "february", "march", "april", "may",
+      "june", "july", "august", "september", "october", "november", "december")
+    val dayNames = Seq("monday", "tuesday", "wednesday", "thursday",
+      "friday", "saturday", "sunday")
+    var fi = 0
+    var exhausted = false
+    while (fi < fmt.length && ok && !exhausted) {
+      // MySQL stops (keeping the fields parsed so far) when the text
+      // runs out mid-format ('15-01-2001' under '%d-%m-%Y %H:%i:%S')
+      val probe = { var t = ti; while (t < n && text(t) == ' ') t += 1; t }
+      if (probe >= n) exhausted = true
+      else {
+      val c = fmt(fi)
+      if (c == '%' && fi + 1 < fmt.length) {
+        fmt(fi + 1) match {
+          case 'Y' =>
+            // a 1-2 digit year under %Y still pivots like %y
+            // (func_datetime_todate: '03-01-02' %Y-%m-%d → 2003)
+            val before = ti
+            year = num(4); sawDate = true; ok = year >= 0
+            if (ok && ti - before <= 2 && year < 100)
+              year = if (year < 70) 2000 + year else 1900 + year
+          case 'y' =>
+            val v = num(2); sawDate = true; ok = v >= 0
+            if (ok) year = if (v < 70) 2000 + v else 1900 + v
+          case 'm' | 'c' => month = num(2); sawDate = true; ok = month >= 0
+          case 'd' | 'e' => day = num(2); sawDate = true; ok = day >= 0
+          case 'D' => // day with English ordinal suffix (15th, 1st)
+            day = num(2); sawDate = true; ok = day >= 0
+            while (ok && ti < n && text(ti).isLetter) ti += 1
+          case 'j' => doy = num(3); sawDate = true; ok = doy >= 0
+          case 'H' | 'k' => hour = num(2); sawTime = true; ok = hour >= 0
+          case 'h' | 'I' | 'l' =>
+            hour = num(2); hour12 = true; sawTime = true; ok = hour >= 0
+          case 'i' => minute = num(2); sawTime = true; ok = minute >= 0
+          case 's' | 'S' => sec = num(2); sawTime = true; ok = sec >= 0
+          case 'f' =>
+            skipSpace(); val st = ti
+            while (ti < n && ti - st < 9 && text(ti).isDigit) ti += 1
+            ok = ti > st
+            if (ok) {
+              micros = text.substring(st, ti).padTo(6, '0').take(6).toLong
+              sawFrac = true; sawTime = true
+            }
+          case 'p' => meridiem()
+          case '#' => // %#: skip a numeric run
+            skipSpace(); while (ti < n && text(ti).isDigit) ti += 1
+          case 'b' | 'M' =>
+            val w = word().toLowerCase
+            val idx = monthNames.indexWhere(_.startsWith(w))
+            ok = w.length >= 3 && idx >= 0
+            if (ok) { month = idx + 1; sawDate = true }
+          case 'W' | 'a' =>
+            val w = word().toLowerCase
+            val di = dayNames.indexWhere(_.startsWith(w))
+            ok = w.length >= 3 && di >= 0
+            if (ok) weekdayNo = di // Monday=0
+          case 'w' => // numeric weekday, 0=Sunday
+            val v = num(1); ok = v >= 0 && v <= 6
+            if (ok) weekdayNo = (v + 6) % 7 // → Monday=0
+          case 'U' => weekNum = num(2); weekMode = 0; ok = weekNum >= 0
+          case 'u' => weekNum = num(2); weekMode = 1; ok = weekNum >= 0
+          case 'V' => weekNum = num(2); weekMode = 2; ok = weekNum >= 0
+          case 'v' => weekNum = num(2); weekMode = 3; ok = weekNum >= 0
+          case 'X' | 'x' =>
+            year = num(4); sawDate = true; ok = year >= 0
+          case 'r' =>
+            hour = num(2); lit(':'); minute = num(2); lit(':'); sec = num(2)
+            ok = ok && hour >= 0 && minute >= 0 && sec >= 0
+            meridiem(); hour12 = true; sawTime = true
+          case 'T' =>
+            hour = num(2); lit(':'); minute = num(2); lit(':'); sec = num(2)
+            ok = ok && hour >= 0 && minute >= 0 && sec >= 0
+            sawTime = true
+          case '%' => lit('%')
+          case other => lit(other)
+        }
+        fi += 2
+      } else { lit(c); fi += 1 }
+      }
+    }
+    if (!ok) return null
+    // week-number + weekday + year resolve to a concrete date
+    // (str_to_date('200442 Monday','%X%V %W') → 2004-10-18)
+    if (weekNum >= 0 && weekdayNo >= 0 && year >= 0 && month < 0) {
+      var d0 = java.time.LocalDate.of(year - 1, 12, 15)
+      val end = java.time.LocalDate.of(year + 1, 1, 20)
+      var found: java.time.LocalDate = null
+      while (found == null && !d0.isAfter(end)) {
+        val wkOk = (d0.getDayOfWeek.getValue - 1) == weekdayNo &&
+          mysqlCalcWeek(d0, weekMode) == weekNum && {
+            val wy = weekMode match {
+              case 2 | 3 =>
+                if (weekNum >= 52 && d0.getMonthValue == 1) d0.getYear - 1
+                else if (weekNum <= 1 && d0.getMonthValue == 12) d0.getYear + 1
+                else d0.getYear
+              case _ => d0.getYear
+            }
+            wy == year
+          }
+        if (wkOk) found = d0 else d0 = d0.plusDays(1)
+      }
+      if (found == null) return null
+      year = found.getYear; month = found.getMonthValue; day = found.getDayOfMonth
+    }
+    if (hour12) {
+      if (hour == 12) hour = 0
+      if (pm) hour += 12
+    }
+    if (sawTime) {
+      if (hour < 0) hour = 0
+      if (minute < 0) minute = 0
+      if (sec < 0) sec = 0
+      if (micros < 0) micros = 0
+      if (hour > 23 || minute > 59 || sec > 59) return null
+    }
+    if (sawDate) {
+      if (doy >= 0 && month < 0 && year >= 0) {
+        val jan1 = java.time.LocalDate.of(year, 1, 1)
+        if (doy < 1 || doy > jan1.lengthOfYear()) return null
+        val d2 = jan1.plusDays(doy - 1)
+        month = d2.getMonthValue; day = d2.getDayOfMonth
+      }
+      if (year < 0 || month < 1 || month > 12 || day < 1 || day > 31) return null
+      // STR_TO_DATE rejects impossible calendar dates; TO_DATE keeps
+      // them verbatim (func_datetime_todate.result: '04/31/2004')
+      if (strictDate &&
+          day > java.time.YearMonth.of(year, month).lengthOfMonth()) return null
+    }
+    if (!sawDate && !sawTime) return null
+    val frac = if (sawFrac) f".$micros%06d000" else ""
+    if (sawDate && sawTime)
+      f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$sec%02d$frac"
+    else if (sawDate) f"$year%04d-$month%02d-$day%02d"
+    else f"$hour%02d:$minute%02d:$sec%02d$frac"
+  }
+
+  /** MySQL CONV: parse in |fromBase| with optional sign and a stop at
+    * the first invalid digit; a negative value (explicit '-' or a
+    * negative from-base view) wraps two's-complement into the
+    * unsigned-64 domain; positive overflow clamps to 2^64-1; a negative
+    * TO base renders the signed view (`function/func_conv.result`).
+    */
+  def mysqlConv(s0: String, from: Int, to: Int): String = {
+    if (s0 == null) return null
+    val fb = math.abs(from); val tb = math.abs(to)
+    if (fb < 2 || fb > 36 || tb < 2 || tb > 36) return null
+    val s = s0.trim
+    if (s.isEmpty) return null // conv('', …) is NULL; invalid digits are 0
+    var i = 0; var neg = false
+    if (i < s.length && (s(i) == '+' || s(i) == '-')) { neg = s(i) == '-'; i += 1 }
+    val st = i
+    while (i < s.length && Character.digit(s(i), fb) >= 0) i += 1
+    if (i == st) return "0"
+    var v = BigInt(s.substring(st, i), fb)
+    if (neg) v = -v
+    val u64 = BigInt(1) << 64
+    val w =
+      if (v >= u64) u64 - 1 // positive overflow clamps
+      else v.mod(u64) // two's-complement wrap for negatives
+    if (to < 0) {
+      val sv = if (w >= (BigInt(1) << 63)) w - u64 else w
+      val mag = sv.abs.toString(tb).toUpperCase
+      if (sv < 0) "-" + mag else mag
+    } else w.toString(tb).toUpperCase
+  }
+
+  private val convUdf = org.apache.spark.sql.functions.udf(
+    (s: String, f: Int, t: Int) => mysqlConv(s, f, t))
+
+  private val fromBase64Udf = org.apache.spark.sql.functions.udf(
+    (s: String) =>
+      if (s == null) null
+      else
+        try java.util.Base64.getDecoder.decode(s.trim)
+        catch { case _: IllegalArgumentException => null })
+
+  /** MySQL FROM_BASE64: strict alphabet, NULL on invalid input. */
+  def fromBase64(s: Column): Column = fromBase64Udf(s.cast("string"))
+
+  private val regexpInstrUdf = org.apache.spark.sql.functions.udf(
+    (s: String, p: String, pos: Integer, occ: Integer, ret: Integer) => {
+      if (s == null || p == null) null
+      else {
+        val start = math.max(1, if (pos == null) 1 else pos.intValue)
+        val nth = math.max(1, if (occ == null) 1 else occ.intValue)
+        val retOpt = if (ret == null) 0 else ret.intValue
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        var found = -1
+        var count = 0
+        if (start - 1 <= s.length) {
+          var searching = m.find(start - 1)
+          while (searching && found < 0) {
+            count += 1
+            if (count == nth)
+              found = (if (retOpt == 1) m.end else m.start) + 1
+            else searching = m.find()
+          }
+        }
+        Integer.valueOf(if (found < 0) 0 else found)
+      }
+    })
+
+  /** MySQL REGEXP_INSTR with start position, occurrence, and the
+    * return-option flag (1 = position after the match) —
+    * `function/func_regular_instr.result`.
+    */
+  def regexpInstr(s: Column, p: Column, pos: Column, occ: Column,
+      ret: Column): Column =
+    regexpInstrUdf(s.cast("string"), p.cast("string"),
+      pos.cast("int"), occ.cast("int"), ret.cast("int"))
+
+  private val regexpSubstrUdf = org.apache.spark.sql.functions.udf(
+    (s: String, p: String, pos: Integer, occ: Integer) => {
+      if (s == null || p == null) null
+      else {
+        val start = math.max(1, if (pos == null) 1 else pos.intValue)
+        val nth = math.max(1, if (occ == null) 1 else occ.intValue)
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        var res: String = null
+        var count = 0
+        if (start - 1 <= s.length) {
+          var searching = m.find(start - 1)
+          while (searching && res == null) {
+            count += 1
+            if (count == nth) res = m.group()
+            else searching = m.find()
+          }
+        }
+        res
+      }
+    })
+
+  /** MySQL REGEXP_SUBSTR with start position and occurrence. */
+  def regexpSubstr(s: Column, p: Column, pos: Column, occ: Column): Column =
+    regexpSubstrUdf(s.cast("string"), p.cast("string"),
+      pos.cast("int"), occ.cast("int"))
+
+  def moConv(s: Column, from: Column, to: Column): Column =
+    convUdf(s.cast("string"), from.cast("int"), to.cast("int"))
+
+  private val strToDateUdf =
+    org.apache.spark.sql.functions.udf(
+      (s: String, f: String) => mysqlParseDateTime(s, f))
+  private val toDateLenientUdf =
+    org.apache.spark.sql.functions.udf(
+      (s: String, f: String) => mysqlParseDateTime(s, f, strictDate = false))
+
+  /** MySQL STR_TO_DATE (string result typed by the fields parsed). */
+  def moStrToDate(s: Column, fmt: Column): Column =
+    strToDateUdf(s.cast("string"), fmt.cast("string"))
+
+  /** MO TO_DATE(str, fmt): STR_TO_DATE minus the calendar validation. */
+  def moToDate(s: Column, fmt: Column): Column =
+    toDateLenientUdf(s.cast("string"), fmt.cast("string"))
+
+  // when the FORMAT is a column, the reference types the whole result
+  // column DATETIME: date-only parses gain 00:00:00, time-only parses
+  // are NULL (func_datetime_todate.result's per-row-format table)
+  private val strToDateDynUdf =
+    org.apache.spark.sql.functions.udf((s: String, f: String) => {
+      val r = mysqlParseDateTime(s, f)
+      if (r == null) null
+      else if (r.contains(' ')) r
+      else if (r.matches("^\\d{4}-.*")) r + " 00:00:00"
+      else null
+    })
+
+  /** STR_TO_DATE with a non-literal format (DATETIME-typed result). */
+  def moStrToDateDyn(s: Column, fmt: Column): Column =
+    strToDateDynUdf(s.cast("string"), fmt.cast("string"))
 
   /** TO_DAYS: days since year 0 (MySQL convention: TO_DAYS('1970-01-01')
     * = 719528).
@@ -122,6 +528,61 @@ object MoFunctions {
   def periodDiff(p1: Column, p2: Column): Column =
     (((p1 / 100).cast("long") * 12 + (p1 % 100)) -
       ((p2 / 100).cast("long") * 12 + (p2 % 100))).cast("long")
+
+  /** MySQL WEEK(d[, mode]) — a transcription of MySQL's calc_week
+    * (reference `pkg/container/types/date.go` WeekOfYear family; modes
+    * table in the MySQL manual, goldens `function/func_date.result`:
+    * week('2023-01-01', 0) = 1, mode 1 = 0). Mode bits: 1 = Monday
+    * first, 2 = result may be 0 vs belongs-to-previous-year, 4 = week 1
+    * is the first with the year's first weekday (xor-ed in for
+    * Sunday-first modes).
+    */
+  def mysqlCalcWeek(d: java.time.LocalDate, mode0: Int): Int = {
+    var b = mode0 & 7
+    if ((b & 1) == 0) b ^= 4
+    val mondayFirst = (b & 1) != 0
+    var weekYear = (b & 2) != 0
+    val firstWeekday = (b & 4) != 0
+    def daysInYear(y: Int): Int = if (java.time.Year.isLeap(y)) 366 else 365
+    val daynr = d.toEpochDay + 719528
+    var year = d.getYear
+    var firstDaynr = java.time.LocalDate.of(year, 1, 1).toEpochDay + 719528
+    def weekdayOf(dn: Long): Int =
+      (((dn % 7) + 5 + (if (!mondayFirst) 1 else 0)) % 7).toInt
+    var weekday = weekdayOf(firstDaynr)
+    var days = 0L
+    if (d.getMonthValue == 1 && d.getDayOfMonth <= 7 - weekday) {
+      if (!weekYear && ((firstWeekday && weekday != 0) ||
+          (!firstWeekday && weekday >= 4))) return 0
+      weekYear = true
+      year -= 1
+      days = daysInYear(year)
+      firstDaynr -= days
+      weekday = ((weekday + 53 * 7 - days) % 7).toInt
+    }
+    if ((firstWeekday && weekday != 0) || (!firstWeekday && weekday >= 4))
+      days = daynr - (firstDaynr + (7 - weekday))
+    else
+      days = daynr - (firstDaynr - weekday)
+    if (weekYear && days >= 52 * 7) {
+      weekday = ((weekday + daysInYear(year)) % 7).toInt
+      if ((!firstWeekday && weekday < 4) || (firstWeekday && weekday == 0))
+        return 1
+    }
+    (days / 7 + 1).toInt
+  }
+
+  private val weekUdf = org.apache.spark.sql.functions.udf(
+    (d: java.sql.Date, m: Integer) =>
+      if (d == null) null
+      // a NULL mode falls back to the default (func_date.result:
+      // week('2023-01-01', null) = 1)
+      else Integer.valueOf(mysqlCalcWeek(d.toLocalDate,
+        if (m == null) 0 else m.intValue)))
+
+  /** MySQL WEEK with mode (default 0 — @@default_week_format). */
+  def mysqlWeek(d: Column, mode: Column): Column =
+    weekUdf(d.cast("date"), mode.cast("int"))
 
   /** YEARWEEK — MySQL default mode 0 (reference
     * `pkg/container/types/date.go:893` `YearWeek`, i.e. MySQL calc_week
@@ -423,9 +884,7 @@ object MoFunctions {
 
     // dynamic-format fallbacks (rare: almost every caller passes literals)
     val dynDateFormat = udf((ts: java.sql.Timestamp, fmt: String) =>
-      if (ts == null || fmt == null) null
-      else ts.toLocalDateTime.format(
-        java.time.format.DateTimeFormatter.ofPattern(mysqlFormatToJava(fmt))))
+      mysqlFormatDateTime(ts, fmt))
     val dynConvertTz = udf((ts: java.sql.Timestamp, from: String, to: String) =>
       if (ts == null || from == null || to == null) null
       else java.sql.Timestamp.valueOf(

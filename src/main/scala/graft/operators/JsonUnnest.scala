@@ -157,7 +157,21 @@ object JsonUnnest {
         col("_u.this_json").as("this")): _*)
   }
 
-  def registerAll(spark: SparkSession): Unit =
+  /** Full table-function row shape (reference TF output order:
+    * `col seq key path index value this`, unnest.go's result schema).
+    */
+  case class TfRow(col: String, seq: Int, key: String, path: String,
+      index: java.lang.Integer, value: String, this_json: String)
+
+  def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("unnest_json",
       (doc: String, path: String, outer: Boolean) => unnestSeq(doc, path, outer))
+    // backing UDF for the SQL `FROM unnest(...)` surface
+    // (MySqlCompat.unnestTvf rewrites to `inline(unnest_table(...))`)
+    spark.udf.register("unnest_table",
+      (label: String, doc: String, path: String, outer: Boolean) =>
+        unnestSeq(doc, path, outer).zipWithIndex.map { case (e, i) =>
+          TfRow(label, i, e.key, e.path, e.index, e.value, e.this_json)
+        })
+  }
 }

@@ -79,7 +79,36 @@ object MySqlCompat {
     * to `make_dt_interval` / `make_interval` calls, which accept any
     * numeric magnitude and NULL.
     */
-  def intervalUnits(q0: String): String =
+  private val IdentIntervalRe =
+    ("""(?i)\binterval\s+([A-Za-z_]\w*(?:\.\w+)?)\s+""" +
+      """(year|quarter|month|week|day|hour|minute|second)\b""").r
+
+  /** `INTERVAL <column> DAY` — a non-literal count Spark's interval
+    * literal grammar cannot take (func_datetime_date.result:71
+    * `INTERVAL life_time DAY`) → make_interval/make_dt_interval calls.
+    */
+  private def identIntervals(q0: String): String =
+    IdentIntervalRe.replaceAllIn(q0, m => {
+      val v = m.group(1)
+      if (v.equalsIgnoreCase("null")) m.matched // handled by IntervalRe
+      else {
+        val c = s"CAST($v AS INT)"
+        val rep = m.group(2).toLowerCase match {
+          case "year" => s"make_interval($c)"
+          case "quarter" => s"make_interval(0, 3 * $c)"
+          case "month" => s"make_interval(0, $c)"
+          case "week" => s"make_dt_interval(7 * $c)"
+          case "day" => s"make_dt_interval($c)"
+          case "hour" => s"make_dt_interval(0, $c)"
+          case "minute" => s"make_dt_interval(0, 0, $c)"
+          case "second" => s"make_dt_interval(0, 0, 0, CAST($v AS DECIMAL(30,6)))"
+        }
+        java.util.regex.Matcher.quoteReplacement(rep)
+      }
+    })
+
+  def intervalUnits(q0raw: String): String = {
+    val q0 = identIntervals(q0raw)
     IntervalRe.replaceAllIn(q0, m => {
       val rawVal = m.group(1)
       val unit = m.group(2).toLowerCase
@@ -156,12 +185,66 @@ object MySqlCompat {
         }
       }
     })
+  }
 
   // ------------------------------------------------------------------
   // DATE_ADD / DATE_SUB with interval expressions
   // ------------------------------------------------------------------
 
   private val DateAddRe = """(?i)\b(date_add|date_sub|adddate|subdate)\s*\(""".r
+  private val TsAddRe = """(?i)\btimestampadd\s*\(""".r
+
+  /** MySQL TIMESTAMPADD(unit, n, x): same result-type rule as DATE_ADD
+    * (date-granularity unit over a DATE-shaped input stays DATE,
+    * func_datetime_timestampadd_edge_cases.result renders no time part).
+    */
+  def timestampAdd(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      TsAddRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val close = closeOf(q, m.end - 1)
+          if (close > 0) {
+            val args = GraftSql.splitTop(q.substring(m.end, close)).map(_.trim)
+            if (args.lengthIs == 3) {
+              val unit = args(0).toLowerCase.replaceAll("^sql_tsi_", "")
+              val n = args(1)
+              val x = args(2)
+              val c = s"CAST($n AS INT)"
+              val iv = unit match {
+                case "year" => s"make_interval($c)"
+                case "quarter" => s"make_interval(0, 3 * $c)"
+                case "month" => s"make_interval(0, $c)"
+                case "week" => s"make_dt_interval(7 * $c)"
+                case "day" => s"make_dt_interval($c)"
+                case "hour" => s"make_dt_interval(0, $c)"
+                case "minute" => s"make_dt_interval(0, 0, $c)"
+                case "second" => s"make_dt_interval(0, 0, 0, CAST($n AS DECIMAL(30,6)))"
+                case "microsecond" =>
+                  s"make_dt_interval(0, 0, 0, CAST($n AS DECIMAL(30,6)) / 1000000)"
+                case _ => null
+              }
+              if (iv != null) {
+                val dateOnly = Set("year", "quarter", "month", "week", "day")
+                  .contains(unit)
+                val litDate = x.matches("""^["'][^"':]*["']$""")
+                val rep0 =
+                  if (litDate && dateOnly) s"CAST(CAST($x AS DATE) + $iv AS DATE)"
+                  else s"(($x) + $iv)"
+                val rep = s"(CASE WHEN ($rep0) BETWEEN TIMESTAMP'0001-01-01 00:00:00' " +
+                  s"AND TIMESTAMP'9999-12-31 23:59:59.999999' THEN ($rep0) ELSE NULL END)"
+                q = q.substring(0, m.start) + rep + q.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+      }
+    }
+    q
+  }
 
   /** MySQL `DATE_ADD(x, INTERVAL n unit)` — Spark's date_add takes an
     * int day count, so the interval form becomes `+`/`-` arithmetic
@@ -198,10 +281,76 @@ object MySqlCompat {
           else s"((${args(0)}) $op ${args(1)})"
         // MySQL's DATETIME domain is [1000-01-01, 9999-12-31]; a result
         // outside it is NULL (temporal_interval.result: 100000 QUARTER)
-        val rep = s"(CASE WHEN ($rep0) BETWEEN TIMESTAMP'1000-01-01 00:00:00' " +
+        val rep = s"(CASE WHEN ($rep0) BETWEEN TIMESTAMP'0001-01-01 00:00:00' " +
           s"AND TIMESTAMP'9999-12-31 23:59:59.999999' THEN ($rep0) ELSE NULL END)"
         q = q.substring(0, m.start) + rep + q.substring(close + 1)
         changed = true
+      }
+    }
+    q
+  }
+
+  // ------------------------------------------------------------------
+  // GROUP_CONCAT([DISTINCT] exprs [ORDER BY …] [SEPARATOR 'x'])
+  // ------------------------------------------------------------------
+
+  private val GroupConcatRe = """(?i)\bgroup_concat\s*\(""".r
+
+  /** MySQL's full GROUP_CONCAT surface (reference
+    * `pkg/sql/colexec/multi_col/group_concat/`, goldens
+    * `function/function_group_concat.result`): the DISTINCT / ORDER BY
+    * / SEPARATOR clauses live INSIDE the call, which Spark's parser
+    * rejects. ORDER BY forms become `listagg … WITHIN GROUP`, the rest
+    * become sorted collect_list/collect_set joins (the no-ORDER result
+    * order is engine-defined; ascending is the deterministic choice the
+    * plain registered alias also uses).
+    */
+  def groupConcat(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      GroupConcatRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val close = closeOf(q, m.end - 1)
+          if (close > 0) {
+            val a = q.substring(m.end, close).trim
+            val distinct = """(?is)^distinct\b""".r.findFirstIn(a).isDefined
+            val sepM = """(?is)\bseparator\s+('(?:[^'\\]|\\.)*')\s*$""".r
+              .findFirstMatchIn(a)
+            val obIdx = topIndexOf(a, "order")
+            if (distinct || sepM.isDefined || obIdx >= 0) {
+              val sep = sepM.map(_.group(1)).getOrElse("','")
+              val noSep = sepM.map(x => a.substring(0, x.start)).getOrElse(a).trim
+              val (listPart, obPart) =
+                if (obIdx >= 0 && obIdx < noSep.length)
+                  (noSep.substring(0, obIdx).trim,
+                    noSep.substring(obIdx).replaceAll("(?is)^order\\s+by\\s+", ""))
+                else (noSep, null)
+              val exprs = GraftSql.splitTop(
+                listPart.replaceAll("(?is)^distinct\\b", "").trim).map(_.trim)
+              val value =
+                if (exprs.lengthIs == 1) s"CAST(${exprs.head} AS STRING)"
+                else "concat(" + exprs.map(e => s"CAST($e AS STRING)").mkString(", ") + ")"
+              // Spark's listagg DISTINCT requires the ordering to be the
+              // value expression itself
+              val ob =
+                if (obPart != null && distinct &&
+                  exprs.lengthIs == 1 && obPart.trim.equalsIgnoreCase(exprs.head))
+                  value
+                else obPart
+              val rep =
+                if (ob != null)
+                  s"listagg(${if (distinct) "DISTINCT " else ""}$value, $sep) " +
+                    s"WITHIN GROUP (ORDER BY $ob)"
+                else if (distinct)
+                  s"array_join(array_sort(collect_set($value)), $sep)"
+                else s"array_join(array_sort(collect_list($value)), $sep)"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              changed = true
+            }
+          }
+        }
       }
     }
     q
@@ -486,9 +635,130 @@ object MySqlCompat {
     q
   }
 
+  // ------------------------------------------------------------------
+  // FROM unnest(json[, path[, outer]]) — the reference's table function
+  // ------------------------------------------------------------------
+
+  private val UnnestRe = """(?i)\bunnest\s*\(""".r
+
+  /** SQL surface for [[graft.operators.JsonUnnest]] (reference
+    * `pkg/sql/colexec/table_function/unnest.go`, goldens
+    * `function/table_func_unnest.result`): a standalone
+    * `FROM unnest(...)` alias becomes a derived table over
+    * `inline(unnest_table(...))`; a comma-joined `t, unnest(t.a) u`
+    * becomes a LATERAL VIEW, which is exactly the correlated-apply the
+    * reference executes. The `col` label is UNNEST_DEFAULT for literal
+    * documents and the source expression text otherwise.
+    */
+  def unnestTvf(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      UnnestRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val close = closeOf(q, m.end - 1)
+          if (close > 0) {
+            var p = m.start - 1
+            while (p >= 0 && q(p).isWhitespace) p -= 1
+            val beforeComma = p >= 0 && q(p) == ','
+            val beforeFrom = p >= 3 &&
+              q.regionMatches(true, p - 3, "from", 0, 4) &&
+              (p - 4 < 0 || !Character.isLetterOrDigit(q(p - 4)))
+            // `JOIN unnest(...) u ON TRUE` is a lateral apply too
+            val beforeJoin = p >= 3 &&
+              q.regionMatches(true, p - 3, "join", 0, 4) &&
+              (p - 4 < 0 || !Character.isLetterOrDigit(q(p - 4)))
+            val am = """(?i)^\s+(?:as\s+)?([A-Za-z_]\w*)""".r
+              .findFirstMatchIn(q.substring(close + 1))
+              .filterNot(x => SqlKeywords.contains(x.group(1).toLowerCase))
+            if ((beforeComma || beforeFrom || beforeJoin) && am.isDefined) {
+              val args = GraftSql.splitTop(q.substring(m.end, close)).map(_.trim)
+              if (args.nonEmpty && args.length <= 3) {
+                val doc = args(0)
+                val path = if (args.length > 1) args(1) else "'$'"
+                val outer = if (args.length > 2) args(2) else "false"
+                // the reference labels literal documents UNNEST_DEFAULT
+                // and column sources by their normalized expression text
+                val label =
+                  if (doc.startsWith("'")) "'UNNEST_DEFAULT'"
+                  else "'" + doc.replace("'", "''").replaceAll(",\\s*", ", ") + "'"
+                val alias = am.get.group(1)
+                val call = s"unnest_table($label, $doc, $path, $outer)"
+                val lateral =
+                  s" LATERAL VIEW inline($call) $alias AS col, seq, `key`, path, `index`, value, `this`"
+                if (beforeComma) {
+                  q = q.substring(0, p) + lateral +
+                    q.substring(close + 1 + am.get.end)
+                  changed = true
+                } else if (beforeJoin) {
+                  val after = q.substring(close + 1 + am.get.end)
+                  val onTrue = """(?is)^\s*on\s+true\b""".r.findFirstMatchIn(after)
+                  if (onTrue.isDefined) {
+                    // drop the JOIN keyword (and CROSS/INNER before it)
+                    var js = p - 3
+                    var j2 = js - 1
+                    while (j2 >= 0 && q(j2).isWhitespace) j2 -= 1
+                    val pre = q.substring(0, j2 + 1)
+                    val preTrim =
+                      if (pre.toLowerCase.endsWith("cross") || pre.toLowerCase.endsWith("inner"))
+                        pre.substring(0, pre.length - 5)
+                      else pre
+                    q = preTrim + lateral + after.substring(onTrue.get.end)
+                    changed = true
+                  }
+                } else {
+                  q = q.substring(0, m.start) +
+                    s"(SELECT col, seq, `key`, path, `index`, value, this_json AS `this` " +
+                    s"FROM (SELECT inline($call))) $alias" +
+                    q.substring(close + 1 + am.get.end)
+                  changed = true
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    q
+  }
+
+  /** MySQL's INTERVAL(x, v1, v2, …) ranking function — the count of
+    * list values ≤ x (binary search in the reference,
+    * `function/func_interval.result`); NULL x is -1. Distinct from the
+    * INTERVAL literal (which never takes a parenthesized list).
+    */
+  def intervalFn(q0: String): String =
+    """(?i)\binterval\s*\(([^()]+)\)""".r.replaceAllIn(q0, m => {
+      val args = GraftSql.splitTop(m.group(1)).map(_.trim)
+      // `interval(ts, N, minute)` is the TIME-WINDOW operator's syntax
+      // (GraftSql.intervalRewrite) — a bare unit keyword disambiguates
+      val units = Set("microsecond", "second", "minute", "hour", "day",
+        "week", "month", "quarter", "year")
+      if (args.length < 2 || args.exists(a => units.contains(a.toLowerCase)))
+        m.matched
+      else {
+        val x = args.head
+        val vs = args.tail.mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(
+          s"(CASE WHEN ($x) IS NULL THEN -1 ELSE " +
+            s"size(filter(array($vs), _iv -> _iv IS NULL OR " +
+            s"CAST(_iv AS DOUBLE) <= CAST(($x) AS DOUBLE))) END)")
+      }
+    })
+
   /** Pre-quantifier compat passes (run before the ANY/ALL rewrite so a
     * `ANY (VALUES ...)` has become `ANY (SELECT ...)` by then).
     */
+  /** `'2024-01-01' ± INTERVAL n <date-unit>` keeps the DATE type in
+    * MySQL when the literal has no time part (func_interval.result).
+    */
+  def plusDateLiteral(q0: String): String =
+    """(?i)('[^':]*')\s*([-+])\s*(interval\s+-?\d+\s+(?:year|quarter|month|week|day))\b""".r
+      .replaceAllIn(q0, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(CAST(${m.group(1)} AS DATE) ${m.group(2)} ${m.group(3)} AS DATE)"))
+
   def pre(q: String): String =
-    dateAddSub(rowCompare(valuesTable(intervalUnits(q))))
+    plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
+      intervalUnits(groupConcat(unnestTvf(intervalFn(q)))))))))
 }

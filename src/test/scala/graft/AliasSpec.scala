@@ -20,7 +20,8 @@ class AliasSpec extends AnyFunSuite {
       """SELECT to_lower('AbC') lo, to_upper('AbC') up, lengthutf8('héllo') l8,
         |  mid('abcdef', 2, 3) md, oct(64) oc, ord('A') od,
         |  strcmp('a', 'b') sc1, strcmp('b', 'b') sc2, strcmp('c', 'b') sc3,
-        |  to_base64('ab') b64, from_base64(to_base64('ab')) fb64,
+        |  to_base64('ab') b64,
+        |  CAST(from_base64(to_base64('ab')) AS STRING) fb64,
         |  findinset('b', 'a,b,c') fis, format(1234567.891, 2) fmt,
         |  empty('') e1, empty('x') e2,
         |  field('b', 'a', 'b', 'c') fld,
@@ -41,7 +42,9 @@ class AliasSpec extends AnyFunSuite {
     assert(v(13) == "1" && v(14) == "0")
     assert(v(15) == "2")
     assert(v(16) == "true" && v(17) == "true")
-    assert(v(18) == "3")
+    // MySQL WEEK default mode 0 (Sunday-first): 2024-01-15 is week 2,
+    // not ISO weekofyear's 3
+    assert(v(18) == "2")
     assert(v(19) == "123456")
     assert(v(20) == "62167219201")
     assert(v(21) == "2024-02-01")
@@ -91,9 +94,12 @@ class AliasSpec extends AnyFunSuite {
     assert(v(4) == "2.5")
     assert(v(5) == "7")
     assert(v(6) == "x|")
-    // all of the above resolve natively — no ScalaUDF
+    // these resolve natively — no ScalaUDF (week/conv/str_to_date are
+    // deliberate UDF exceptions: MySQL calc_week / base-wrap / lenient
+    // parse semantics aren't expressible as combinators)
     val plan = spark.sql(
-      "SELECT strcmp('a','b'), week(current_date), json_extract('{}', '$.a'), l1_norm(array(1.0F))")
+      "SELECT strcmp('a','b'), to_seconds(timestamp'1970-01-01 00:00:01'), " +
+        "json_extract('{}', '$.a'), l1_norm(array(1.0F))")
     assert(!plan.queryExecution.analyzed.toString.contains("UDF"))
   }
 }
