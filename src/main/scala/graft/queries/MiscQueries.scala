@@ -180,6 +180,11 @@ object MiscQueries extends QueryModule {
       |  columns={'id':'VARCHAR','qty':'VARCHAR','amount':'VARCHAR','label':'VARCHAR'})
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // (projection-context 3VL IN is exercised through the BVT goldens —
+  // subquery/subquery-with-in.result — rather than a DuckDB oracle
+  // pair: DuckDB's own projection-IN null handling diverges from the
+  // standard here)
+
   override val queries: Seq[Q] = Seq(
     Q("tf4_unnest_json", tf4, Some(tf4Sql)),
     Q("sp1_group_sample", sp1, Some(sp1Sql)),
