@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(session => new graft.plans.IvfAnnRule(session))
     e.injectPostHocResolutionRule(session => new graft.plans.HnswAnnRule(session))
     e.injectPostHocResolutionRule(session => new graft.plans.IvfPqAnnRule(session))
+    // partition pruning over Partitions-managed tables (no-op when none)
+    e.injectOptimizerRule(session => new graft.plans.PartitionPruneRule(session))
     register(e, "l2_distance", "l2_distance(a, b) - euclidean distance of two vectors",
       args => L2DistanceExpr(args(0), args(1)))
     // the reference's SQL inner_product is the NEGATIVE dot product (a

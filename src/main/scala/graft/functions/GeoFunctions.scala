@@ -109,10 +109,44 @@ object GeoFunctions {
     if (rs.isEmpty) None else Some(rs)
   }
 
+  /** Leading `SRID=n;` (EWKT, the reference's stored form for geometries
+    * created with an explicit SRID — `stripEWKTSRID`,
+    * `pkg/sql/plan/function/func_unary.go:1640`) parsed off; 0 = none.
+    */
+  def sridOf(wkt: String): Int = {
+    if (wkt == null) return 0
+    val s = wkt.trim
+    if (!s.toUpperCase.startsWith("SRID=")) return 0
+    val sep = s.indexOf(';')
+    if (sep <= 5) return 0
+    try s.substring(5, sep).trim.toInt catch { case _: NumberFormatException => 0 }
+  }
+
+  def stripSrid(wkt: String): String = {
+    if (wkt == null) return null
+    val s = wkt.trim
+    if (!s.toUpperCase.startsWith("SRID=")) return s
+    val sep = s.indexOf(';')
+    if (sep <= 5) s else s.substring(sep + 1).trim
+  }
+
+  /** Carry the input's SRID prefix onto a derived geometry's WKT (the
+    * reference's geometry→geometry functions keep the SRID —
+    * `geo_srid.result`: centroid/boundary/envelope of a 4326 input all
+    * report 4326).
+    */
+  def withSridOf(in: String, outWkt: String): String = {
+    val s = sridOf(in)
+    if (s == 0 || outWkt == null) outWkt else s"SRID=$s;$outWkt"
+  }
+
   def parseWkt(wkt: String): Option[Geom] = {
     if (wkt == null) return None
-    val s = wkt.trim
+    val s = stripSrid(wkt)
     if (s.equalsIgnoreCase("GEOMETRYCOLLECTION EMPTY")) return Some(GCollection(Vector()))
+    // the empty point round-trips as NaN coordinates (the reference's
+    // WKB encodes POINT EMPTY the same way — geo_review_fixes2.result)
+    if (s.equalsIgnoreCase("POINT EMPTY")) return Some(GPoint(Double.NaN, Double.NaN))
     val open = s.indexOf('(')
     if (open < 0 || !s.endsWith(")")) return None
     val tag = s.substring(0, open).trim.toUpperCase
@@ -124,8 +158,13 @@ object GeoFunctions {
         parseCoords(body).filter(_.size >= 2).map(GLine)
       case "POLYGON" => parseRings(body).map(GPolygon)
       case "MULTIPOINT" =>
-        // both WKT spellings: MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2),(3 4))
-        val coords = splitGroups(body).map(g => parseCoords(unparen(g)))
+        // both WKT spellings: MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2),(3 4));
+        // an EMPTY member round-trips as the NaN pair
+        val coords = splitGroups(body).map { g =>
+          if (unparen(g).trim.equalsIgnoreCase("EMPTY"))
+            Some(Vector((Double.NaN, Double.NaN)))
+          else parseCoords(unparen(g))
+        }
         if (coords.exists(c => c.isEmpty || c.get.size != 1)) None
         else Some(GMultiPoint(coords.map(_.get.head)))
       case "MULTILINESTRING" =>
@@ -152,10 +191,41 @@ object GeoFunctions {
     }
   }
 
-  private def fmt(v: Double): String =
-    if (v == v.toLong && math.abs(v) < 1e15) v.toLong.toString else v.toString
+  /** Go `%v` float formatting (`strconv.FormatFloat(v,'g',-1,64)`) — the
+    * reference renders WKT coordinates through Go, so exponent form kicks
+    * in at |v| ≥ 1e6 / < 1e-4 with an `e+NN` two-digit exponent
+    * (`geo_review_fixes2.result` renders 1e10 as `1e+10`).
+    */
+  private def fmt(v: Double): String = {
+    if (v.isNaN) return "NaN"
+    if (v == 0.0) return "0"
+    val neg = v < 0
+    val repr = java.lang.Double.toString(math.abs(v)) // shortest round-trip
+    val (mant, e10) = repr.split("E") match {
+      case Array(m) => (m, 0)
+      case Array(m, e) => (m, e.toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digitsRaw = mant.replace(".", "")
+    val intLen = if (dot < 0) mant.length else dot
+    val lead = digitsRaw.takeWhile(_ == '0').length
+    val digits = digitsRaw.drop(lead).reverse.dropWhile(_ == '0').reverse
+    if (digits.isEmpty) return "0"
+    val dp = intLen - lead + e10 // v = 0.<digits> × 10^dp
+    val exp = dp - 1
+    val s =
+      if (exp < -4 || exp >= 6) {
+        val m = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
+        val sign = if (exp < 0) "-" else "+"
+        f"${m}e$sign${math.abs(exp)}%02d"
+      } else if (dp <= 0) "0." + ("0" * -dp) + digits
+      else if (dp >= digits.length) digits + ("0" * (dp - digits.length))
+      else digits.substring(0, dp) + "." + digits.substring(dp)
+    if (neg) "-" + s else s
+  }
 
   def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) if x.isNaN && y.isNaN => "POINT EMPTY"
     case GPoint(x, y) => s"POINT(${fmt(x)} ${fmt(y)})"
     case GLine(pts) =>
       pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString("LINESTRING(", ",", ")")
@@ -163,7 +233,11 @@ object GeoFunctions {
       rings.map(_.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
         .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
     case GMultiPoint(pts) =>
-      pts.map { case (x, y) => s"(${fmt(x)} ${fmt(y)})" }.mkString("MULTIPOINT(", ",", ")")
+      // MySQL renders multipoints WITHOUT per-point parens; an empty
+      // member renders as EMPTY
+      pts.map { case (x, y) =>
+        if (x.isNaN && y.isNaN) "EMPTY" else s"${fmt(x)} ${fmt(y)}"
+      }.mkString("MULTIPOINT(", ",", ")")
     case GMultiLine(lines) =>
       lines.map(l => l.pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
         .mkString("(", ",", ")")).mkString("MULTILINESTRING(", ",", ")")
@@ -313,18 +387,94 @@ object GeoFunctions {
   /** Great-circle meters between POINTs; X=lon, Y=lat in degrees, range
     * checked like the reference (`validateDistanceSphereGeometry`).
     */
-  def distanceSphere(g1: Geom, g2: Geom): Option[Double] = (g1, g2) match {
-    case (GPoint(lon1, lat1), GPoint(lon2, lat2))
-        if math.abs(lon1) <= 180 && math.abs(lon2) <= 180 &&
-          math.abs(lat1) <= 90 && math.abs(lat2) <= 90 =>
-      val (p1, l1) = (math.toRadians(lat1), math.toRadians(lon1))
-      val (p2, l2) = (math.toRadians(lat2), math.toRadians(lon2))
-      val dp = p2 - p1
-      val dl = l2 - l1
-      val h = math.pow(math.sin(dp / 2), 2) +
-        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
-      Some(2 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(h))))
+  def distanceSphere(g1: Geom, g2: Geom): Option[Double] = {
+    // POINT/MULTIPOINT only, min over pairs (geo_review_fixes2.result's
+    // multipoint case); coordinates range-checked like the reference
+    // (`validateDistanceSphereGeometry`)
+    def ptsOf(g: Geom): Option[Seq[Pt]] = g match {
+      case GPoint(x, y) if !x.isNaN => Some(Seq((x, y)))
+      case GMultiPoint(ps) if ps.nonEmpty => Some(ps.toSeq)
+      case _ => None
+    }
+    for {
+      a <- ptsOf(g1)
+      b <- ptsOf(g2)
+      if (a ++ b).forall(p => math.abs(p._1) <= 180 && math.abs(p._2) <= 90)
+    } yield a.flatMap(p => b.map(q => centralAngle(p, q))).min * EarthRadiusMeters
+  }
+
+  // ------------------------------------------------ geodesy (SRID 4326)
+  // Spherical measures matching the reference's S2-backed kernels
+  // (`pkg/geo/geodetic.go`: R1 = 6371008.8 m; great-circle lengths,
+  // exact spherical-excess areas).
+
+  /** Haversine central angle (radians) between two lon/lat points. */
+  private def centralAngle(a: Pt, b: Pt): Double = {
+    val (p1, l1) = (math.toRadians(a._2), math.toRadians(a._1))
+    val (p2, l2) = (math.toRadians(b._2), math.toRadians(b._1))
+    val h = math.pow(math.sin((p2 - p1) / 2), 2) +
+      math.cos(p1) * math.cos(p2) * math.pow(math.sin((l2 - l1) / 2), 2)
+    2 * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  def geodeticLength(g: Geom): Option[Double] = g match {
+    case GLine(p) if p.size >= 2 =>
+      Some(p.sliding(2).map(s => centralAngle(s(0), s(1))).sum * EarthRadiusMeters)
+    case GMultiLine(ls) =>
+      Some(ls.flatMap(geodeticLength).sum)
     case _ => None
+  }
+
+  private type V3 = (Double, Double, Double)
+  private def unitVec(p: Pt): V3 = {
+    val lat = math.toRadians(p._2); val lon = math.toRadians(p._1)
+    (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+  }
+  private def dot3(u: V3, v: V3) = u._1 * v._1 + u._2 * v._2 + u._3 * v._3
+  private def cross3(u: V3, v: V3): V3 =
+    (u._2 * v._3 - u._3 * v._2, u._3 * v._1 - u._1 * v._3, u._1 * v._2 - u._2 * v._1)
+  private def norm3(u: V3) = math.sqrt(dot3(u, u))
+  private def sideAngle(u: V3, v: V3): Double =
+    math.atan2(norm3(cross3(u, v)), dot3(u, v))
+
+  /** Unit-sphere area of a ring via a signed l'Huilier triangle fan —
+    * exact spherical excess, like S2's Loop.Area.
+    */
+  private def sphericalRingArea(ring: IndexedSeq[Pt]): Double = {
+    val pts = if (ring.size > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    if (pts.size < 3) return 0
+    val vs = pts.map(unitVec)
+    var total = 0.0
+    for (i <- 1 until vs.size - 1) {
+      val (a, b, c) = (vs(0), vs(i), vs(i + 1))
+      val (sa, sb, sc) = (sideAngle(b, c), sideAngle(a, c), sideAngle(a, b))
+      val s = (sa + sb + sc) / 2
+      val t = math.tan(s / 2) * math.tan((s - sa) / 2) *
+        math.tan((s - sb) / 2) * math.tan((s - sc) / 2)
+      val e = 4 * math.atan(math.sqrt(math.max(0, t)))
+      val sign = if (dot3(a, cross3(b, c)) >= 0) 1 else -1
+      total += sign * e
+    }
+    math.abs(total)
+  }
+
+  def geodeticArea(g: Geom): Option[Double] = g match {
+    case GPolygon(rings) if rings.nonEmpty =>
+      val outer = sphericalRingArea(rings.head)
+      val holes = rings.tail.map(sphericalRingArea).sum
+      Some(math.max(0, outer - holes) * EarthRadiusMeters * EarthRadiusMeters)
+    case GMultiPolygon(ps) => Some(ps.flatMap(geodeticArea).sum)
+    case _ => None
+  }
+
+  /** Minimum great-circle meters between the vertex sets of two
+    * geometries (exact for points/multipoints — the golden-covered
+    * shapes; a vertex-level approximation for lines/polygons).
+    */
+  def geodeticDistance(a: Geom, b: Geom): Option[Double] = {
+    val pa = vertices(a); val pb = vertices(b)
+    if (pa.isEmpty || pb.isEmpty) None
+    else Some(pa.flatMap(p => pb.map(q => centralAngle(p, q))).min * EarthRadiusMeters)
   }
 
   // ---------------------------------------------------------- predicates
@@ -491,7 +641,7 @@ object GeoFunctions {
     * `func_binary.go:8679`).
     */
   def geohashEncode(lon: Double, lat: Double, len: Int): Option[String] = {
-    if (math.abs(lon) > 180 || math.abs(lat) > 90 || len < 1 || len > 12) return None
+    if (math.abs(lon) > 180 || math.abs(lat) > 90 || len < 1 || len > 32) return None
     var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
     val sb = new StringBuilder
     var bit = 0
@@ -633,6 +783,7 @@ object GeoFunctions {
     spark.udf.register("st_geometrytype", g1(g => Some(geometryType(g))))
     spark.udf.register("st_srid", g1(_ => Some(0)))
     spark.udf.register("st_isempty", g1 {
+      case GPoint(x, y) if x.isNaN && y.isNaN => Some(true)
       case GCollection(gs) => Some(gs.isEmpty); case _ => Some(false)
     })
     spark.udf.register("st_dimension", g1(g => Some(dimension(g))))
@@ -802,6 +953,165 @@ object GeoFunctions {
       parseWkt(w).flatMap(GeoOverlay.pointAtDistance(_, d)).map(toWkt).orNull)
     spark.udf.register("st_frechetdistance", g2(GeoOverlay.frechet))
     spark.udf.register("st_hausdorffdistance", g2(GeoOverlay.hausdorff))
+
+    // ------------------------- point constructors + 2-arg collect + aliases
+    // (geo BVT surface: geo_stpoint.result, geo_construct.result —
+    // st_point32 stores float32 coordinates, so text round-trips show
+    // the float32 value like the reference)
+    spark.udf.register("st_point", (x: java.lang.Double, y: java.lang.Double) =>
+      if (x == null || y == null) null else toWkt(GPoint(x, y)))
+    spark.udf.register("st_point32", (x: java.lang.Double, y: java.lang.Double) =>
+      if (x == null || y == null) null
+      else toWkt(GPoint(x.floatValue.toDouble, y.floatValue.toDouble)))
+    spark.udf.register("st_collect", g2((a, b) => Some(toWkt((a, b) match {
+      case (p1: GPoint, p2: GPoint) =>
+        GMultiPoint(Vector((p1.x, p1.y), (p2.x, p2.y)))
+      case (l1: GLine, l2: GLine) => GMultiLine(Vector(l1, l2))
+      case (p1: GPolygon, p2: GPolygon) => GMultiPolygon(Vector(p1, p2))
+      case _ => GCollection(Vector(a, b))
+    }))))
+    spark.udf.register("st_lineinterpolatepoints", (w: String, f: Double) =>
+      parseWkt(w).flatMap(GeoOverlay.lineInterpolatePoints(_, f)).map(toWkt).orNull)
+    spark.udf.register("st_aswkt", (w: String) => parseWkt(w).map(toWkt).orNull)
+    spark.udf.register("st_geomfrombinary",
+      (b: Array[Byte]) => GeoOverlay.fromWkb(b).map(toWkt).orNull)
+    spark.udf.register("st_geometryfromtext",
+      (w: String) => parseWkt(w).map(toWkt).orNull)
+    spark.udf.register("st_polygonfromtext",
+      (w: String) => parseWkt(w).filter(_.isInstanceOf[GPolygon]).map(toWkt).orNull)
+    spark.udf.register("st_linestringfromtext",
+      (w: String) => parseWkt(w).filter(_.isInstanceOf[GLine]).map(toWkt).orNull)
+    spark.udf.register("st_numinteriorring",
+      g1 { case GPolygon(r) => Some(r.size - 1); case _ => None })
+
+    // ---------------- SRID-aware measures + explicit-SRID constructors
+    // (the reference selects geodesic math for SRID 4326 —
+    // `geometryAreaBySRID`, func_unary.go:3901; EWKT carries the SRID).
+    // NB the lambdas must reference ONLY object members (static module
+    // access) — a local helper def would capture the method frame and
+    // make the UDF non-serializable.
+    spark.udf.register("st_area", (w: String) =>
+      parseWkt(w).flatMap(g => if (sridOf(w) == 4326) geodeticArea(g) else area(g)))
+    spark.udf.register("st_length", (w: String) =>
+      parseWkt(w).flatMap(g => if (sridOf(w) == 4326) geodeticLength(g) else length(g)))
+    spark.udf.register("st_distance", (a: String, b: String) =>
+      for {
+        x <- parseWkt(a); y <- parseWkt(b)
+        d <- if (sridOf(a) == 4326 || sridOf(b) == 4326) geodeticDistance(x, y)
+          else Some(distance(x, y))
+      } yield d)
+    spark.udf.register("st_srid", (w: String) => parseWkt(w).map(_ => sridOf(w)))
+    spark.udf.register("st_geomfromtext_srid", (w: String, srid: Int) =>
+      parseWkt(w).map(g =>
+        if (srid != 0) s"SRID=$srid;${toWkt(g)}" else toWkt(g)).orNull)
+    spark.udf.register("st_area_srid", (w: String, srid: Int) =>
+      parseWkt(w).flatMap(g => if (srid == 4326) geodeticArea(g) else area(g)))
+    spark.udf.register("st_length_srid", (w: String, srid: Int) =>
+      parseWkt(w).flatMap(g => if (srid == 4326) geodeticLength(g) else length(g)))
+    spark.udf.register("st_distance_srid", (a: String, b: String, srid: Int) =>
+      for {
+        x <- parseWkt(a); y <- parseWkt(b)
+        d <- if (srid == 4326) geodeticDistance(x, y) else Some(distance(x, y))
+      } yield d)
+    spark.udf.register("st_buffer_segs", (w: String, d: Double, quadSegs: Int) =>
+      parseWkt(w).flatMap(g =>
+        GeoOverlay.bufferN(g, d, math.max(4, quadSegs * 4))).map(toWkt).orNull)
+    spark.udf.register("st_geohash_pt", (w: String, len: Int) =>
+      parseWkt(w).flatMap {
+        case GPoint(x, y) => geohashEncode(x, y, len)
+        case _ => None
+      }.orNull)
+    spark.udf.register("st_pointfromgeohash_srid", (h: String, srid: Int) =>
+      geohashDecode(h).map(p =>
+        (if (srid != 0) s"SRID=$srid;" else "") + toWkt(p)).orNull)
+    spark.udf.register("st_asgeojson_digits", (w: String, nd: Int) =>
+      parseWkt(w).map(g => GeoOverlay.toGeoJson(mapPts(g) {
+        case (x, y) if x.isNaN || y.isNaN => (x, y)
+        case (x, y) =>
+          (BigDecimal(x).setScale(nd, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+            BigDecimal(y).setScale(nd, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      })).orNull)
+    // GeoJSON is WGS 84 by definition: parse defaults to SRID 4326; the
+    // explicit form can force another id (geo_geojson.result:default_srid)
+    spark.udf.register("st_geomfromgeojson",
+      (j: String) => GeoOverlay.fromGeoJson(j).map(g => s"SRID=4326;${toWkt(g)}").orNull)
+    spark.udf.register("st_geomfromgeojson_srid", (j: String, srid: Int) =>
+      GeoOverlay.fromGeoJson(j).map(g =>
+        (if (srid != 0) s"SRID=$srid;" else "") + toWkt(g)).orNull)
+    spark.udf.register("st_makeenvelope_pts", (a: String, b: String) =>
+      (parseWkt(a), parseWkt(b)) match {
+        case (Some(GPoint(x0, y0)), Some(GPoint(x1, y1)))
+            if !x0.isNaN && !x1.isNaN =>
+          val (lo, hi) = (math.min(x0, x1), math.max(x0, x1))
+          val (lo2, hi2) = (math.min(y0, y1), math.max(y0, y1))
+          toWkt(GPolygon(Vector(Vector(
+            (lo, lo2), (hi, lo2), (hi, hi2), (lo, hi2), (lo, lo2)))))
+        case _ => null
+      })
+    // SRID propagates through derived geometries (geo_srid.result)
+    spark.udf.register("st_centroid", (w: String) =>
+      parseWkt(w).map(g => withSridOf(w, toWkt(centroid(g)))).orNull)
+    spark.udf.register("st_envelope", (w: String) =>
+      parseWkt(w).map(g => withSridOf(w, toWkt(envelope(g)))).orNull)
+    spark.udf.register("st_startpoint", (w: String) =>
+      parseWkt(w).flatMap {
+        case GLine(p) => Some(withSridOf(w, toWkt(GPoint(p.head._1, p.head._2))))
+        case _ => None
+      }.orNull)
+    spark.udf.register("st_endpoint", (w: String) =>
+      parseWkt(w).flatMap {
+        case GLine(p) => Some(withSridOf(w, toWkt(GPoint(p.last._1, p.last._2))))
+        case _ => None
+      }.orNull)
+    spark.udf.register("st_geometryn", (w: String, n: Int) =>
+      parseWkt(w).flatMap { g =>
+        val ps = g match {
+          case GCollection(gs) => gs
+          case _ if isMulti(g) => parts(g)
+          case _ => Vector(g)
+        }
+        if (n >= 1 && n <= ps.size) Some(withSridOf(w, toWkt(ps(n - 1)))) else None
+      }.orNull)
+    // polygon boundaries are MULTILINESTRING even for a single ring
+    // (geo_functions_unary.result)
+    spark.udf.register("st_boundary", (w: String) =>
+      parseWkt(w).flatMap {
+        case GLine(p) =>
+          Some(toWkt(if (p.head == p.last) GMultiPoint(Vector())
+          else GMultiPoint(Vector(p.head, p.last))))
+        case GPolygon(r) => Some(withSridOf(w, toWkt(GMultiLine(r.map(GLine)))))
+        case _: GPoint => Some("GEOMETRYCOLLECTION EMPTY")
+        case _ => None
+      }.orNull)
+    // backtracking lines are not simple: a vertex where the direction
+    // exactly reverses retraces the previous segment (geo_validity)
+    spark.udf.register("st_issimple", g1 {
+      case GLine(p) =>
+        val backtrack = p.sliding(3).exists { w =>
+          w.size == 3 && {
+            val (ax, ay) = (w(0)._1 - w(1)._1, w(0)._2 - w(1)._2)
+            val (bx, by) = (w(2)._1 - w(1)._1, w(2)._2 - w(1)._2)
+            math.abs(ax * by - ay * bx) < 1e-12 && ax * bx + ay * by > 0
+          }
+        }
+        val segs = p.sliding(2).map(s => (s(0), s(1))).toVector
+        Some(!backtrack && !segs.indices.exists(i => (i + 2 until segs.size).exists { j =>
+          !(i == 0 && j == segs.size - 1 && p.head == p.last) &&
+            segIntersect(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2)
+        }))
+      case _ => Some(true)
+    })
+  }
+
+  /** Apply `f` to every coordinate pair of `g`. */
+  def mapPts(g: Geom)(f: Pt => Pt): Geom = g match {
+    case GPoint(x, y) => val (a, b) = f((x, y)); GPoint(a, b)
+    case GLine(p) => GLine(p.map(f))
+    case GPolygon(r) => GPolygon(r.map(_.map(f)))
+    case GMultiPoint(p) => GMultiPoint(p.map(f))
+    case GMultiLine(ls) => GMultiLine(ls.map(l => GLine(l.pts.map(f))))
+    case GMultiPolygon(ps) => GMultiPolygon(ps.map(p => GPolygon(p.rings.map(_.map(f)))))
+    case GCollection(gs) => GCollection(gs.map(mapPts(_)(f)))
   }
 
   // --------------------------------------- predicate kernels (exact ops)

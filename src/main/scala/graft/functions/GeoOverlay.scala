@@ -304,19 +304,50 @@ object GeoOverlay {
   /** Arc segments per full circle (MySQL default 32 points/circle). */
   val BufferSegs = 32
 
-  /** Positive-distance buffer of a point (regular 32-gon on the radius
-    * circle) or a CONVEX polygon (offset edges + vertex arc fans).
-    * Lines and concave polygons return None (NULL), documented scope.
+  /** Positive-distance buffer of a point (regular n-gon on the radius
+    * circle), a linestring (union of per-segment round-capped capsules),
+    * or a CONVEX polygon (offset edges + vertex arc fans). A zero
+    * distance is the identity (`geo_buffer.result`: zero_buf). Concave
+    * polygons return None (NULL), documented scope.
     */
-  def buffer(g: Geom, d: Double): Option[Geom] = {
-    if (d <= 0) return None
+  def buffer(g: Geom, d: Double): Option[Geom] = bufferN(g, d, BufferSegs)
+
+  /** One capsule polygon (rectangle + semicircular caps) around the
+    * segment a→b, CCW, with `segs` total circle segments.
+    */
+  private def capsule(a: Pt, b: Pt, d: Double, segs: Int): GPolygon = {
+    val theta = math.atan2(b._2 - a._2, b._1 - a._1)
+    val half = math.max(2, segs / 2)
+    val out = Vector.newBuilder[Pt]
+    // cap around b: from theta-90° to theta+90°
+    for (k <- 0 to half) {
+      val ang = theta - math.Pi / 2 + math.Pi * k / half
+      out += ((b._1 + d * math.cos(ang), b._2 + d * math.sin(ang)))
+    }
+    // cap around a: from theta+90° to theta+270°
+    for (k <- 0 to half) {
+      val ang = theta + math.Pi / 2 + math.Pi * k / half
+      out += ((a._1 + d * math.cos(ang), a._2 + d * math.sin(ang)))
+    }
+    val pts = out.result()
+    GPolygon(Vector(pts :+ pts.head))
+  }
+
+  def bufferN(g: Geom, d: Double, segs: Int): Option[Geom] = {
+    if (d == 0) return Some(g)
+    if (d < 0) return None
     g match {
-      case GPoint(x, y) =>
-        val pts = (0 until BufferSegs).map { k =>
-          val a = 2 * math.Pi * k / BufferSegs
+      case GPoint(x, y) if !x.isNaN =>
+        val pts = (0 until segs).map { k =>
+          val a = 2 * math.Pi * k / segs
           (x + d * math.cos(a), y + d * math.sin(a))
         }
         Some(GPolygon(Vector(pts :+ pts.head)))
+      case GLine(p) if p.size >= 2 =>
+        val caps = p.sliding(2).map(s => capsule(s(0), s(1), d, segs)).toVector
+        caps.tail.foldLeft(Option(caps.head: Geom)) { (acc, c) =>
+          acc.flatMap(u => setOp("union", u, c))
+        }
       case GPolygon(rings) if rings.size == 1 =>
         val r = norm(rings.head)
         val n = r.size
@@ -325,7 +356,7 @@ object GeoOverlay {
           cross(r(i), r((i + 1) % n), r((i + 2) % n)) > -Eps
         }
         if (!convex) return None
-        val step = 2 * math.Pi / BufferSegs
+        val step = 2 * math.Pi / segs
         val out = Vector.newBuilder[Pt]
         for (i <- r.indices) {
           val prev = r((i - 1 + n) % n)
@@ -427,7 +458,9 @@ object GeoOverlay {
   private def fmtNum(v: Double): String =
     if (v == v.toLong && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
-  private def jPos(p: Pt): String = s"[${fmtNum(p._1)},${fmtNum(p._2)}]"
+  private def jPos(p: Pt): String =
+    if (p._1.isNaN || p._2.isNaN) "[]" // empty point member
+    else s"[${fmtNum(p._1)},${fmtNum(p._2)}]"
   private def jRing(r: IndexedSeq[Pt]): String = r.map(jPos).mkString("[", ",", "]")
 
   /** Compact GeoJSON (RFC 7946 geometry object). */
@@ -545,6 +578,24 @@ object GeoOverlay {
     case GLine(pts) if f >= 0 && f <= 1 =>
       val total = pts.sliding(2).map(s => math.hypot(s(1)._1 - s(0)._1, s(1)._2 - s(0)._2)).sum
       pointAtLength(pts, f * total)
+    case _ => None
+  }
+
+  /** Points at every multiple of `f` along the line (PostGIS
+    * repeat-points semantics; the reference rejects f outside (0, 1] —
+    * `geo_lineref.result`: 0.25 yields the 4 quarter points incl. the
+    * endpoint, 1.0 yields just the endpoint).
+    */
+  def lineInterpolatePoints(g: Geom, f: Double): Option[Geom] = g match {
+    case l: GLine if f > 0 && f <= 1 =>
+      val n = math.floor(1.0 / f + 1e-9).toInt
+      val pts = (1 to n).flatMap(k =>
+        lineInterpolatePoint(l, math.min(k * f, 1.0))).collect {
+        case GPoint(x, y) => (x, y)
+      }
+      // a single result is a bare POINT (geo_lineref.result: f=1.0)
+      if (pts.size == 1) Some(GPoint(pts.head._1, pts.head._2))
+      else Some(GMultiPoint(pts.toVector))
     case _ => None
   }
 

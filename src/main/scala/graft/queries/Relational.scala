@@ -184,29 +184,22 @@ object Relational extends QueryModule {
 
   // GROUPING SETS via SQL (the reference binds them in
   // query_builder.go:3393-3402; Spark parses them natively).
-  /** GROUPING SETS ((a,b),(a),()) via partial re-aggregation: Spark's
-    * native Expand replays every input row once per set (3× the scan
-    * volume through the shuffle); since sum/count re-aggregate, one
-    * full-resolution pass plus a union of the TINY base aggregate is
-    * plan-equivalent and scales with |groups|, not 3×|rows| — at 100 TB
-    * the difference is two extra shuffles of six rows instead of two
-    * extra passes over the fact table.
+  /** Native GROUPING SETS ((a,b),(a),()) — Spark's Expand + partial agg
+    * (the partial agg condenses each replayed stream BEFORE the shuffle,
+    * so the exchange carries ~3×|groups| rows, not 3×|rows|). The NULL
+    * placeholder rows coalesce to 'ALL' exactly like the oracle, which
+    * stays correct even when a group key itself is NULL — a manual
+    * UNION-of-reaggregations with 'ALL' literals would not be.
     */
   private def gSets(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     s.sql(
-      """WITH base AS (
-        |  SELECT l_returnflag, l_linestatus,
-        |         sum(CAST(l_quantity AS DECIMAL(30,6))) AS q, count(*) AS n
-        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
-        |SELECT returnflag, linestatus,
-        |       CAST(round(sum(q), 2) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(n) AS BIGINT) AS n
-        |FROM (
-        |  SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, q, n FROM base
-        |  UNION ALL SELECT l_returnflag, 'ALL', q, n FROM base
-        |  UNION ALL SELECT 'ALL', 'ALL', q, n FROM base)
-        |GROUP BY returnflag, linestatus
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 

@@ -180,11 +180,45 @@ object SqlDialectQueries extends QueryModule {
       |WHERE (_nn > 0 AND t IS NOT NULL AND _rn <= 5) OR (_nn = 0 AND _rn = 1)
       |ORDER BY t""".stripMargin
 
+  // ------------- pd1: partitioned table DDL + routed insert + pruned scan
+  /** MySQL `PARTITION BY RANGE` (reference partition DDL + pruner,
+    * `pkg/partitionprune/prune.go:43`): create → per-row routed
+    * DISTRIBUTED insert → scan with a partition-column predicate. The
+    * plan prunes to the matching partition directories (PartitionFilters
+    * asserted in PlanSpec); the oracle computes the same aggregate over
+    * the unpartitioned source.
+    */
+  private def pd1(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    GraftSql.sql(s, "drop table if exists orders_part")
+    GraftSql.sql(s,
+      """create table orders_part (
+        |  o_orderkey bigint, o_totalprice double, o_orderstatus string)
+        |partition by range (o_orderkey) (
+        |  partition p0 values less than (4000),
+        |  partition p1 values less than (8000),
+        |  partition p2 values less than maxvalue)""".stripMargin)
+    GraftSql.sql(s,
+      "insert into orders_part select o_orderkey, o_totalprice, o_orderstatus from orders")
+    GraftSql.sql(s,
+      """select o_orderstatus, count(*) as n,
+        |       cast(round(sum(cast(o_totalprice as decimal(30,6))), 2) as double) as total
+        |from orders_part where o_orderkey < 4000
+        |group by o_orderstatus order by o_orderstatus""".stripMargin)
+  }
+
+  private val pd1Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey < 4000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   override val queries: Seq[Q] = Seq(
     Q("tws1_interval_sql", tws1, Some(tws1Sql)),
     Q("tws2_sliding_sql", tws2, Some(tws2Sql)),
     Q("fts1_match_sql", fts1, Some(fts1Sql)),
     Q("ft10_multicol_match", ft10, Some(ft10Sql)),
     Q("sps1_sample_sql", sps1, Some(sps1Sql)),
-    Q("sps2_sample_expr_sql", sps2, Some(sps2Sql)))
+    Q("sps2_sample_expr_sql", sps2, Some(sps2Sql)),
+    Q("pd1_partitioned_scan", pd1, Some(pd1Sql)))
 }

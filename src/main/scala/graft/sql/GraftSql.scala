@@ -88,10 +88,12 @@ object GraftSql {
             }
         }
       val q2 = normalizeSetval(
-        MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(q))))
+        MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(geoArity(q)))))
       sequenceRewrite(spark, q2)
+        .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
         .orElse(insertSeqRewrite(spark, q2))
+        .orElse(partitionRewrite(spark, q2))
         .orElse(recursiveCteRewrite(spark, q2))
         .orElse(intervalRewrite(spark, q2))
         .orElse(sampleRewrite(spark, q2))
@@ -185,7 +187,7 @@ object GraftSql {
         QueryResults.setMaxSize(spark, n.toLong)
         Some(spark.emptyDataFrame)
       case _ if ScanCallRe.findFirstIn(q).isDefined =>
-        if (!QueryResults.enabled(spark))
+        if (!QueryResults.everConfigured(spark))
           throw new IllegalStateException("no configure: save query result")
         val LastIdRe = """(?i)^last_query_id\s*\(\s*(-?\d+)\s*\)$""".r
         val rewritten = ScanCallRe.replaceAllIn(q, m => {
@@ -371,6 +373,167 @@ object GraftSql {
   }
 
   // ------------------------------------------------------------------
+  // Geo function optional arguments (SRID / precision forms)
+  // ------------------------------------------------------------------
+
+  /** Rename `from(...)` calls with exactly `arity` top-level arguments to
+    * `to(...)` — Spark UDF registrations are fixed-arity, so the MySQL
+    * optional-argument geo forms dispatch to sibling registrations.
+    */
+  private def renameByArity(q0: String, from: String, arity: Int, to: String): String = {
+    var q = q0
+    var changed = true
+    val re = ("(?i)\\b" + from + "\\s*\\(").r
+    while (changed) {
+      changed = false
+      re.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val open = m.end - 1
+          balancedSpan(q, open).foreach { case (inner, _) =>
+            if (splitTop(inner).lengthIs == arity) {
+              q = q.substring(0, m.start) + to + q.substring(open)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    q
+  }
+
+  /** The reference's geo functions take optional SRID / precision /
+    * segment arguments (`ST_GeomFromText(wkt, srid)`,
+    * `ST_Area(g, srid)`, … — `cases/geo/geo_srid.sql`,
+    * `geo_geodetic.sql`); route each arity to its registration.
+    */
+  private[graft] def geoArity(q0: String): String = {
+    if (!q0.toLowerCase.contains("st_")) return q0
+    var q = q0
+    q = renameByArity(q, "st_geomfromtext", 2, "st_geomfromtext_srid")
+    q = renameByArity(q, "st_area", 2, "st_area_srid")
+    q = renameByArity(q, "st_length", 2, "st_length_srid")
+    q = renameByArity(q, "st_distance", 3, "st_distance_srid")
+    q = renameByArity(q, "st_buffer", 3, "st_buffer_segs")
+    q = renameByArity(q, "st_geohash", 2, "st_geohash_pt")
+    q = renameByArity(q, "st_pointfromgeohash", 2, "st_pointfromgeohash_srid")
+    q = renameByArity(q, "st_asgeojson", 2, "st_asgeojson_digits")
+    q = renameByArity(q, "st_geomfromgeojson", 2, "st_geomfromgeojson_srid")
+    q = renameByArity(q, "st_makeenvelope", 2, "st_makeenvelope_pts")
+    q
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE / ALTER / DROP STAGE, SHOW STAGES
+  // ------------------------------------------------------------------
+
+  // names may be backtick-quoted with arbitrary characters
+  // (external_stage.sql creates a stage named `$$%%`)
+  private val CreateStageRe =
+    """(?is)^create\s+stage\s+(if\s+not\s+exists\s+)?(?:`([^`]+)`|(\w+))\s+url\s*=\s*'([^']*)'\s*(.*)$""".r
+  private val AlterStageRe =
+    """(?is)^alter\s+stage\s+(if\s+exists\s+)?(?:`([^`]+)`|(\w+))\s+set\s+(.*)$""".r
+  private val DropStageRe =
+    """(?is)^drop\s+stage\s+(if\s+exists\s+)?(?:`([^`]+)`|(\w+))\s*$""".r
+
+  private def stageCreds(txt: String): Option[Map[String, String]] =
+    """(?is)credentials\s*=\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map(m =>
+      """'([^']+)'\s*=\s*'([^']*)'""".r.findAllMatchIn(m.group(1))
+        .map(c => c.group(1) -> c.group(2)).toMap)
+
+  /** Named external locations (see [[Stages]]). */
+  private def stageRewrite(spark: SparkSession, q: String): Option[DataFrame] = q match {
+    case CreateStageRe(ifNot, n1, n2, url, tail) =>
+      val name = if (n1 != null) n1 else n2
+      val comment = """(?is)comment\s*=\s*'([^']*)'""".r.findFirstMatchIn(tail)
+        .map(_.group(1)).getOrElse("")
+      Stages.create(spark, name, url, stageCreds(tail).getOrElse(Map.empty),
+        comment, ifNot != null)
+      Some(spark.emptyDataFrame)
+    case AlterStageRe(ifEx, n1, n2, opts) =>
+      val name = if (n1 != null) n1 else n2
+      val url = """(?is)\burl\s*=\s*'([^']*)'""".r.findFirstMatchIn(opts).map(_.group(1))
+      val comment = """(?is)\bcomment\s*=\s*'([^']*)'""".r.findFirstMatchIn(opts).map(_.group(1))
+      Stages.alter(spark, name, url, stageCreds(opts), comment, ifEx != null)
+      Some(spark.emptyDataFrame)
+    case DropStageRe(ifEx, n1, n2) =>
+      Stages.drop(spark, if (n1 != null) n1 else n2, ifEx != null)
+      Some(spark.emptyDataFrame)
+    case _ if """(?is)^show\s+stages\s*$""".r.findFirstIn(q).isDefined =>
+      Some(Stages.showDf(spark))
+    case _ => None
+  }
+
+  /** Test-harness hook: forget this session's stages. */
+  def clearStages(spark: SparkSession): Unit = Stages.clear(spark)
+
+  /** Test-harness hook: forget this session's saved query results. */
+  def clearQueryResults(spark: SparkSession): Unit = QueryResults.clear(spark)
+
+  // ------------------------------------------------------------------
+  // Partitioned tables: CREATE ... PARTITION BY, ALTER ... ADD PARTITION
+  // ------------------------------------------------------------------
+
+  /** MySQL partitioned-table DDL/DML routed onto [[Partitions]] (see
+    * there for the Spark mapping and reference citations). Handles:
+    * CREATE TABLE ... PARTITION BY, ALTER TABLE ... ADD PARTITION,
+    * DROP of a registered table, and INSERT into a registered table
+    * (per-row routing evaluated inside the distributed write).
+    */
+  private val CreatePartHeadRe =
+    """(?is)^create\s+table\s+(if\s+not\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*\(""".r
+  private val AlterAddPartRe =
+    """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+add\s+partition\s*\(""".r
+  private val InsertPartRe =
+    """(?is)^insert\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*(\([^)]*\))?\s*((?:values|select|with|table|\()\b?.*)$""".r
+
+  private def partitionRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    import spark.implicits._
+    CreatePartHeadRe.findFirstMatchIn(q).foreach { m =>
+      balancedSpan(q, m.end - 1).foreach { case (cols, after) =>
+        val rest = q.substring(after).trim
+        """(?is)^partition\s+by\s+(.*)$""".r.findFirstMatchIn(rest) match {
+          case Some(bm) =>
+            Partitions.create(spark, m.group(2), cols, bm.group(1), m.group(1) != null)
+            return Some(spark.emptyDataFrame)
+          case None =>
+            // the NAME re-created as a plain table: stale routing must die
+            Partitions.forget(spark, m.group(2))
+        }
+      }
+    }
+    AlterAddPartRe.findFirstMatchIn(q).foreach { m =>
+      balancedSpan(q, m.end - 1).foreach { case (defs, _) =>
+        Partitions.alterAdd(spark, m.group(1), defs)
+        return Some(spark.emptyDataFrame)
+      }
+    }
+    """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
+      .findFirstMatchIn(q).foreach { m =>
+        if (Partitions.get(spark, m.group(1)).isDefined) {
+          Partitions.drop(spark, m.group(1))
+          return Some(spark.emptyDataFrame)
+        }
+      }
+    InsertPartRe.findFirstMatchIn(q).foreach { m =>
+      Partitions.get(spark, m.group(1)).foreach { spec =>
+        val listed = Option(m.group(2)).map(c => splitTop(
+          c.stripPrefix("(").stripSuffix(")"))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")))
+        val src = m.group(3).trim
+        val df =
+          if (src.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $src")
+          else sql(spark, src)
+        Partitions.insertInto(spark, spec, df, listed)
+        return Some(Seq((m.group(1), "inserted")).toDF("table_name", "status"))
+      }
+    }
+    None
+  }
+
+  /** Test-harness hook: forget this session's partitioned tables. */
+  def clearPartitions(spark: SparkSession): Unit = Partitions.clear(spark)
+
+  // ------------------------------------------------------------------
   // CREATE EXTERNAL TABLE ... INFILE{...}
   // ------------------------------------------------------------------
 
@@ -390,7 +553,9 @@ object GraftSql {
     val table = m.group(2)
     val (cols, after) = balancedSpan(q, m.end - 1).getOrElse(return None)
     val rest = q.substring(after).trim
-    val bm = """(?is)^infile\s*(\{[^}]*\})\s*(.*)$""".r.findFirstMatchIn(rest)
+    // both INFILE forms: the brace option map and the bare quoted path
+    // (stage/external_stage.sql:384 uses `infile 'stage://…'`)
+    val bm = """(?is)^infile\s*(\{[^}]*\}|'[^']*')\s*(.*)$""".r.findFirstMatchIn(rest)
       .getOrElse(return None)
     if (m.group(1) != null && spark.catalog.tableExists(table))
       return Some(spark.emptyDataFrame)
@@ -426,8 +591,8 @@ object GraftSql {
           // (`infile{"filepath"='…'}`, create_sequence.result:47)
           else """["']([^"']+)["']\s*=\s*'([^']*)'""".r.findAllMatchIn(braceOpts)
             .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-        val path = opts.getOrElse("filepath",
-          throw new IllegalArgumentException("LOAD DATA: no filepath"))
+        val path = Stages.resolvePath(spark, opts.getOrElse("filepath",
+          throw new IllegalArgumentException("LOAD DATA: no filepath")))
         val format = opts.getOrElse("format",
           if (path.endsWith(".parq") || path.endsWith(".parquet")) "parquet"
           else if (path.endsWith(".jl") || path.endsWith(".jsonl") ||
@@ -476,28 +641,34 @@ object GraftSql {
             import org.apache.spark.sql.types.{NumericType, StringType, StructType}
             val strSchema = StructType(readSchema.fields.map(f =>
               f.copy(dataType = StringType, nullable = true)))
-            val reader = spark.read
-              .schema(strSchema)
-              .option("sep", sep)
-              .option("quote", if (quote.isEmpty) "\u0000" else quote)
-              // unquoted-empty fields arrive as null regardless of
-              // nullValue, so \N must NOT also map to null or the two
-              // become indistinguishable — keep \N as a literal string
-              // (nullValue pointed at a byte that never occurs) and let
-              // the coercion below tell them apart
-              .option("nullValue", "")
-            val raw =
-              if (skip == 0) reader.csv(path)
-              else {
-                // IGNORE n LINES: no OSS csv option for it — drop the
-                // first n lines of the (single) file before parsing
-                import spark.implicits._
-                val body = spark.read.text(path).coalesce(1)
-                  .withColumn("_i", monotonically_increasing_id())
-                  .filter(col("_i") >= skip)
-                  .select("value").as[String]
-                reader.csv(body)
-              }
+            // 'compression'='tar.gz': driver-side extract (gzip is
+            // inherently serial — same cost shape as the reference's
+            // decompressor); plain .gz files Spark reads natively
+            val realPath = opts.get("compression") match {
+              case Some(c) if c.equalsIgnoreCase("tar.gz") ||
+                  c.equalsIgnoreCase("tgz") => untarGz(path)
+              case _ => path
+            }
+            // MySQL-exact field splitting (ENCLOSED BY doubling, literal
+            // mid-field enclosure chars, unquoted-empty = NULL vs quoted
+            // "" = empty string, `\N` kept literal for the coercion
+            // below — `stage/external_stage.sql`'s char_varchar fixtures
+            // pin the full matrix) as a DISTRIBUTED map over text lines;
+            // IGNORE n LINES skips via order-preserving zipWithIndex
+            // (per-partition counts + offsets; no single-partition pass)
+            val lines0 = spark.read.textFile(realPath)
+            val lines =
+              if (skip == 0) lines0
+              else spark.createDataset(
+                lines0.rdd.zipWithIndex().filter(_._2 >= skip).map(_._1))(
+                org.apache.spark.sql.Encoders.STRING)
+            val sepL = sep
+            val quoteC: Char = if (quote.isEmpty) '\u0000' else quote.head
+            val width = strSchema.length
+            val raw = spark.createDataFrame(
+              lines.rdd.map(l => org.apache.spark.sql.Row.fromSeq(
+                MySqlCsv.split(l, sepL, quoteC, width))),
+              strSchema)
             val staged = raw.select(readSchema.fields.toSeq.map { f =>
               val c = col(f.name)
               (f.dataType match {
@@ -529,6 +700,53 @@ object GraftSql {
     }
   }
 
+  /** Extract the first regular file from a `.tar.gz` archive to a temp
+    * file (the reference's `'compression'='tar.gz'` LOAD path,
+    * `pkg/sql/colexec/external`). Driver-side by necessity: gzip is a
+    * serial stream — the same cost shape as the reference's
+    * decompressor; the extracted file then splits distributed as usual.
+    */
+  private def untarGz(path: String): String = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(path))
+    try {
+      val hdr = new Array[Byte](512)
+      def readFull(len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val r = in.read(hdr, off, len - off)
+          if (r < 0) return false
+          off += r
+        }
+        true
+      }
+      while (readFull(512)) {
+        val name = new String(hdr, 0, 100, "US-ASCII").takeWhile(_ != 0)
+        if (name.isEmpty) // two zero blocks mark EOF
+          throw new IllegalArgumentException(s"tar.gz: no file entry in $path")
+        val sizeTxt = new String(hdr, 124, 12, "US-ASCII").replaceAll("[^0-7]", "")
+        val size = if (sizeTxt.isEmpty) 0L else java.lang.Long.parseLong(sizeTxt, 8)
+        val typeflag = hdr(156)
+        if ((typeflag == '0' || typeflag == 0) && !name.endsWith("/") && size > 0) {
+          val tmp = java.nio.file.Files.createTempFile("graft_untar", ".csv")
+          val out = java.nio.file.Files.newOutputStream(tmp)
+          try {
+            val buf = new Array[Byte](65536)
+            var rem = size
+            while (rem > 0) {
+              val r = in.read(buf, 0, math.min(buf.length.toLong, rem).toInt)
+              if (r < 0) rem = 0 else { out.write(buf, 0, r); rem -= r }
+            }
+          } finally out.close()
+          return tmp.toString
+        } else {
+          var rem = ((size + 511) / 512) * 512
+          while (rem > 0) { val r = in.skip(rem); if (r <= 0) rem = 0 else rem -= r }
+        }
+      }
+      throw new IllegalArgumentException(s"tar.gz: no file entry in $path")
+    } finally in.close()
+  }
+
   /** `SELECT ... INTO OUTFILE 'path'` — the reference's export statement
     * (`pkg/sql/colexec/output`): runs the SELECT minus the clause and
     * writes ONE csv file at `path` (MySQL field defaults; header row
@@ -541,17 +759,22 @@ object GraftSql {
   private def outfileRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     import spark.implicits._
     q match {
-      case OutfileRe(select, path, tail) =>
+      case OutfileRe(select, path0, tail) =>
+        val path = Stages.resolvePath(spark, path0)
         def clause(re: String): Option[String] =
           re.r.findFirstMatchIn(tail).map(_.group(1))
         val sep = clause("""(?is)fields\s+terminated\s+by\s+'([^']*)'""")
           .getOrElse(",").replace("\\t", "\t")
+        // the reference writes a header row by default; `header 'false'`
+        // suppresses it (stage/external_stage.sql:160)
+        val header = clause("""(?is)\bheader\s+'(\w+)'""")
+          .forall(_.equalsIgnoreCase("true"))
         val rows = sql(spark, select)
         // single file at the exact path: write to a temp dir, move the
         // one part file (driver-side rename — export is a terminal sink)
         val tmp = java.nio.file.Files.createTempDirectory("graft_outfile")
         rows.coalesce(1).write.mode("overwrite")
-          .option("sep", sep).option("header", "true").csv(tmp.toString)
+          .option("sep", sep).option("header", header.toString).csv(tmp.toString)
         val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
           .find(_.matches(".*part-.*\\.csv"))
           .getOrElse(throw new IllegalStateException("no csv part written"))
@@ -680,9 +903,12 @@ object GraftSql {
       case ("<>", true) => s"(($x) NOT IN ($sq))"
       case ("=", false) => s"(($x) IN ($sq))"
       case ("=", true) =>
-        s"(CASE WHEN $cnt = 0 THEN TRUE WHEN $dc > 1 THEN FALSE " +
+        // NULL = ALL (non-empty set) is UNKNOWN in 3VL even when the set
+        // has >=2 distinct values, so test the NULL left operand first.
+        s"(CASE WHEN $cnt = 0 THEN TRUE WHEN ($x) IS NULL THEN $nul " +
+          s"WHEN $dc > 1 THEN FALSE " +
           s"WHEN NOT(($x) = $mx) THEN FALSE " +
-          s"WHEN $nulls > 0 OR ($x) IS NULL THEN $nul ELSE TRUE END)"
+          s"WHEN $nulls > 0 THEN $nul ELSE TRUE END)"
       case ("<>", false) =>
         s"(CASE WHEN $cnt = 0 THEN FALSE WHEN ($x) IS NULL THEN $nul " +
           s"WHEN $dc > 1 THEN TRUE WHEN $dc = 1 AND ($x) <> $mx THEN TRUE " +

@@ -44,6 +44,54 @@ object MySqlCompat {
     -1
   }
 
+  /** Copy of `s` with the CONTENTS of quoted string literals replaced by
+    *  (same length — positions line up with the original), so the
+    * pre-parse regex passes can't fire on SQL-looking words inside DATA
+    * (`'wait interval 1.5 minute'` must survive untouched). Backslash
+    * escapes inside literals stay masked too.
+    */
+  private[sql] def maskLiterals(s: String): String = {
+    val b = s.toCharArray
+    var i = 0; var q: Char = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (q != 0) {
+        if (c == '\\' && i + 1 < b.length) {
+          b(i) = ''; b(i + 1) = ''; i += 1
+        } else if (c == q) q = 0
+        else b(i) = ''
+      } else if (c == '\'' || c == '"') q = c
+      i += 1
+    }
+    new String(b)
+  }
+
+  /** `re.replaceAllIn` that only fires on matches found OUTSIDE string
+    * literals. Groups are re-derived from the ORIGINAL text (a match may
+    * legitimately contain a quoted literal, e.g. an INTERVAL count); a
+    * span that no longer matches whole against the original is left
+    * untouched. The replacement returned by `f` is appended VERBATIM —
+    * no `$n`/`\` processing, so no quoteReplacement at call sites.
+    */
+  private def replaceOutsideLiterals(re: scala.util.matching.Regex, s: String)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val masked = maskLiterals(s)
+    if (re.findFirstIn(masked).isEmpty) return s
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      sb.append(s, last, m.start)
+      val seg = s.substring(m.start, m.end)
+      re.findPrefixMatchOf(seg) match {
+        case Some(om) if om.end == seg.length => sb.append(f(om))
+        case _ => sb.append(seg)
+      }
+      last = m.end
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
   // ------------------------------------------------------------------
   // MySQL compound INTERVAL units
   // ------------------------------------------------------------------
@@ -88,12 +136,12 @@ object MySqlCompat {
     * `INTERVAL life_time DAY`) → make_interval/make_dt_interval calls.
     */
   private def identIntervals(q0: String): String =
-    IdentIntervalRe.replaceAllIn(q0, m => {
+    replaceOutsideLiterals(IdentIntervalRe, q0)(m => {
       val v = m.group(1)
       if (v.equalsIgnoreCase("null")) m.matched // handled by IntervalRe
       else {
         val c = s"CAST($v AS INT)"
-        val rep = m.group(2).toLowerCase match {
+        m.group(2).toLowerCase match {
           case "year" => s"make_interval($c)"
           case "quarter" => s"make_interval(0, 3 * $c)"
           case "month" => s"make_interval(0, $c)"
@@ -103,19 +151,18 @@ object MySqlCompat {
           case "minute" => s"make_dt_interval(0, 0, $c)"
           case "second" => s"make_dt_interval(0, 0, 0, CAST($v AS DECIMAL(30,6)))"
         }
-        java.util.regex.Matcher.quoteReplacement(rep)
       }
     })
 
   def intervalUnits(q0raw: String): String = {
     val q0 = identIntervals(q0raw)
-    IntervalRe.replaceAllIn(q0, m => {
+    replaceOutsideLiterals(IntervalRe, q0)(m => {
       val rawVal = m.group(1)
       val unit = m.group(2).toLowerCase
       val quoted = rawVal.head == '"' || rawVal.head == '\''
       val body = if (quoted) rawVal.substring(1, rawVal.length - 1).trim else rawVal
       val isNull = body.equalsIgnoreCase("null")
-      def out(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+      def out(s: String) = s
 
       def shifted(s: String): Option[BigInt] =
         """^(-?\d+)<<(\d+)$""".r.findFirstMatchIn(s)
@@ -203,7 +250,7 @@ object MySqlCompat {
     var changed = true
     while (changed) {
       changed = false
-      TsAddRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+      TsAddRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.foreach { m =>
         if (!changed) {
           val close = closeOf(q, m.end - 1)
           if (close > 0) {
@@ -258,7 +305,7 @@ object MySqlCompat {
     var changed = true
     while (changed) {
       changed = false
-      DateAddRe.findAllMatchIn(q).toList.reverseIterator.find { m =>
+      DateAddRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.find { m =>
         val close = closeOf(q, m.end - 1)
         close > 0 && {
           val args = GraftSql.splitTop(q.substring(m.end, close)).map(_.trim)
@@ -310,7 +357,7 @@ object MySqlCompat {
     var changed = true
     while (changed) {
       changed = false
-      GroupConcatRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+      GroupConcatRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.foreach { m =>
         if (!changed) {
           val close = closeOf(q, m.end - 1)
           if (close > 0) {
@@ -343,9 +390,13 @@ object MySqlCompat {
                 if (ob != null)
                   s"listagg(${if (distinct) "DISTINCT " else ""}$value, $sep) " +
                     s"WITHIN GROUP (ORDER BY $ob)"
-                else if (distinct)
-                  s"array_join(array_sort(collect_set($value)), $sep)"
-                else s"array_join(array_sort(collect_list($value)), $sep)"
+                else {
+                  // a group whose values are all NULL yields NULL in
+                  // MySQL, not '' (collect_* drop NULLs silently)
+                  val fn = if (distinct) "collect_set" else "collect_list"
+                  s"(CASE WHEN count($value) = 0 THEN CAST(NULL AS STRING) " +
+                    s"ELSE array_join(array_sort($fn($value)), $sep) END)"
+                }
               q = q.substring(0, m.start) + rep + q.substring(close + 1)
               changed = true
             }
@@ -365,26 +416,28 @@ object MySqlCompat {
     * (`subquery/mysql_compat_values_table_subquery.result`) → the
     * SELECT forms Spark parses.
     */
+  private val ValuesRowRe =
+    """(?is)\bvalues\s+(row\s*\([^)]*\)(?:\s*,\s*row\s*\([^)]*\))*)""".r
+  private val TableShorthandRe =
+    """(?i)(\(|\bunion(?:\s+all|\s+distinct)?|\bintersect|\bexcept)\s*table\s+(`?\w+`?)""".r
+
   def valuesTable(q0: String): String = {
-    var q = """(?i)\bvalues\s+row\s*\(""".r.findFirstIn(q0) match {
+    var q = """(?i)\bvalues\s+row\s*\(""".r.findFirstIn(maskLiterals(q0)) match {
       case None => q0
       case Some(_) =>
-        """(?is)\bvalues\s+(row\s*\([^)]*\)(?:\s*,\s*row\s*\([^)]*\))*)""".r
-          .replaceAllIn(q0, m => {
-            val rows = """(?is)row\s*(\([^)]*\))""".r
-              .findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-            // MySQL names values-table columns column_0, column_1, …
-            val n = GraftSql.splitTop(
-              rows.head.substring(1, rows.head.length - 1)).length
-            val cols = (0 until n).map(i => s"column_$i").mkString(", ")
-            java.util.regex.Matcher.quoteReplacement(
-              s"SELECT * FROM VALUES ${rows.mkString(", ")} AS _gvals($cols)")
-          })
+        replaceOutsideLiterals(ValuesRowRe, q0)(m => {
+          val rows = """(?is)row\s*(\([^)]*\))""".r
+            .findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+          // MySQL names values-table columns column_0, column_1, …
+          val n = GraftSql.splitTop(
+            rows.head.substring(1, rows.head.length - 1)).length
+          val cols = (0 until n).map(i => s"column_$i").mkString(", ")
+          s"SELECT * FROM VALUES ${rows.mkString(", ")} AS _gvals($cols)"
+        })
     }
     // `TABLE t` query shorthand in subquery / set-operation position
-    q = """(?i)(\(|\bunion(?:\s+all|\s+distinct)?|\bintersect|\bexcept)\s*table\s+(`?\w+`?)""".r
-      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)} SELECT * FROM ${m.group(2)}"))
+    q = replaceOutsideLiterals(TableShorthandRe, q)(m =>
+      s"${m.group(1)} SELECT * FROM ${m.group(2)}")
     q
   }
 
@@ -406,11 +459,14 @@ object MySqlCompat {
     val InListRe = """(?i)\)\s*(not\s+)?in\s*\(""".r
     while (changed) {
       changed = false
+      // scan positions on the masked copy so parens/keywords inside
+      // string literals never pair up (same length → same offsets)
+      val mq = maskLiterals(q)
       // `(tuple) [NOT] IN ((t1),(t2),…)` — a list of row constructors:
       // OR of row equalities (each re-expanded by the pass below), so
       // NULL components propagate like MySQL (row_constructor.result:63)
-      val inHit = InListRe.findAllMatchIn(q).find { m =>
-        val lOpen = openOf(q, m.start)
+      val inHit = InListRe.findAllMatchIn(mq).find { m =>
+        val lOpen = openOf(mq, m.start)
         val rClose = closeOf(q, m.end - 1)
         lOpen >= 0 && rClose > 0 && !isFunctionCall(q, lOpen) &&
           isTuple(q.substring(lOpen + 1, m.start)) && {
@@ -421,7 +477,7 @@ object MySqlCompat {
           }
       }
       inHit.foreach { m =>
-        val lOpen = openOf(q, m.start)
+        val lOpen = openOf(mq, m.start)
         val rClose = closeOf(q, m.end - 1)
         val lhs = q.substring(lOpen, m.start + 1)
         val items = GraftSql.splitTop(q.substring(m.end, rClose)).map(_.trim)
@@ -431,10 +487,10 @@ object MySqlCompat {
         changed = true
       }
       if (changed) { /* re-scan from the top */ }
-      val hit = if (changed) None else OpRe.findAllMatchIn(q).find { m =>
+      val hit = if (changed) None else OpRe.findAllMatchIn(mq).find { m =>
         val rClose = closeOf(q, m.end - 1)
         val lClose = m.start
-        val lOpen = openOf(q, lClose)
+        val lOpen = openOf(mq, lClose)
         rClose > 0 && lOpen >= 0 &&
           isTuple(q.substring(lOpen + 1, lClose)) &&
           isTuple(q.substring(m.end, rClose)) &&
@@ -445,7 +501,7 @@ object MySqlCompat {
         val rOpen = m.end - 1
         val rClose = closeOf(q, rOpen)
         val lClose = m.start
-        val lOpen = openOf(q, lClose)
+        val lOpen = openOf(mq, lClose)
         val ls = GraftSql.splitTop(q.substring(lOpen + 1, lClose)).map(_.trim)
         val rs = GraftSql.splitTop(q.substring(m.end, rClose)).map(_.trim)
         val rep =
@@ -655,7 +711,7 @@ object MySqlCompat {
     var changed = true
     while (changed) {
       changed = false
-      UnnestRe.findAllMatchIn(q).toList.reverseIterator.foreach { m =>
+      UnnestRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.foreach { m =>
         if (!changed) {
           val close = closeOf(q, m.end - 1)
           if (close > 0) {
@@ -728,8 +784,10 @@ object MySqlCompat {
     * `function/func_interval.result`); NULL x is -1. Distinct from the
     * INTERVAL literal (which never takes a parenthesized list).
     */
+  private val IntervalFnRe = """(?i)\binterval\s*\(([^()]+)\)""".r
+
   def intervalFn(q0: String): String =
-    """(?i)\binterval\s*\(([^()]+)\)""".r.replaceAllIn(q0, m => {
+    replaceOutsideLiterals(IntervalFnRe, q0)(m => {
       val args = GraftSql.splitTop(m.group(1)).map(_.trim)
       // `interval(ts, N, minute)` is the TIME-WINDOW operator's syntax
       // (GraftSql.intervalRewrite) — a bare unit keyword disambiguates
@@ -740,10 +798,9 @@ object MySqlCompat {
       else {
         val x = args.head
         val vs = args.tail.mkString(", ")
-        java.util.regex.Matcher.quoteReplacement(
-          s"(CASE WHEN ($x) IS NULL THEN -1 ELSE " +
-            s"size(filter(array($vs), _iv -> _iv IS NULL OR " +
-            s"CAST(_iv AS DOUBLE) <= CAST(($x) AS DOUBLE))) END)")
+        s"(CASE WHEN ($x) IS NULL THEN -1 ELSE " +
+          s"size(filter(array($vs), _iv -> _iv IS NULL OR " +
+          s"CAST(_iv AS DOUBLE) <= CAST(($x) AS DOUBLE))) END)"
       }
     })
 
@@ -753,10 +810,12 @@ object MySqlCompat {
   /** `'2024-01-01' ± INTERVAL n <date-unit>` keeps the DATE type in
     * MySQL when the literal has no time part (func_interval.result).
     */
-  def plusDateLiteral(q0: String): String =
+  private val PlusDateLitRe =
     """(?i)('[^':]*')\s*([-+])\s*(interval\s+-?\d+\s+(?:year|quarter|month|week|day))\b""".r
-      .replaceAllIn(q0, m => java.util.regex.Matcher.quoteReplacement(
-        s"CAST(CAST(${m.group(1)} AS DATE) ${m.group(2)} ${m.group(3)} AS DATE)"))
+
+  def plusDateLiteral(q0: String): String =
+    replaceOutsideLiterals(PlusDateLitRe, q0)(m =>
+      s"CAST(CAST(${m.group(1)} AS DATE) ${m.group(2)} ${m.group(3)} AS DATE)")
 
   def pre(q: String): String =
     plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(

@@ -41,14 +41,26 @@ object QueryResults {
 
   def clear(spark: SparkSession): Unit = {
     enabledFlags.remove(key(spark))
+    everOn.remove(key(spark))
     maxSizes.remove(key(spark))
     saved.remove(key(spark))
   }
 
-  def setEnabled(spark: SparkSession, on: Boolean): Unit =
+  private val everOn = TrieMap[Int, Boolean]()
+
+  def setEnabled(spark: SparkSession, on: Boolean): Unit = {
     enabledFlags.put(key(spark), on)
+    if (on) everOn.put(key(spark), true)
+  }
   def enabled(spark: SparkSession): Boolean =
     enabledFlags.getOrElse(key(spark), false)
+  /** Scans stay readable after `set save_query_result = off` — turning
+    * the flag off only stops SAVING; "no configure" is raised only when
+    * the feature was never switched ON in this session
+    * (query_result.result:44-48 reads a prior result with the flag off).
+    */
+  def everConfigured(spark: SparkSession): Boolean =
+    everOn.getOrElse(key(spark), false)
   def setMaxSize(spark: SparkSession, n: Long): Unit =
     maxSizes.put(key(spark), n)
 

@@ -268,6 +268,16 @@ object Sequences {
 
   // ------------------------------------------------------- functions
 
+  /** BIGINT UNSIGNED sequences (default MAXVALUE 2^64-1) can draw values
+    * above Long.MaxValue; surfacing those through a Long would silently
+    * wrap negative, so fail loudly instead.
+    */
+  private def toLongExact(v: BigInt, name: String): Long =
+    if (v.isValidLong) v.toLong
+    else throw new ArithmeticException(
+      s"sequence $name value $v exceeds BIGINT signed range; " +
+        "declare a MAXVALUE within [-2^63, 2^63-1]")
+
   private def stateByKey(k: Int, name: String): SeqState = {
     val reg = registries.getOrElseUpdate(k, mutable.LinkedHashMap())
     reg.synchronized {
@@ -301,22 +311,22 @@ object Sequences {
     }
     currvals.getOrElseUpdate(k, TrieMap()).put(name, v)
     lastvals.put(k, v)
-    v.toLong
+    toLongExact(v, name)
   }
 
   private[sql] def currval(k: Int, name0: String): Long = {
     val name = norm(name0)
     stateByKey(k, name) // existence check
-    currvals.get(k).flatMap(_.get(name)).getOrElse(
+    toLongExact(currvals.get(k).flatMap(_.get(name)).getOrElse(
       throw new IllegalArgumentException(
-        s"internal error: currval of $name before nextval in this session")
-    ).toLong
+        s"internal error: currval of $name before nextval in this session")),
+      name)
   }
 
   private[sql] def lastval(k: Int): Long =
-    lastvals.getOrElse(k,
+    toLongExact(lastvals.getOrElse(k,
       throw new IllegalArgumentException(
-        "internal error: lastval before nextval in this session")).toLong
+        "internal error: lastval before nextval in this session")), "lastval")
 
   private[sql] def setval(k: Int, name0: String, v: Long,
       updateSession: Boolean): Long = {

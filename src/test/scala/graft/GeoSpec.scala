@@ -148,14 +148,14 @@ class GeoSpec extends AnyFunSuite {
 
   test("multi-geometry wkt round-trips, type/dimension, area/length sums") {
     for (w <- Seq(
-        "MULTIPOINT((1 2),(3 4))",
+        "MULTIPOINT(1 2,3 4)",
         "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 2))",
         "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((2 0,3 0,3 1,2 1,2 0)))",
         "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))",
         "GEOMETRYCOLLECTION EMPTY"))
       assert(G.toWkt(geom(w)) == w)
     // bare-coordinate MULTIPOINT spelling also accepted
-    assert(G.toWkt(geom("MULTIPOINT(1 2, 3 4)")) == "MULTIPOINT((1 2),(3 4))")
+    assert(G.toWkt(geom("MULTIPOINT((1 2), (3 4))")) == "MULTIPOINT(1 2,3 4)")
     val mp = geom("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((3 0,4 0,4 1,3 1,3 0)))")
     assert(G.area(mp).contains(5.0))
     assert(G.geometryType(mp) == "MULTIPOLYGON" && G.dimension(mp) == 2)
@@ -228,9 +228,13 @@ class GeoSpec extends AnyFunSuite {
     val sb = GeoOverlay.buffer(sq, 1.0).get
     val grown = G.area(sb).get
     assert(grown > 100 + 40 * 1.0 + 3.0 && grown < 100 + 40 * 1.0 + math.Pi + 1e-9)
-    // concave + line: documented NULL
+    // concave: documented NULL
     assert(GeoOverlay.buffer(geom("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))"), 1.0).isEmpty)
-    assert(GeoOverlay.buffer(geom("LINESTRING(0 0,1 1)"), 1.0).isEmpty)
+    // line: round-capped capsule = rect (len×2d) + ~circle; zero = identity
+    val lb = GeoOverlay.buffer(geom("LINESTRING(0 0,1 1)"), 1.0).get
+    val lArea = G.area(lb).get
+    assert(lArea > 5.8 && lArea < 6.0, s"capsule area $lArea")
+    assert(GeoOverlay.buffer(geom("POINT(3 4)"), 0.0).map(G.toWkt).contains("POINT(3 4)"))
   }
 
   test("wkb: known-answer bytes, both endians read, round-trips") {
@@ -239,7 +243,7 @@ class GeoSpec extends AnyFunSuite {
       "0101000000000000000000F03F0000000000000040")
     for (w <- Seq("POINT(1.5 -2.25)", "LINESTRING(0 0,1 1,2 0)",
         "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
-        "MULTIPOINT((1 2),(3 4))",
+        "MULTIPOINT(1 2,3 4)",
         "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
         "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))"))
       assert(GeoOverlay.fromWkb(GeoOverlay.toWkb(geom(w))).map(G.toWkt).contains(w))
@@ -259,7 +263,7 @@ class GeoSpec extends AnyFunSuite {
       """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}""")
     for (w <- Seq("POINT(1.5 -2.25)", "LINESTRING(0 0,1 1)",
         "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
-        "MULTIPOINT((1 2),(3 4))", "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+        "MULTIPOINT(1 2,3 4)", "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
         "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)))",
         "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))"))
       assert(GeoOverlay.fromGeoJson(GeoOverlay.toGeoJson(geom(w))).map(G.toWkt).contains(w))

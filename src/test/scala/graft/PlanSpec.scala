@@ -96,4 +96,53 @@ class PlanSpec extends AnyFunSuite {
       "SELECT st_within(st_aswkb('POINT(1 1)'), st_aswkb('POLYGON((0 0,4 0,4 4,0 4,0 0))'))")
     assert(viaWkb.head.getBoolean(0))
   }
+
+  test("partitioned table: partition-column predicate prunes directories") {
+    import graft.sql.GraftSql
+    GraftSql.sql(spark, "drop table if exists pp_plan")
+    GraftSql.sql(spark,
+      """create table pp_plan (ok bigint, price double)
+        |partition by range (ok) (
+        |  partition p0 values less than (1000),
+        |  partition p1 values less than (2000),
+        |  partition p2 values less than maxvalue)""".stripMargin)
+    GraftSql.sql(spark,
+      "insert into pp_plan select id, cast(id as double) " +
+        "from (select explode(sequence(1, 2999)) as id)")
+    val df = GraftSql.sql(spark, "select count(*) as n from pp_plan where ok < 900")
+    assert(df.head.getLong(0) == 899L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the pruner's _graft_part IN (...) guard must land in PartitionFilters
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("_graft_part"), p)
+    // and actual directory selection shrinks to the matching partition
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(pl: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl match {
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: QueryStageExec => findScans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(findScans)
+      }
+    val scanned = findScans(df.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned == Seq(1), s"expected 1 selected partition, got $scanned")
+    // a LIST table prunes on equality too
+    GraftSql.sql(spark, "drop table if exists pl_plan")
+    GraftSql.sql(spark,
+      """create table pl_plan (id bigint, name string)
+        |partition by list (id) (
+        |  partition r0 values in (1, 3, 5),
+        |  partition r1 values in (2, 4, 6))""".stripMargin)
+    GraftSql.sql(spark,
+      "insert into pl_plan values (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val dl = GraftSql.sql(spark, "select name from pl_plan where id = 2")
+    assert(dl.collect().map(_.getString(0)).toSeq == Seq("b"))
+    val pl = dl.queryExecution.executedPlan.toString
+    assert(pl.contains("_graft_part"), pl)
+    GraftSql.sql(spark, "drop table if exists pp_plan")
+    GraftSql.sql(spark, "drop table if exists pl_plan")
+  }
 }
