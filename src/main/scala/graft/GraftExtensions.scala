@@ -41,17 +41,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         InnerProductExpr(args(0), args(1)), failOnError = false))
     register(e, "cosine_similarity", "cosine_similarity(a, b)",
       args => CosineSimilarityExpr(args(0), args(1)))
-    // single-pass JSON mutation program (chains fuse at build time)
-    register(e, "json_insert", "json_insert(doc, path, value)",
-      args => graft.functions.JsonMutateExpr.insert(args(0), args(1), args(2)))
-    register(e, "json_replace", "json_replace(doc, path, value)",
-      args => graft.functions.JsonMutateExpr.replace(args(0), args(1), args(2)))
-    register(e, "json_set", "json_set(doc, path, value)",
-      args => graft.functions.JsonMutateExpr.set(args(0), args(1), args(2)))
-    register(e, "json_remove", "json_remove(doc, path)",
-      args => graft.functions.JsonMutateExpr.remove(args(0), args(1)))
-    register(e, "json_merge_patch", "json_merge_patch(target, patch)",
-      args => graft.functions.JsonMutateExpr.mergePatch(args(0), args(1)))
+    // single-pass JSON mutation program (chains fuse at build time);
+    // MySQL's variadic (path, value)* pairs fold into one program
+    def pathValuePairs(name: String,
+        one: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+          org.apache.spark.sql.catalyst.expressions.Expression)(
+        args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : org.apache.spark.sql.catalyst.expressions.Expression = {
+      require(args.length >= 3 && args.length % 2 == 1,
+        s"invalid argument function $name, bad value " +
+          s"[${args.map(_.dataType.simpleString.toUpperCase).mkString(" ")}]")
+      args.drop(1).grouped(2).foldLeft(args.head) {
+        case (doc, Seq(p, v)) => one(doc, p, v)
+        case (doc, _) => doc
+      }
+    }
+    register(e, "json_insert", "json_insert(doc, (path, value)+)",
+      pathValuePairs("json_insert", graft.functions.JsonMutateExpr.insert) _)
+    register(e, "json_replace", "json_replace(doc, (path, value)+)",
+      pathValuePairs("json_replace", graft.functions.JsonMutateExpr.replace) _)
+    register(e, "json_set", "json_set(doc, (path, value)+)",
+      pathValuePairs("json_set", graft.functions.JsonMutateExpr.set) _)
+    register(e, "json_remove", "json_remove(doc, path+)",
+      args => {
+        require(args.length >= 2,
+          s"invalid argument function json_remove, bad value length ${args.length}")
+        args.tail.foldLeft(args.head)(graft.functions.JsonMutateExpr.remove)
+      })
+    register(e, "json_merge_patch", "json_merge_patch(target, patch+)",
+      args => {
+        require(args.length >= 2,
+          s"invalid argument function json_merge_patch, bad value length ${args.length}")
+        args.tail.foldLeft(args.head)(graft.functions.JsonMutateExpr.mergePatch)
+      })
     register(e, "fulltext_match",
       "fulltext_match(text, query) - MATCH ... AGAINST predicate " +
         "(natural mode: any term; boolean mode: +must / -mustnot / should)",

@@ -39,7 +39,9 @@ object JsonExtras {
     }.orNull
 
   def jsonValid(doc: String): Option[Boolean] =
-    if (doc == null) None else Some(parse(doc).isDefined)
+    // Jackson parses "" to a MissingNode without throwing — not valid JSON
+    if (doc == null) None
+    else Some(parse(doc).exists(n => !n.isMissingNode))
 
   /** JSON_QUOTE: wrap a raw string as a JSON string literal. */
   def jsonQuote(s: String): String =

@@ -31,44 +31,17 @@ case class JsonMutateExpr(children: Seq[Expression])
   override def nullable: Boolean = true
   override def prettyName: String = "json_mutate"
 
-  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val mapper = JsonMutation.mapper
 
-  private def parsePath(path: String): Seq[String] = {
-    require(path.startsWith("$"), s"unsupported path $path")
-    path.stripPrefix("$").split("\\.").filter(_.nonEmpty).toSeq
-  }
-
-  /** Parse `value` as JSON when possible, else treat as a JSON string. */
-  private def valueNode(value: String): JsonNode =
-    try mapper.readTree(value)
-    catch { case _: Exception => mapper.getNodeFactory.textNode(value) }
-
-  /** insert/replace/set/remove on the tree in place; a nonexistent
-    * PARENT path is a no-op — intermediates are never auto-created
-    * (MySQL and reference semantics).
+  /** Parse `value` as JSON when possible, else treat as a JSON string.
+    * A SQL NULL value becomes the JSON null scalar (MySQL:
+    * `JSON_SET(doc, path, NULL)` stores json null —
+    * func_json_set.result).
     */
-  private def applyPathOp(root: JsonNode, op: String, path: String, value: String): Unit = {
-    val segs = parsePath(path)
-    if (segs.isEmpty) return
-    var node = root
-    for (s <- segs.dropRight(1)) {
-      node match {
-        case o: ObjectNode if o.has(s) => node = o.get(s)
-        case _ => return
-      }
-    }
-    node match {
-      case o: ObjectNode =>
-        val leaf = segs.last
-        op match {
-          case "remove" => o.remove(leaf)
-          case "insert" => if (!o.has(leaf)) o.set[ObjectNode](leaf, valueNode(value))
-          case "replace" => if (o.has(leaf)) o.set[ObjectNode](leaf, valueNode(value))
-          case "set" => o.set[ObjectNode](leaf, valueNode(value))
-        }
-      case _ =>
-    }
-  }
+  private def valueNode(value: String): JsonNode =
+    if (value == null) mapper.getNodeFactory.nullNode()
+    else try mapper.readTree(value)
+    catch { case _: Exception => mapper.getNodeFactory.textNode(value) }
 
   /** RFC 7396 merge patch. */
   private def mergePatch(t: JsonNode, p: JsonNode): JsonNode =
@@ -99,9 +72,12 @@ case class JsonMutateExpr(children: Seq[Expression])
         if (valAny == null) return null
         root = mergePatch(root, mapper.readTree(valAny.toString))
       } else {
-        if (op != "remove" && valAny == null) return null
-        applyPathOp(root, op, pathAny.toString,
-          if (valAny == null) null else valAny.toString)
+        JsonMutation.parseMutPath(pathAny.toString) match {
+          case Some(segs) =>
+            root = JsonMutation.applyMutOp(root, op, segs,
+              valueNode(if (valAny == null) null else valAny.toString))
+          case None => // invalid path: no-op (sweep-safe)
+        }
       }
       i += 3
     }

@@ -85,7 +85,9 @@ case class JsonScalarExpr(fn: String, children: Seq[Expression])
         b(JsonExtras.jsonContains(target, str(1)))
       case "json_depth" =>
         JsonExtras.jsonDepth(str(0)).map(java.lang.Integer.valueOf).orNull
-      case "json_merge_preserve" => s(JsonExtras.jsonMergePreserve(str(0), str(1)))
+      case "json_merge_preserve" => // MySQL variadic: left-fold the docs
+        s((1 until children.length).foldLeft(str(0))((acc, i) =>
+          JsonExtras.jsonMergePreserve(acc, str(i))))
       case "json_contains_path" =>
         val arr = children(2).eval(input)
         val paths =
@@ -122,7 +124,7 @@ object JsonScalarExpr {
     "json_unquote" -> Set(1),
     "json_contains" -> Set(2, 3), // 3rd arg: path to test at (MySQL)
     "json_depth" -> Set(1),
-    "json_merge_preserve" -> Set(2),
+    "json_merge_preserve" -> (2 to 16).toSet,
     "json_contains_path" -> Set(3))
 
   /** SQL builder for `json_contains_path(doc, mode, path, path, ...)` —

@@ -269,11 +269,18 @@ object JsonTail {
   private def nodeLength(n: JsonNode): Long =
     if (n.isObject || n.isArray) n.size.toLong else 1L
 
-  /** JSON_LENGTH(doc[, path]). */
-  def jsonLength(doc: String): Option[Long] = parse(doc).map(nodeLength)
+  /** JSON_LENGTH(doc[, path]) — the reference returns NULL for the JSON
+    * null scalar (func_json_length.result), unlike MySQL's 1.
+    */
+  def jsonLength(doc: String): Option[Long] =
+    parse(doc).filterNot(_.isNull).map(nodeLength)
+  // wildcard paths count matches ('$.a.*' over {"x":1,"y":2} → 2,
+  // func_json_length.result)
   def jsonLengthPath(doc: String, path: String): Option[Long] =
-    for { root <- parse(doc); segs <- parsePath(path); v <- query(root, segs) }
-      yield nodeLength(v)
+    for {
+      root <- parse(doc); segs <- parsePathX(path)
+      hits = queryX(root, segs) if hits.nonEmpty
+    } yield if (hasWild(segs)) hits.size.toLong else nodeLength(hits.head)
 
   /** JSON_KEYS(doc[, path]): object keys as a JSON array in bytejson's
     * sorted order; non-object → NULL.

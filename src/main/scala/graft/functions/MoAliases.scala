@@ -95,10 +95,13 @@ object MoAliases {
         if (a.length > 2) a(2) else lit(1),
         if (a.length > 3) a(3) else lit(1),
         if (a.length > 4) a(4) else lit(0)))
+    // MO NULLs an empty pattern (func_regular_substr.result) where
+    // Spark's kernel matches everywhere
     nat("regexp_substr", "regexp_substr(s, p[, pos[, occurrence]])")(a =>
-      MoFunctions.regexpSubstr(a(0), a(1),
-        if (a.length > 2) a(2) else lit(1),
-        if (a.length > 3) a(3) else lit(1)))
+      when(length(a(1)) === 0, lit(null).cast("string"))
+        .otherwise(MoFunctions.regexpSubstr(a(0), a(1),
+          if (a.length > 2) a(2) else lit(1),
+          if (a.length > 3) a(3) else lit(1))))
     nat("not_reg_match", "not_reg_match(s, pattern)")(a => !regexp_like(a(0), a(1)))
 
     // capped string builders: the reference bounds results at
@@ -291,11 +294,127 @@ object MoAliases {
     // 62167219200 = 719528 days * 86400)
     nat("to_seconds", "to_seconds(ts)")(a =>
       unix_timestamp(a(0).cast("timestamp")) + 62167219200L)
-    nat("makedate", "makedate(year, dayofyear)")(a =>
-      when(a(1) <= 0, lit(null)).otherwise(
-        date_add(make_date(a(0), lit(1), lit(1)), (a(1) - 1).cast("int"))))
+    // MySQL 2-digit year expansion (0-69 → 2000s, 70-99 → 1900s); a
+    // result past year 9999 (date_add wraps) or year > 9999 is NULL
+    // (func_make_date.result)
+    nat("makedate", "makedate(year, dayofyear)") { a =>
+      val y0 = a(0).cast("long")
+      val y = when(y0 < 70, y0 + 2000).when(y0 < 100, y0 + 1900).otherwise(y0)
+      val start = make_date(y.cast("int"), lit(1), lit(1))
+      val d = date_add(start, (a(1) - 1).cast("int"))
+      when(a(1) <= 0 || y0 < 0 || y0 > 9999 || d < start ||
+        d > lit("9999-12-31").cast("date"), lit(null)).otherwise(d)
+    }
     nat("from_days", "from_days(n)")(a => MoFunctions.fromDays(a(0)))
-    nat("yearweek", "yearweek(d)")(a => MoFunctions.yearweek(a(0)))
+    // odd modes are Monday-first ISO weeks (yearweek('1987-01-01',1) =
+    // 198701, func_datetime_yearweek.result); even modes Sunday-first
+    nat("yearweek", "yearweek(d[, mode])")(a =>
+      if (a.length > 1)
+        when(pmod(a(1).cast("int"), lit(2)) === 1, MoFunctions.yearweekIso(a(0)))
+          .otherwise(MoFunctions.yearweek(a(0)))
+      else MoFunctions.yearweek(a(0)))
+    // MySQL full day/month names (Spark's builtins abbreviate)
+    nat("dayname", "dayname(d) - full weekday name")(a =>
+      date_format(a(0).cast("timestamp"), "EEEE"))
+    nat("monthname", "monthname(d) - full month name")(a =>
+      date_format(a(0).cast("timestamp"), "MMMM"))
+    // strict datetime validation: '…24:01:01' / '…23:01:61' / partial
+    // dates are NULL in MySQL (func_last_day.result); computed inside
+    // the UDF — a `last_day(...)` Column here would resolve back to
+    // THIS registration and loop the analyzer
+    nat("last_day", "last_day(d) - NULL on invalid datetime text")(a =>
+      MoFunctions.lastDayStrict(a(0)))
+    // the date-part builtins are lenient on text in Spark ('2015-09',
+    // '10000-12-21' parse); MySQL NULLs them — route STRING operands
+    // through the strict parser, pass typed ones to the native kernel
+    // (func_datetime_month/dayofyear/weekday.result). Names are
+    // computed via date_format/dayofweek, never the overridden name.
+    def strictTemporal(c: Column): Column = {
+      val dt = try Some(eagerExpression(c).dataType)
+        catch { case _: Exception => None }
+      dt match {
+        case Some(_: org.apache.spark.sql.types.StringType) | None =>
+          MoFunctions.strictTimestamp(c)
+        case _ => c
+      }
+    }
+    nat("month", "month(d) - strict on datetime text")(a =>
+      date_format(strictTemporal(a(0)), "M").cast("int"))
+    nat("dayofyear", "dayofyear(d) - strict on datetime text")(a =>
+      date_format(strictTemporal(a(0)), "D").cast("int"))
+    nat("weekday", "weekday(d) - Monday=0, strict on datetime text")(a =>
+      ((dayofweek(strictTemporal(a(0))) + lit(5)) % 7).cast("int"))
+    // MySQL regexp_like match_type argument ('i','c','m','n' flags; the
+    // last i/c wins) — a sibling UDF the 3-arg calls rename to
+    // (GraftSql arity dispatch), so Spark's 2-arg builtin stays native
+    spark.udf.register("mo_regexp_like3", (s: String, p: String, f: String) => {
+      if (s == null || p == null || f == null) null
+      else {
+        var ci = false; var dotall = false; var multi = false
+        f.foreach {
+          case 'i' => ci = true
+          case 'c' => ci = false
+          case 'n' => dotall = true
+          case 'm' => multi = true
+          case _ =>
+        }
+        val flags = (if (ci) "i" else "") + (if (dotall) "s" else "") +
+          (if (multi) "m" else "")
+        val pat = if (flags.isEmpty) p else s"(?$flags)$p"
+        java.lang.Boolean.valueOf(
+          java.util.regex.Pattern.compile(pat).matcher(s).find())
+      }: java.lang.Boolean
+    })
+    // MySQL QUOTE: single-quoted literal, ' doubled, \ doubled, NULL in
+    // NULL out (func_string_quote.result)
+    nat("quote", "quote(s) - SQL-quoted string literal")(a =>
+      concat(lit("'"),
+        regexp_replace(regexp_replace(a(0).cast("string"),
+          lit("\\\\"), lit("\\\\\\\\")), lit("'"), lit("''")), lit("'")))
+    // MySQL CHAR(n, ...): minimal big-endian bytes of each value,
+    // NULL args skipped (func_string_char.result: CHAR(0x0100) is the
+    // two bytes 01 00; a BINARY result so HEX() sees raw bytes)
+    spark.udf.register("mo_char_bytes", (xs: Seq[java.lang.Long]) => {
+      val out = new java.io.ByteArrayOutputStream()
+      xs.foreach { v =>
+        if (v != null) {
+          val x = v.longValue
+          if (x == 0) out.write(0)
+          else BigInt(x).toByteArray.dropWhile(_ == 0).foreach(b => out.write(b.toInt))
+        }
+      }
+      out.toByteArray
+    })
+    nat("char", "char(n, ...) - bytes of each code value, NULLs skipped")(a =>
+      call_udf("mo_char_bytes", array(a.map(_.cast("long")): _*)))
+    // MySQL ENCODE/DECODE: symmetric obfuscation cipher. The observable
+    // contract (goldens test only DECODE(ENCODE(x, k), k) round trips)
+    // is met with a SHA-256 keystream XOR — deterministic, JDK-only.
+    def cryptStream(data: Array[Byte], key: String): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val kb = key.getBytes("UTF-8")
+      var block = md.digest(kb)
+      val out = new Array[Byte](data.length)
+      var i = 0
+      while (i < data.length) {
+        if (i % 32 == 0 && i > 0) block = md.digest(block ++ kb)
+        out(i) = (data(i) ^ block(i % 32)).toByte
+        i += 1
+      }
+      out
+    }
+    spark.udf.register("mo_encode", (s: String, k: String) =>
+      if (s == null || k == null) null
+      else cryptStream(s.getBytes("UTF-8"), k))
+    spark.udf.register("mo_decode", (b: Array[Byte], k: String) =>
+      if (b == null || k == null) null
+      else new String(cryptStream(b, k), "UTF-8"))
+    nat("encode", "encode(str, key) - obfuscated bytes")(a =>
+      call_udf("mo_encode", a(0).cast("string"), a(1).cast("string")))
+    nat("decode", "decode(bytes, key) - inverse of encode")(a =>
+      call_udf("mo_decode", a(0).cast("binary"), a(1).cast("string")))
+    // NAME_CONST(name, value) → value (the name only labels the column)
+    nat("name_const", "name_const(name, value)")(a => a(1))
     nat("addtime", "addtime(t, delta)")(a => MoFunctions.addTime(a(0), a(1)))
     nat("subtime", "subtime(t, delta)")(a => MoFunctions.subTime(a(0), a(1)))
     nat("timediff", "timediff(t1, t2)")(a => MoFunctions.timeDiff(a(0), a(1)))

@@ -516,18 +516,30 @@ object MoFunctions {
 
   /** FROM_DAYS: inverse of toDays. */
   def fromDays(n: Column): Column =
-    date_add(to_date(lit("1970-01-01")), (n - 719528).cast("int"))
+    // day numbers below 366 land in year 0, which the reference renders
+    // NULL (func_datetime_from_days.result: FROM_DAYS(1/365) → null)
+    when(n < 366, lit(null)).otherwise(
+      date_add(to_date(lit("1970-01-01")), (n - 719528).cast("int")))
 
   /** PERIOD_ADD(yyyymm, n months). */
+  /** MySQL 2-digit period years expand like dates: YYMM with YY<70 is
+    * 20YY, else 19YY (func_datetime_period_add.result: 0802+3 → 200805).
+    */
+  private def periodMonths(p: Column): Column = {
+    val yy = (p / 100).cast("long")
+    val y = when(p < 10000,
+      when(yy < 70, yy + 2000).otherwise(yy + 1900)).otherwise(yy)
+    y * 12 + (p % 100) - 1
+  }
+
   def periodAdd(p: Column, n: Column): Column = {
-    val months = (p / 100).cast("long") * 12 + (p % 100) - 1 + n
+    val months = periodMonths(p) + n
     ((months / 12).cast("long") * 100 + (months % 12) + 1).cast("long")
   }
 
   /** PERIOD_DIFF(p1, p2) in months. */
   def periodDiff(p1: Column, p2: Column): Column =
-    (((p1 / 100).cast("long") * 12 + (p1 % 100)) -
-      ((p2 / 100).cast("long") * 12 + (p2 % 100))).cast("long")
+    (periodMonths(p1) - periodMonths(p2)).cast("long")
 
   /** MySQL WEEK(d[, mode]) — a transcription of MySQL's calc_week
     * (reference `pkg/container/types/date.go` WeekOfYear family; modes
@@ -634,11 +646,176 @@ object MoFunctions {
     when(neg, -total).otherwise(total)
   }
 
-  /** MAKETIME(h, m, s). */
+  // ---------------------------------------------------- strict datetime
+  /** MySQL-strict datetime text: a full y-m-d (or compact yyyymmdd /
+    * yyyymmddhhmmss), a real calendar date in years 1–9999, and
+    * range-checked time fields. Spark's string→date cast is lenient
+    * ('2020-08', '10000-03-02', '… 24:01:01' all parse); MySQL and the
+    * reference NULL them out (func_last_day.result,
+    * func_datetime_month.result).
+    */
+  def strictDateTimeText(s0: String): java.time.LocalDateTime = {
+    if (s0 == null) return null
+    val s = s0.trim
+    def build(y: Int, mo: Int, d: Int, h: Int, mi: Int, se: Int, nano: Int) =
+      try {
+        if (h > 23 || mi > 59 || se > 59) null
+        else java.time.LocalDateTime.of(y, mo, d, h, mi, se, nano)
+      } catch { case _: Exception => null }
+    s match {
+      case StrictDtRe(y, mo, d, h, mi, se, f) =>
+        val nano = if (f == null) 0 else f.padTo(9, '0').take(9).toInt
+        build(y.toInt, mo.toInt, d.toInt,
+          if (h == null) 0 else h.toInt, if (mi == null) 0 else mi.toInt,
+          if (se == null) 0 else se.toInt, nano)
+      case _ if s.length == 8 && s.forall(_.isDigit) =>
+        build(s.substring(0, 4).toInt, s.substring(4, 6).toInt,
+          s.substring(6, 8).toInt, 0, 0, 0, 0)
+      case _ if s.length == 14 && s.forall(_.isDigit) =>
+        build(s.substring(0, 4).toInt, s.substring(4, 6).toInt,
+          s.substring(6, 8).toInt, s.substring(8, 10).toInt,
+          s.substring(10, 12).toInt, s.substring(12, 14).toInt, 0)
+      case _ => null
+    }
+  }
+
+  private val StrictDtRe =
+    """(\d{4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?""".r
+
+  private lazy val strictTsU = udf((s: String) =>
+    Option(strictDateTimeText(s)).map(java.sql.Timestamp.valueOf).orNull)
+  private lazy val lastDayU = udf((s: String) =>
+    Option(strictDateTimeText(s)).map(dt => java.sql.Date.valueOf(
+      dt.toLocalDate.`with`(
+        java.time.temporal.TemporalAdjusters.lastDayOfMonth()))).orNull)
+
+  /** Strict-validating timestamp for string operands of the date-part
+    * builtins.
+    */
+  def strictTimestamp(c: Column): Column = strictTsU(c.cast("string"))
+
+  /** MySQL LAST_DAY — computed inside the UDF so the registered
+    * override never references the builtin name (a `last_day(...)`
+    * Column inside a function REGISTERED as last_day self-resolves and
+    * loops the analyzer).
+    */
+  def lastDayStrict(c: Column): Column = lastDayU(c.cast("string"))
+
+  /** MO's SEC_TO_TIME quirks (func_datetime_sec_to_time.result): totals
+    * beyond ±838:59:59 are NULL (no clamp); a NEGATIVE total renders
+    * only when it is an exact hour count ('-1:00:00', hour unpadded)
+    * and is NULL otherwise — including -838:59:59. Decimal inputs
+    * truncate toward zero (2378.7 → 00:39:38).
+    */
+  def secToTimeExact(n: Column): Column = {
+    val total = n.cast("long")
+    when(total > 3020399L || total < -3020399L, lit(null))
+      .when(total < 0,
+        when(pmod(total, lit(3600L)) =!= 0L, lit(null))
+          .otherwise(concat(lit("-"), (-total / 3600L).cast("long").cast("string"),
+            lit(":00:00"))))
+      .otherwise(secToTime(total))
+  }
+
+  /** MySQL composite EXTRACT units over string operands. Golden
+    * semantics (func_datetime_extract.result): YEAR_MONTH → yyyymm;
+    * DAY_HOUR over a datetime → 'dd hh'; the DAY_x/HOUR_x/MINUTE_x
+    * pairs over a '[D ]H:M:S' time collapse days into hours
+    * ('02 10:11:12' DAY_MINUTE → 5811).
+    */
+  def moExtract(unit: String, s: String): String = {
+    if (unit == null || s == null) return null
+    val u = unit.toLowerCase
+    val dt = strictDateTimeText(s)
+    val TimeRe = """(?:(\d+) )?(\d+):(\d+):(\d+)(?:\.\d+)?""".r
+    u match {
+      case "year_month" =>
+        if (dt == null) null else (dt.getYear * 100 + dt.getMonthValue).toString
+      case "day_hour" =>
+        if (dt == null) null else f"${dt.getDayOfMonth}%02d ${dt.getHour}%02d"
+      case _ =>
+        val hms: Option[(Long, Long, Long)] = s.trim match {
+          case TimeRe(d, h, m, sec) =>
+            Some(((if (d == null) 0L else d.toLong * 24) + h.toLong,
+              m.toLong, sec.toLong))
+          case _ if dt != null =>
+            // datetime operand: DAY_* units carry the day-of-month
+            Some((if (u.startsWith("day")) dt.getDayOfMonth * 24L + dt.getHour
+              else dt.getHour.toLong, dt.getMinute.toLong, dt.getSecond.toLong))
+          case _ => None
+        }
+        hms.map { case (h, m, sec) =>
+          u match {
+            case "day_minute" | "hour_minute" => (h * 100 + m).toString
+            case "day_second" | "hour_second" =>
+              (h * 10000 + m * 100 + sec).toString
+            case "minute_second" => (m * 100 + sec).toString
+            case _ => null
+          }
+        }.orNull
+    }
+  }
+
+  private lazy val moExtractU = udf(moExtract _)
+
+  /** MySQL-exact MAKETIME kernel (func_datetime_maketime.result):
+    * fractional hour/minute round half-away; minute/second outside
+    * [0, 60) are NULL; the second rounds at `scale` digits (≤ 6) with
+    * carry into minutes/hours; |time| clamps to 838:59:59 with a zeroed
+    * fraction; hours pad to 2 digits, never truncate.
+    */
+  def makeTimeExact(h0: java.math.BigDecimal, m0: java.math.BigDecimal,
+      s0: java.math.BigDecimal, scale: Int,
+      truncH: Boolean, truncM: Boolean): String = {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    if (h0 == null || m0 == null || s0 == null) return null
+    // STRING hour/minute truncate toward zero ('12.7' → 12); numeric
+    // ones round half-away (12.7 → 13) — func_datetime_maketime.result
+    val hr = try h0.setScale(0,
+        if (truncH) RoundingMode.DOWN else RoundingMode.HALF_UP).longValueExact()
+      catch { case _: ArithmeticException => return null }
+    val mn = try m0.setScale(0,
+        if (truncM) RoundingMode.DOWN else RoundingMode.HALF_UP).longValueExact()
+      catch { case _: ArithmeticException => return null }
+    if (mn < 0 || mn > 59) return null
+    if (s0.signum < 0 || s0.compareTo(BD.valueOf(60)) >= 0) return null
+    val fs = math.min(6, math.max(scale, 0))
+    var sec = s0.setScale(fs, RoundingMode.HALF_UP)
+    var mnV = mn
+    var hMag = math.abs(hr)
+    val neg = hr < 0
+    if (sec.compareTo(BD.valueOf(60)) >= 0) { // rounding carry only
+      sec = sec.subtract(BD.valueOf(60))
+      mnV += 1
+    }
+    if (mnV > 59) { mnV = 0; hMag += 1 }
+    if (hMag > 838) { // clamp at the TIME range edge, fraction zeroed
+      hMag = 838; mnV = 59
+      sec = BD.valueOf(59).setScale(fs)
+    }
+    val plain = sec.toPlainString
+    val (si, sf) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case d => (plain.substring(0, d), plain.substring(d))
+    }
+    val hh = if (hMag < 10) s"0$hMag" else hMag.toString
+    f"${if (neg) "-" else ""}$hh:$mnV%02d:${if (si.length < 2) "0" + si else si}$sf"
+  }
+
+  private lazy val makeTimeExactU = udf(makeTimeExact _)
+
+  // scale 30 keeps DECIMAL(30,20) operands exact through the cast (a
+  // scale-18 cast half-up-rounds 59.4999…9 over the carry edge)
+  private[functions] def makeTimeCall(h: Column, m: Column, s: Column,
+      scale: Int, truncH: Boolean, truncM: Boolean): Column =
+    makeTimeExactU(h.cast("decimal(38,30)"), m.cast("decimal(38,30)"),
+      s.cast("decimal(38,30)"), lit(scale), lit(truncH), lit(truncM))
+
+  /** MAKETIME over integer columns (Column API; SQL dispatch with
+    * declared-scale rendering lives in registerAll).
+    */
   def makeTime(h: Column, m: Column, s: Column): Column =
-    concat(lpad(h.cast("long").cast("string"), 2, "0"), lit(":"),
-      lpad(m.cast("long").cast("string"), 2, "0"), lit(":"),
-      lpad(s.cast("long").cast("string"), 2, "0"))
+    makeTimeCall(h, m, s, 0, truncH = false, truncM = false)
 
   /** ADDTIME(t, delta) / SUBTIME on 'HH:MM:SS' strings. */
   def addTime(t: Column, delta: Column): Column =
@@ -904,9 +1081,37 @@ object MoFunctions {
     nat("period_diff", "period_diff(p1, p2)")(args => periodDiff(args(0), args(1)))
     nat("inet_aton", "inet_aton(ip)")(args => inetAton(args(0)))
     nat("inet_ntoa", "inet_ntoa(n)")(args => inetNtoa(args(0)))
-    nat("sec_to_time", "sec_to_time(seconds)")(args => secToTime(args(0)))
+    nat("sec_to_time", "sec_to_time(seconds)")(args => secToTimeExact(args(0)))
     nat("time_to_sec", "time_to_sec(time)")(args => timeToSec(args(0)))
-    nat("maketime", "maketime(h, m, s)")(args => makeTime(args(0), args(1), args(2)))
+    nat("mo_extract", "mo_extract(unit, s) - composite EXTRACT units")(args =>
+      moExtractU(args(0).cast("string"), args(1).cast("string")))
+    // CAST(TIMEDIFF(…) AS CHAR) renders TIME(6): a fraction-free diff
+    // gains '.000000' (func_datetime_timediff.result mixed_format1)
+    nat("mo_timediff_char", "mo_timediff_char(t1, t2)") { args =>
+      val d = timeDiff(args(0), args(1))
+      when(instr(d, ".") > 0, d).otherwise(concat(d, lit(".000000")))
+    }
+    nat("maketime", "maketime(h, m, s)") { args =>
+      def typeOf(i: Int) =
+        try Some(eagerExpression(args(i)).dataType)
+        catch { case _: Exception => None } // unresolved column refs
+      def isString(i: Int) = typeOf(i) match {
+        case Some(_: org.apache.spark.sql.types.StringType) => true
+        case _ => false
+      }
+      // display scale follows the SECOND argument's declared scale
+      // (DECIMAL keeps it; ints none; double/string show micros)
+      val sc = typeOf(2) match {
+        case Some(d: org.apache.spark.sql.types.DecimalType) => math.min(6, d.scale)
+        case Some(_: org.apache.spark.sql.types.IntegerType) |
+             Some(_: org.apache.spark.sql.types.LongType) |
+             Some(_: org.apache.spark.sql.types.ShortType) |
+             Some(_: org.apache.spark.sql.types.ByteType) => 0
+        case _ => 6
+      }
+      makeTimeCall(args(0), args(1), args(2), sc,
+        truncH = isString(0), truncM = isString(1))
+    }
     nat("get_format", "get_format(kind, standard)") { args =>
       (strLit(args(0)), strLit(args(1))) match {
         case (Some(k), Some(std)) => lit(getFormat(k, std).orNull)

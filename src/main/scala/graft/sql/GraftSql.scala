@@ -88,7 +88,8 @@ object GraftSql {
             }
         }
       val q2 = normalizeSetval(
-        MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(geoArity(q)))))
+        MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
+          fnArity(geoArity(q))))))
       sequenceRewrite(spark, q2)
         .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
@@ -420,6 +421,12 @@ object GraftSql {
     q = renameByArity(q, "st_geomfromgeojson", 2, "st_geomfromgeojson_srid")
     q = renameByArity(q, "st_makeenvelope", 2, "st_makeenvelope_pts")
     q
+  }
+
+  /** Non-geo optional-argument dispatch (same mechanism). */
+  private[graft] def fnArity(q0: String): String = {
+    if (!q0.toLowerCase.contains("regexp_like")) return q0
+    renameByArity(q0, "regexp_like", 3, "mo_regexp_like3")
   }
 
   // ------------------------------------------------------------------

@@ -817,7 +817,36 @@ object MySqlCompat {
     replaceOutsideLiterals(PlusDateLitRe, q0)(m =>
       s"CAST(CAST(${m.group(1)} AS DATE) ${m.group(2)} ${m.group(3)} AS DATE)")
 
+  // MySQL composite EXTRACT units Spark's parser rejects
+  // (func_datetime_extract.result) — operands are simple (no parens)
+  private val ExtractCompositeRe =
+    """(?i)\bextract\s*\(\s*(year_month|day_hour|day_minute|day_second|hour_minute|hour_second|minute_second)\s+from\s+([^()]*?)\s*\)""".r
+  private[graft] def extractComposite(q: String): String =
+    if (!q.toLowerCase.contains("extract")) q
+    else ExtractCompositeRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"mo_extract('${m.group(1)}', ${m.group(2)})"))
+
+  // CAST(TIMEDIFF(…) AS CHAR) renders TIME(6) with its fraction
+  // (func_datetime_timediff.result) — route to the scale-6 wrapper
+  // (`string` too: the BVT harness canonicalizes `AS CHAR` first)
+  private val CastTimediffRe =
+    """(?i)\bcast\s*\(\s*timediff\s*\(([^()]*?)\)\s*as\s+(?:char|string)\s*\)""".r
+  private[graft] def castTimediff(q: String): String =
+    if (!q.toLowerCase.contains("timediff")) q
+    else CastTimediffRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(s"mo_timediff_char(${m.group(1)})"))
+
+  // MySQL's unrecognized-escape rule: backslash before a char outside
+  // the escape set drops the backslash ('<NUL>' is the 6 chars
+  // u0000 — func_json_unquote.result); Spark instead treats \uXXXX as a
+  // unicode escape. `\\u` (escaped backslash + u) must survive.
+  private val UnknownEscapeRe = """(?<!\\)\\u""".r
+  private[graft] def mysqlEscapes(q: String): String =
+    if (!q.contains("\\u")) q else UnknownEscapeRe.replaceAllIn(q, "u")
+
   def pre(q: String): String =
-    plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
-      intervalUnits(groupConcat(unnestTvf(intervalFn(q)))))))))
+    mysqlEscapes(castTimediff(extractComposite(
+      plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
+        intervalUnits(groupConcat(unnestTvf(intervalFn(q))))))))))))
 }

@@ -158,12 +158,17 @@ class FunctionCoverageSpec extends AnyFunSuite {
     val t = Seq("100:00:01", "-00:00:01", "-01:30:00", "01:02:05").toDF("t")
     val back = t.select(MoFunctions.timeToSec(col("t"))).as[Long].collect()
     assert(back.sameElements(Array(360001L, -1L, -5400L, 3725L)))
-    // SQL names agree with the Column API on the same inputs
+    // the SQL name carries MO's quirks (func_datetime_sec_to_time.result):
+    // negative totals are NULL unless an exact hour count, which renders
+    // with an unpadded hour; beyond ±838:59:59 is NULL (no clamp)
     val sqlRow = spark.sql(
-      "select sec_to_time(360001), sec_to_time(-1), time_to_sec('-01:30:00')").head
+      "select sec_to_time(360001), sec_to_time(-1), time_to_sec('-01:30:00')," +
+        " sec_to_time(-3600), sec_to_time(3020400)").head
     assert(sqlRow.getString(0) == "100:00:01")
-    assert(sqlRow.getString(1) == "-00:00:01")
+    assert(sqlRow.isNullAt(1))
     assert(sqlRow.getLong(2) == -5400L)
+    assert(sqlRow.getString(3) == "-1:00:00")
+    assert(sqlRow.isNullAt(4))
     // addTime/subTime compose through the signed forms
     val comp = Seq(("00:00:01", "00:00:02")).toDF("a", "b")
       .select(MoFunctions.subTime(col("a"), col("b"))).as[String].head()

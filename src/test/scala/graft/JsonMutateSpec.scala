@@ -65,6 +65,9 @@ class JsonMutateSpec extends AnyFunSuite {
       JsonMutation.json_set(col("n"), lit("$.a"), lit("1")).as("a"),
       JsonMutation.json_set(col("j"), lit("$.a"), col("n")).as("b"),
       JsonMutation.json_merge_patch(col("j"), col("n")).as("c")).head
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // a NULL doc or patch is NULL out; a NULL VALUE stores the json
+    // null scalar (func_json_set.result: JSON_SET(…, '$.fruits[1]',
+    // null) keeps the array with a null element)
+    assert(r.isNullAt(0) && r.getString(1) == """{"a":null}""" && r.isNullAt(2))
   }
 }
