@@ -100,7 +100,7 @@ object Jq {
           case _ =>
             c match {
               case '.' | '[' | ']' | '{' | '}' | '(' | ')' | '|' | ',' | ':' | ';' |
-                   '?' | '=' | '+' | '-' | '*' | '/' | '%' | '<' | '>' =>
+                   '?' | '=' | '+' | '-' | '*' | '/' | '%' | '<' | '>' | '$' =>
                 out += TPunct(c.toString); i += 1
               case other => fail(s"""unexpected token "$other"""")
             }
@@ -129,6 +129,10 @@ object Jq {
   private case class TryF(body: F, catcher: Option[F]) extends F
   private case class Call(name: String, args: List[F]) extends F
   private case class Assign(op: String, path: F, rhs: F) extends F
+  private case class VarF(name: String) extends F
+  private case class ReduceF(src: F, v: String, init: F, update: F) extends F
+  private case class ForeachF(src: F, v: String, init: F, update: F,
+      extract: Option[F]) extends F
 
   // ------------------------------------------------------------ parser
   private final class Parser(toks: Vector[Tok]) {
@@ -209,7 +213,9 @@ object Jq {
     }
 
     private def parseUnary(): F =
-      if (at("-")) { next(); Neg(parseUnary()) } else parsePostfix()
+      if (at("-")) { next(); Neg(parseUnary()) }
+      else if (at("+")) { next(); parseUnary() } // unary plus (gojq tolerates)
+      else parsePostfix()
 
     /** primary followed by suffix chain: `.foo`, `[...]`, `[]`, `?`. */
     private def parsePostfix(): F = {
@@ -280,7 +286,35 @@ object Jq {
         val body = parseUnary()
         if (atIdent("catch")) { next(); TryF(body, Some(parseUnary())) }
         else TryF(body, None)
-      case Some(TIdent(kw)) if kw == "def" || kw == "reduce" || kw == "foreach" || kw == "as" || kw == "import" =>
+      case Some(TPunct("$")) =>
+        next()
+        peek match {
+          case Some(TIdent(name)) => next(); VarF(name)
+          case _ => fail("""expected variable name after "$"""")
+        }
+      // `reduce SRC as $x (init; update)` / `foreach SRC as $x
+      // (init; update[; extract])` — func_jq.result
+      case Some(TIdent(kw)) if kw == "reduce" || kw == "foreach" =>
+        next()
+        val src = parsePostfix()
+        if (!atIdent("as")) fail(s"""expected "as" in $kw""")
+        next()
+        expect("$")
+        val v = peek match {
+          case Some(TIdent(name)) => next(); name
+          case _ => fail("""expected variable name after "$"""")
+        }
+        expect("(")
+        val init = parsePipe()
+        expect(";")
+        val update = parsePipe()
+        if (kw == "reduce") { expect(")"); ReduceF(src, v, init, update) }
+        else {
+          val extract = if (at(";")) { next(); Some(parsePipe()) } else None
+          expect(")")
+          ForeachF(src, v, init, update, extract)
+        }
+      case Some(TIdent(kw)) if kw == "def" || kw == "as" || kw == "import" =>
         fail(s"""unsupported token "$kw"""")
       case Some(TIdent(name)) =>
         next()
@@ -637,7 +671,37 @@ object Jq {
       val nv = if (op == "=") rhs else arith(op.substring(0, 1), cur, rhs)
       List(setPath(root, segs, nv))
     case Call(name, args) => builtin(name, args, in)
+    case VarF(name) =>
+      varEnv.value.get(name) match {
+        case Some(v) => List(v)
+        case None => fail(s"$$$name is not defined")
+      }
+    case ReduceF(src, v, init, update) =>
+      var acc = run(init, in).headOption.getOrElse(nf.nullNode(): JsonNode)
+      run(src, in).foreach { item =>
+        varEnv.withValue(varEnv.value + (v -> item)) {
+          acc = run(update, acc).headOption.getOrElse(nf.nullNode(): JsonNode)
+        }
+      }
+      List(acc)
+    case ForeachF(src, v, init, update, extract) =>
+      var acc = run(init, in).headOption.getOrElse(nf.nullNode(): JsonNode)
+      run(src, in).flatMap { item =>
+        varEnv.withValue(varEnv.value + (v -> item)) {
+          acc = run(update, acc).headOption.getOrElse(nf.nullNode(): JsonNode)
+          extract match {
+            case Some(e) => run(e, acc)
+            case None => List(acc)
+          }
+        }
+      }
   }
+
+  /** jq variable bindings for reduce/foreach — DynamicVariable keeps
+    * the scope per evaluation thread (the UDF runs concurrently).
+    */
+  private val varEnv =
+    new scala.util.DynamicVariable[Map[String, JsonNode]](Map.empty)
 
   /** Flatten a parsed `.a.b[0]` chain into concrete path segments for
     * assignment (`.a += 1`). Only literal field/index steps qualify.

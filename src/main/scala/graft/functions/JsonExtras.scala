@@ -97,21 +97,22 @@ object JsonExtras {
     * [[JsonMutation]]).
     */
   def jsonContainsPath(doc: String, mode: String, paths: Seq[String]): Option[Boolean] = {
-    if (mode == null || paths == null || paths.exists(_ == null)) return None
-    parse(doc).map { root =>
-      def exists(path: String): Boolean = {
-        if (!path.startsWith("$")) return false
-        val segs = path.stripPrefix("$").split("\\.").filter(_.nonEmpty)
-        var node = root
-        for (s <- segs) {
-          if (!node.isObject || !node.has(s)) return false
-          node = node.get(s)
-        }
-        true
-      }
-      mode.toLowerCase match {
-        case "one" => paths.exists(exists)
-        case _ => paths.forall(exists)
+    if (mode == null || paths == null) return None
+    // full MySQL path grammar incl. wildcards/**, scalar autowrap
+    // (func_json_contains_path.result: '$[0]' matches a scalar doc).
+    // A NULL path only forces NULL when the non-null paths were not
+    // already decisive ('one' + a hit → 1; 'all' + a miss → 0).
+    parse(doc).flatMap { root =>
+      val hits = paths.map(p =>
+        if (p == null) None else Some(JsonTail.pathMatches(root, p)))
+      if (mode.toLowerCase == "one") {
+        if (hits.exists(_.contains(true))) Some(true)
+        else if (hits.contains(None)) None
+        else Some(false)
+      } else {
+        if (hits.exists(_.contains(false))) Some(false)
+        else if (hits.contains(None)) None
+        else Some(true)
       }
     }
   }

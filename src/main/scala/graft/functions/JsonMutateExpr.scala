@@ -59,19 +59,27 @@ case class JsonMutateExpr(children: Seq[Expression])
 
   override def eval(input: InternalRow): Any = {
     val docAny = children.head.eval(input)
-    if (docAny == null) return null
-    var root = mapper.readTree(docAny.toString)
+    // a NULL doc poisons path ops, but a merge_patch chain can recover:
+    // json_merge_patch(NULL, '[1,2]') = [1,2] — a non-object patch
+    // replaces whatever the target was (func_json_merge.result)
+    var root: JsonNode =
+      if (docAny == null) null else mapper.readTree(docAny.toString)
     var i = 1
     while (i + 2 < children.length) {
       val opAny = children(i).eval(input)
       val pathAny = children(i + 1).eval(input)
       val valAny = children(i + 2).eval(input)
-      if (opAny == null || pathAny == null) return null
+      if (opAny == null) return null
       val op = opAny.toString
       if (op == "merge_patch") {
-        if (valAny == null) return null
-        root = mergePatch(root, mapper.readTree(valAny.toString))
+        val p = if (valAny == null) null else mapper.readTree(valAny.toString)
+        root =
+          if (p == null) null // NULL patch poisons
+          else if (!p.isObject) p.deepCopy[JsonNode]()
+          else if (root == null) null // object patch over poisoned target
+          else mergePatch(root, p)
       } else {
+        if (pathAny == null || root == null) return null
         JsonMutation.parseMutPath(pathAny.toString) match {
           case Some(segs) =>
             root = JsonMutation.applyMutOp(root, op, segs,
@@ -81,7 +89,8 @@ case class JsonMutateExpr(children: Seq[Expression])
       }
       i += 3
     }
-    UTF8String.fromString(mapper.writeValueAsString(root))
+    if (root == null) null
+    else UTF8String.fromString(mapper.writeValueAsString(root))
   }
 
   override protected def withNewChildrenInternal(

@@ -192,9 +192,16 @@ object JsonMutation {
     }
   }
 
-  /** RFC 7396 merge patch (MySQL `json_merge_patch`). */
+  /** RFC 7396 merge patch (MySQL `json_merge_patch`). A NULL target
+    * with a NON-object patch still yields the patch
+    * (func_json_merge.result: json_merge_patch(NULL, '[1,2]') = [1,2]).
+    */
   def jsonMergePatch(target: String, patch: String): String = {
-    if (target == null || patch == null) return null
+    if (patch == null) return null
+    if (target == null) {
+      val p = mapper.readTree(patch)
+      return if (p.isObject) null else mapper.writeValueAsString(p)
+    }
     def merge(t: com.fasterxml.jackson.databind.JsonNode,
         p: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode =
       if (!p.isObject) p.deepCopy()

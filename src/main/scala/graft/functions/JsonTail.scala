@@ -276,6 +276,12 @@ object JsonTail {
     parse(doc).filterNot(_.isNull).map(nodeLength)
   // wildcard paths count matches ('$.a.*' over {"x":1,"y":2} → 2,
   // func_json_length.result)
+  /** Whether `path` (full grammar, wildcards allowed) selects anything
+    * in the parsed `root` — shared with json_contains_path.
+    */
+  private[functions] def pathMatches(root: JsonNode, path: String): Boolean =
+    parsePathX(path).exists(segs => queryX(root, segs).nonEmpty)
+
   def jsonLengthPath(doc: String, path: String): Option[Long] =
     for {
       root <- parse(doc); segs <- parsePathX(path)
@@ -392,7 +398,7 @@ object JsonTail {
         }
         else want.asText == actual || (want.asText == "number" && actual == "integer")
       if (!ok) return fail("type",
-        s"expected type ${if (want.isArray) want.toString else want.asText}, got $actual")
+        s"Invalid type. Expected: ${if (want.isArray) want.toString else want.asText}, given: $actual")
     }
     if (schema.has("enum")) {
       val e = schema.get("enum")
@@ -409,9 +415,15 @@ object JsonTail {
     }
     if (doc.isNumber) {
       if (schema.has("minimum") && doc.decimalValue.compareTo(schema.get("minimum").decimalValue) < 0)
-        return fail("minimum", s"value ${doc.asText} below minimum ${schema.get("minimum").asText}")
+        return fail("minimum", s"Must be greater than or equal to ${schema.get("minimum").asText}")
       if (schema.has("maximum") && doc.decimalValue.compareTo(schema.get("maximum").decimalValue) > 0)
-        return fail("maximum", s"value ${doc.asText} above maximum ${schema.get("maximum").asText}")
+        return fail("maximum", s"Must be less than or equal to ${schema.get("maximum").asText}")
+      if (schema.has("multipleOf")) {
+        val m = schema.get("multipleOf").decimalValue
+        if (m.signum != 0 &&
+          doc.decimalValue.remainder(m).compareTo(java.math.BigDecimal.ZERO) != 0)
+          return fail("multipleOf", s"Must be a multiple of ${schema.get("multipleOf").asText}")
+      }
       if (schema.has("exclusiveMinimum") &&
         doc.decimalValue.compareTo(schema.get("exclusiveMinimum").decimalValue) <= 0)
         return fail("exclusiveMinimum", "value at or below exclusiveMinimum")
@@ -444,7 +456,7 @@ object JsonTail {
       if (schema.has("items") && schema.get("items").isObject) {
         var i = 0
         while (i < doc.size) {
-          val r = validate(schema.get("items"), doc.get(i), s"$docLoc/$i", s"$schemaLoc/items")
+          val r = validate(schema.get("items"), doc.get(i), s"$docLoc[$i]", s"$schemaLoc/items")
           if (r.isDefined) return r
           i += 1
         }
@@ -457,7 +469,7 @@ object JsonTail {
         while (i < req.size) {
           val k = req.get(i).asText
           if (!doc.has(k))
-            return fail("required", s"missing required property '$k'")
+            return fail("required", s"$k is required")
           i += 1
         }
       }
@@ -465,7 +477,7 @@ object JsonTail {
       if (props != null) {
         for (k <- keysOf(props)) {
           if (doc.has(k)) {
-            val r = validate(props.get(k), doc.get(k), s"$docLoc/$k", s"$schemaLoc/properties/$k")
+            val r = validate(props.get(k), doc.get(k), s"$docLoc.$k", s"$schemaLoc/properties/$k")
             if (r.isDefined) return r
           }
         }
@@ -474,15 +486,15 @@ object JsonTail {
         !schema.get("additionalProperties").asBoolean && props != null) {
         for (k <- keysOf(doc))
           if (!props.has(k))
-            return Some(SchemaFailure(s"$docLoc/$k", schemaLoc, "additionalProperties",
-              s"unexpected property '$k'"))
+            return Some(SchemaFailure(s"$docLoc.$k", schemaLoc, "additionalProperties",
+              s"Additional property $k is not allowed"))
       }
     }
     None
   }
 
   def jsonSchemaValid(schema: String, doc: String): Option[Boolean] =
-    for { s <- parse(schema); d <- parse(doc) } yield validate(s, d, "#", "#").isEmpty
+    for { s <- parse(schema); d <- parse(doc) } yield validate(s, d, "$", "#").isEmpty
 
   /** MySQL report shape: `{"valid": true}` or `{"valid": false,
     * "reason": ..., "schema-location": ..., "document-location": ...,
@@ -492,13 +504,16 @@ object JsonTail {
   def jsonSchemaValidationReport(schema: String, doc: String): String =
     (for { s <- parse(schema); d <- parse(doc) } yield {
       val out = mapper.createObjectNode()
-      validate(s, d, "#", "#") match {
+      validate(s, d, "$", "#") match {
         case None => out.put("valid", true)
         case Some(f) =>
+          // MO's gojsonschema rendering: document locations are $-paths
+          // and schema-location is '#/<keyword>' (func_json_schema
+          // .result: '{"document-location": "$.x", "reason": "Invalid
+          // type. …", "schema-failed-keyword": "type", …}')
           out.put("valid", false)
-          out.put("reason", s"The JSON document location '${f.docLoc}' failed requirement " +
-            s"'${f.keyword}' at JSON Schema location '${f.schemaLoc}'")
-          out.put("schema-location", f.schemaLoc)
+          out.put("reason", f.reason)
+          out.put("schema-location", s"#/${f.keyword}")
           out.put("document-location", f.docLoc)
           out.put("schema-failed-keyword", f.keyword)
       }

@@ -78,17 +78,20 @@ object MoAliases {
       MoFunctions.fromBase64(a(0)))
     nat("to_base64", "to_base64(s)")(a => base64(a(0).cast("binary")))
     nat("findinset", "findinset(s, set)")(a => find_in_set(a(0), a(1)))
-    nat("format", "format(x, d) - thousands-grouped rendering")(a =>
-      format_number(a(0), if (a.length > 1) intLit(a(1)) else 0))
+    nat("format", "format(x, d[, locale]) - grouped rendering")(a =>
+      MoFunctions.moFormat(a(0), if (a.length > 1) a(1) else lit(0),
+        if (a.length > 2) a(2) else lit(null)))
     nat("empty", "empty(s) - 1 when zero-length")(a => (char_length(a(0)) === 0).cast("int"))
     nat("field", "field(e, v1, v2, ...) - 1-based index of e")(a =>
       MoFunctions.field(a.head, a.tail))
     nat("make_set", "make_set(bits, s1, s2, ...)")(a =>
-      MoFunctions.makeSet(a.head, a.tail.map(strLit)))
+      MoFunctions.makeSet(a.head, a.tail))
+    // a NULL sep/count falls back to the default (func_string_export_
+    // set.result), unlike NULL on/off which null out
     nat("export_set", "export_set(bits, on, off[, sep[, n]])")(a =>
-      MoFunctions.exportSet(a(0), strLit(a(1)), strLit(a(2)),
-        if (a.length > 3) strLit(a(3)) else ",",
-        if (a.length > 4) intLit(a(4)) else 64))
+      MoFunctions.exportSet(a(0), a(1), a(2),
+        if (a.length > 3) coalesce(a(3).cast("string"), lit(",")) else lit(","),
+        if (a.length > 4) coalesce(a(4).cast("int"), lit(64)) else lit(64)))
     nat("reg_match", "reg_match(s, pattern)")(a => regexp_like(a(0), a(1)))
     nat("regexp_instr", "regexp_instr(s, p[, pos[, occurrence[, return_opt]]])")(a =>
       MoFunctions.regexpInstr(a(0), a(1),
@@ -293,7 +296,7 @@ object MoAliases {
     // MySQL TO_SECONDS: seconds since year 0 (TO_SECONDS('1970-01-01') =
     // 62167219200 = 719528 days * 86400)
     nat("to_seconds", "to_seconds(ts)")(a =>
-      unix_timestamp(a(0).cast("timestamp")) + 62167219200L)
+      to_unix_timestamp(a(0).cast("timestamp")) + 62167219200L)
     // MySQL 2-digit year expansion (0-69 → 2000s, 70-99 → 1900s); a
     // result past year 9999 (date_add wraps) or year > 9999 is NULL
     // (func_make_date.result)
@@ -313,11 +316,12 @@ object MoAliases {
         when(pmod(a(1).cast("int"), lit(2)) === 1, MoFunctions.yearweekIso(a(0)))
           .otherwise(MoFunctions.yearweek(a(0)))
       else MoFunctions.yearweek(a(0)))
-    // MySQL full day/month names (Spark's builtins abbreviate)
+    // MySQL full day/month names (Spark's builtins abbreviate); strict
+    // on datetime text like the other date-part functions
     nat("dayname", "dayname(d) - full weekday name")(a =>
-      date_format(a(0).cast("timestamp"), "EEEE"))
+      date_format(strictTemporal(a(0)), "EEEE"))
     nat("monthname", "monthname(d) - full month name")(a =>
-      date_format(a(0).cast("timestamp"), "MMMM"))
+      date_format(strictTemporal(a(0)), "MMMM"))
     // strict datetime validation: '…24:01:01' / '…23:01:61' / partial
     // dates are NULL in MySQL (func_last_day.result); computed inside
     // the UDF — a `last_day(...)` Column here would resolve back to
@@ -344,6 +348,22 @@ object MoAliases {
       date_format(strictTemporal(a(0)), "D").cast("int"))
     nat("weekday", "weekday(d) - Monday=0, strict on datetime text")(a =>
       ((dayofweek(strictTemporal(a(0))) + lit(5)) % 7).cast("int"))
+    nat("dayofmonth", "dayofmonth(d) - strict on datetime text")(a =>
+      date_format(strictTemporal(a(0)), "d").cast("int"))
+    nat("day", "day(d) - strict on datetime text")(a =>
+      date_format(strictTemporal(a(0)), "d").cast("int"))
+    nat("quarter", "quarter(d) - strict on datetime text")(a =>
+      (floor((date_format(strictTemporal(a(0)), "M").cast("int") - 1) / 3) + 1)
+        .cast("int"))
+    nat("weekofyear", "weekofyear(d) - ISO week, strict on datetime text")(a =>
+      extract(lit("week"), strictTemporal(a(0))).cast("int"))
+    // MO's SOUNDEX maps '' to '0000' (func_string_soundex.result);
+    // built through the Catalyst expression, never the overridden name
+    nat("soundex", "soundex(s) - '' maps to 0000") { a =>
+      val s = a(0).cast("string")
+      when(length(s) === 0, lit("0000")).otherwise(asCol(
+        org.apache.spark.sql.catalyst.expressions.SoundEx(eagerExpression(s))))
+    }
     // MySQL regexp_like match_type argument ('i','c','m','n' flags; the
     // last i/c wins) — a sibling UDF the 3-arg calls rename to
     // (GraftSql arity dispatch), so Spark's 2-arg builtin stays native
@@ -371,14 +391,16 @@ object MoAliases {
       concat(lit("'"),
         regexp_replace(regexp_replace(a(0).cast("string"),
           lit("\\\\"), lit("\\\\\\\\")), lit("'"), lit("''")), lit("'")))
-    // MySQL CHAR(n, ...): minimal big-endian bytes of each value,
-    // NULL args skipped (func_string_char.result: CHAR(0x0100) is the
-    // two bytes 01 00; a BINARY result so HEX() sees raw bytes)
-    spark.udf.register("mo_char_bytes", (xs: Seq[java.lang.Long]) => {
+    // MySQL CHAR(n, ...): values wrap to 32-bit unsigned (CHAR(-1) is
+    // FF FF FF FF), fractions ROUND, minimal big-endian bytes, NULL
+    // args skipped (func_string_char.result; BINARY so HEX() sees raw
+    // bytes)
+    spark.udf.register("mo_char_bytes", (xs: Seq[java.math.BigDecimal]) => {
       val out = new java.io.ByteArrayOutputStream()
       xs.foreach { v =>
         if (v != null) {
-          val x = v.longValue
+          val x = v.setScale(0, java.math.RoundingMode.HALF_UP)
+            .longValue & 0xFFFFFFFFL
           if (x == 0) out.write(0)
           else BigInt(x).toByteArray.dropWhile(_ == 0).foreach(b => out.write(b.toInt))
         }
@@ -386,35 +408,38 @@ object MoAliases {
       out.toByteArray
     })
     nat("char", "char(n, ...) - bytes of each code value, NULLs skipped")(a =>
-      call_udf("mo_char_bytes", array(a.map(_.cast("long")): _*)))
-    // MySQL ENCODE/DECODE: symmetric obfuscation cipher. The observable
-    // contract (goldens test only DECODE(ENCODE(x, k), k) round trips)
-    // is met with a SHA-256 keystream XOR — deterministic, JDK-only.
-    def cryptStream(data: Array[Byte], key: String): Array[Byte] = {
+      call_udf("mo_char_bytes", array(a.map(_.cast("decimal(30,6)")): _*)))
+    // MySQL ENCODE/DECODE as the reference computes them: AES-256-CTR
+    // with key = SHA256(password) and IV = SHA256(password ++
+    // byte(len))[:16] (pkg/sql/plan/function/func_unary.go:6201-6228
+    // generateSHAKey/generateInitializationVector/encodeByAES).
+    def cryptAesCtr(data: Array[Byte], key: String): Array[Byte] = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val kb = key.getBytes("UTF-8")
-      var block = md.digest(kb)
-      val out = new Array[Byte](data.length)
-      var i = 0
-      while (i < data.length) {
-        if (i % 32 == 0 && i > 0) block = md.digest(block ++ kb)
-        out(i) = (data(i) ^ block(i % 32)).toByte
-        i += 1
-      }
-      out
+      val aesKey = new javax.crypto.spec.SecretKeySpec(md.digest(kb), "AES")
+      val iv = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(kb :+ data.length.toByte).take(16)
+      val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE, aesKey,
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data) // CTR: encrypt == decrypt
     }
     spark.udf.register("mo_encode", (s: String, k: String) =>
       if (s == null || k == null) null
-      else cryptStream(s.getBytes("UTF-8"), k))
+      else cryptAesCtr(s.getBytes("UTF-8"), k))
     spark.udf.register("mo_decode", (b: Array[Byte], k: String) =>
       if (b == null || k == null) null
-      else new String(cryptStream(b, k), "UTF-8"))
+      else new String(cryptAesCtr(b, k), "UTF-8"))
     nat("encode", "encode(str, key) - obfuscated bytes")(a =>
       call_udf("mo_encode", a(0).cast("string"), a(1).cast("string")))
     nat("decode", "decode(bytes, key) - inverse of encode")(a =>
       call_udf("mo_decode", a(0).cast("binary"), a(1).cast("string")))
-    // NAME_CONST(name, value) → value (the name only labels the column)
-    nat("name_const", "name_const(name, value)")(a => a(1))
+    // NAME_CONST(name, value) → value labeled with the name, so
+    // `(select name_const('x', 1)) t` exposes column t.x
+    nat("name_const", "name_const(name, value)") { a =>
+      val nm = try strLit(a(0)) catch { case _: Exception => null }
+      if (nm == null) a(1) else a(1).as(nm)
+    }
     nat("addtime", "addtime(t, delta)")(a => MoFunctions.addTime(a(0), a(1)))
     nat("subtime", "subtime(t, delta)")(a => MoFunctions.subTime(a(0), a(1)))
     nat("timediff", "timediff(t1, t2)")(a => MoFunctions.timeDiff(a(0), a(1)))
@@ -456,9 +481,9 @@ object MoAliases {
     nat("vector_dims", "vector_dims(v)")(a => VectorFunctions.vectorDims(a(0)))
 
     // ------------------------------------------------------- misc codecs
-    nat("is_ipv4", "is_ipv4(s)")(a =>
-      regexp_like(a(0), lit("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
-        "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")))
+    // octets reject leading zeros ('192.168.01.1' is NOT ipv4 —
+    // func_misc_is_ipv4.result)
+    nat("is_ipv4", "is_ipv4(s)")(a => MoFunctions.isIpv4(a(0)))
     nat("is_uuid", "is_uuid(s)")(a => MoFunctions.isUuid(a(0)))
     nat("uuid_to_bin", "uuid_to_bin(s)")(a => MoFunctions.uuidToBin(a(0)))
     nat("bin_to_uuid", "bin_to_uuid(b)")(a => MoFunctions.binToUuid(a(0)))

@@ -40,19 +40,79 @@ object MoFunctions {
         str.substr((pos + len).cast("int"), length(str))))
 
   /** MAKE_SET(bits, s1, s2, ...): comma-join of strings whose bit is set. */
-  def makeSet(bits: Column, options: Seq[String]): Column =
-    concat_ws(",", filter(
-      zip_with(array(options.map(lit): _*),
-        sequence(lit(0), lit(options.size - 1)),
-        (s, i) => when(bits.cast("long")
-          .bitwiseAND(pow(lit(2), i).cast("long")) =!= 0, s).otherwise(lit(null))),
-      x => x.isNotNull))
+  // runtime kernels: args may be COLUMNS or NULL (the first pass
+  // extracted string literals and overflowed the bit-63 test through
+  // pow(2, i) doubles — func_string_make_set/export_set.result)
+  private lazy val makeSetU = udf((bits: java.lang.Long, strs: Seq[String]) =>
+    if (bits == null) null
+    else strs.iterator.zipWithIndex
+      .collect { case (s, i) if i < 64 && ((bits.longValue >>> i) & 1L) == 1L && s != null => s }
+      .mkString(","))
 
-  /** EXPORT_SET(bits, on, off, sep, n). */
-  def exportSet(bits: Column, on: String, off: String, sep: String, n: Int): Column =
-    concat_ws(sep, transform(sequence(lit(0), lit(n - 1)), i =>
-      when(bits.cast("long").bitwiseAND(pow(lit(2), i).cast("long")) =!= 0,
-        lit(on)).otherwise(lit(off))))
+  def makeSet(bits: Column, options: Seq[Column]): Column =
+    makeSetU(bits.cast("long"), array(options.map(_.cast("string")): _*))
+
+  private lazy val exportSetU = udf(
+    (bits: java.lang.Long, on: String, off: String, sep: String, n0: java.lang.Integer) =>
+      if (bits == null || on == null || off == null || sep == null || n0 == null) null
+      else {
+        val n = math.min(math.max(n0.intValue, 1), 64) // n=0 still emits 1 bit
+        (0 until n).map(i =>
+          if (((bits.longValue >>> i) & 1L) == 1L) on else off).mkString(sep)
+      })
+
+  /** EXPORT_SET(bits, on, off[, sep[, n]]). */
+  def exportSet(bits: Column, on: Column, off: Column, sep: Column, n: Column): Column =
+    exportSetU(bits.cast("long"), on.cast("string"), off.cast("string"),
+      sep.cast("string"), n.cast("int"))
+
+  /** MySQL FORMAT(x, d[, locale]) — lenient numeric-prefix parse,
+    * HALF_UP rounding, locale separators transcribed from the
+    * reference's locale table (func_string_format.result; MySQL's data
+    * gives most European locales NO grouping character).
+    */
+  private val FormatSeps: Map[String, (Char, String)] = {
+    val none = (',', "") // (decimal, grouping)
+    Map(
+      "en_us" -> ('.', ","), "ar_sa" -> ('.', ""),
+      "be_by" -> (',', "."), "ro_ro" -> (',', "."),
+      "bg_bg" -> (',', " "),
+      "de_ch" -> ('.', "'"), "it_ch" -> (',', "'"), "rm_ch" -> (',', "'"),
+      "ca_es" -> none, "de_at" -> none, "el_gr" -> none, "eu_es" -> none,
+      "fr_be" -> none, "fr_ca" -> none, "fr_ch" -> none, "fr_fr" -> none,
+      "fr_lu" -> none, "gl_es" -> none, "hr_hr" -> none, "it_it" -> none,
+      "nl_be" -> none, "nl_nl" -> none, "pl_pl" -> none, "pt_br" -> none,
+      "pt_pt" -> none, "sl_si" -> none)
+  }
+
+  private val NumPrefixRe = """^\s*([+-]?(?:\d+(?:\.\d*)?|\.\d+))""".r
+
+  def moFormatStr(x: String, d0: String, locale: String): String = {
+    if (x == null || d0 == null) return null
+    val num = NumPrefixRe.findFirstMatchIn(x).map(_.group(1)).getOrElse("0")
+    // an unparseable decimal count casts to 0, like MySQL ('x' → 0)
+    val dNum = NumPrefixRe.findFirstMatchIn(d0).map(_.group(1)).getOrElse("0")
+    val d = math.min(math.max(BigDecimal(dNum).setScale(0,
+      BigDecimal.RoundingMode.HALF_UP).toInt, 0), 30)
+    val v = new java.math.BigDecimal(num).setScale(d, java.math.RoundingMode.HALF_UP)
+    val (dec, grp) = FormatSeps.getOrElse(
+      if (locale == null) "en_us" else locale.toLowerCase, ('.', ","))
+    val plain = v.abs.toPlainString
+    val (ip, fp) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    val grouped =
+      if (grp.isEmpty) ip
+      else ip.reverse.grouped(3).mkString(grp.reverse).reverse
+    val sign = if (v.signum < 0) "-" else ""
+    if (d == 0) s"$sign$grouped" else s"$sign$grouped$dec$fp"
+  }
+
+  private lazy val moFormatU = udf(moFormatStr _)
+
+  def moFormat(x: Column, d: Column, locale: Column): Column =
+    moFormatU(x.cast("string"), d.cast("string"), locale.cast("string"))
 
   /** QUOTE(s): single-quoted with backslash escaping (MySQL semantics). */
   def quote(s: Column): Column =
@@ -663,9 +723,19 @@ object MoFunctions {
         else java.time.LocalDateTime.of(y, mo, d, h, mi, se, nano)
       } catch { case _: Exception => null }
     s match {
-      case StrictDtRe(y, mo, d, h, mi, se, f) =>
+      case StrictDtRe(y0, mo, d, h, mi, se, f) =>
         val nano = if (f == null) 0 else f.padTo(9, '0').take(9).toInt
-        build(y.toInt, mo.toInt, d.toInt,
+        // MySQL 2-digit years expand (0-69 → 2000s, 70-99 → 1900s):
+        // '10:11:12' is the DATE 2010-11-12
+        // (func_datetime_varchar_date_validation.result)
+        val y = if (y0.length <= 2) {
+          val v = y0.toInt
+          if (v < 70) v + 2000 else v + 1900
+        } else y0.toInt
+        // MySQL's calendar: year 0 is NOT a leap year ('0000-02-29' is
+        // NULL, '0000-01-01' is valid); java.time's proleptic year 0 IS
+        if (y == 0 && mo.toInt == 2 && d.toInt == 29) null
+        else build(y, mo.toInt, d.toInt,
           if (h == null) 0 else h.toInt, if (mi == null) 0 else mi.toInt,
           if (se == null) 0 else se.toInt, nano)
       case _ if s.length == 8 && s.forall(_.isDigit) =>
@@ -679,8 +749,10 @@ object MoFunctions {
     }
   }
 
+  // MySQL accepts ANY single punctuation as the field separator
+  // ('2024/01/15', '2024:01:15T12:34:56', '2024/01/15 12*34*56')
   private val StrictDtRe =
-    """(\d{4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?""".r
+    """(\d{1,4})\D(\d{1,2})\D(\d{1,2})(?:[ T](\d{1,2})\D(\d{1,2})(?:\D(\d{1,2})(?:\.(\d{1,9}))?)?)?""".r
 
   private lazy val strictTsU = udf((s: String) =>
     Option(strictDateTimeText(s)).map(java.sql.Timestamp.valueOf).orNull)
@@ -827,7 +899,7 @@ object MoFunctions {
     * (MySQL renders negative diffs with a leading '-').
     */
   def timeDiff(ts1: Column, ts2: Column): Column = {
-    val secs = unix_timestamp(ts1) - unix_timestamp(ts2)
+    val secs = to_unix_timestamp(ts1) - to_unix_timestamp(ts2)
     when(secs < 0, concat(lit("-"), secToTime(-secs))).otherwise(secToTime(secs))
   }
 
@@ -847,7 +919,12 @@ object MoFunctions {
       ("DATETIME", "JIS") -> "%Y-%m-%d %H:%i:%s",
       ("DATETIME", "ISO") -> "%Y-%m-%d %H:%i:%s",
       ("DATETIME", "EUR") -> "%Y-%m-%d %H.%i.%s",
-      ("DATETIME", "INTERNAL") -> "%Y%m%d%H%i%s")
+      ("DATETIME", "INTERNAL") -> "%Y%m%d%H%i%s",
+      ("TIMESTAMP", "USA") -> "%Y-%m-%d %H.%i.%s",
+      ("TIMESTAMP", "JIS") -> "%Y-%m-%d %H:%i:%s",
+      ("TIMESTAMP", "ISO") -> "%Y-%m-%d %H:%i:%s",
+      ("TIMESTAMP", "EUR") -> "%Y-%m-%d %H.%i.%s",
+      ("TIMESTAMP", "INTERNAL") -> "%Y%m%d%H%i%s")
     table.get(key)
   }
 
@@ -910,7 +987,11 @@ object MoFunctions {
               out(2 * i) = ((gs(i) >> 8) & 0xff).toByte
               out(2 * i + 1) = (gs(i) & 0xff).toByte
             }
-            out
+            // MO collapses IPv4-mapped addresses to their 4 bytes
+            // (func_misc_inet6.result: '::ffff:192.168.1.1' → C0A80101)
+            if (out.take(10).forall(_ == 0) && out(10) == -1 && out(11) == -1)
+              out.takeRight(4)
+            else out
           }
         }
       case _ => null
@@ -924,6 +1005,10 @@ object MoFunctions {
     if (b == null) return null
     if (b.length == 4) return b.map(_ & 0xff).mkString(".")
     if (b.length != 16) return null
+    // MO renders an IPv4-mapped 16-byte value as its dotted quad
+    // (func_misc_inet6.result)
+    if (b.take(10).forall(_ == 0) && b(10) == -1 && b(11) == -1)
+      return b.takeRight(4).map(_ & 0xff).mkString(".")
     val gs = (0 until 8).map(i => ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
     // longest run of zero groups (length >= 2) compresses to ::
     var bestStart = -1
@@ -945,8 +1030,12 @@ object MoFunctions {
     }
   }
 
-  def isIpv6Str(s: String): Boolean =
-    s != null && s.contains(':') && inet6AtonBytes(s) != null
+  // MO counts IPv4-mapped text ('::ffff:1.2.3.4') as NOT ipv6, and
+  // NULL propagates (func_misc_is_ipv6.result)
+  def isIpv6Str(s: String): java.lang.Boolean =
+    if (s == null) null
+    else java.lang.Boolean.valueOf(
+      s.contains(':') && !s.contains('.') && inet6AtonBytes(s) != null)
 
   /** CONVERT_TZ(dt, from_tz, to_tz) — reinterpret naive wall-clock dt
     * from from_tz and render it in to_tz (reference `convert_tz`,
@@ -956,6 +1045,44 @@ object MoFunctions {
     */
   def convertTz(ts: Column, fromTz: String, toTz: String): Column =
     from_utc_timestamp(to_utc_timestamp(ts, fromTz), toTz)
+
+  /** CONVERT_TZ with MO's guards (func_convert_tz.result): a malformed
+    * or out-of-range offset (valid: -13:59..+14:00) is NULL instead of
+    * an error; a shifted result outside years 1-9999 returns the INPUT
+    * unchanged; the input's fractional-second text is carried through.
+    */
+  def convertTzExact(ts: String, from: String, to: String): String = {
+    if (ts == null || from == null || to == null) return null
+    val dt = strictDateTimeText(ts)
+    if (dt == null) return null
+    def zone(z: String): Option[java.time.ZoneId] = {
+      val OffRe = """([+-])(\d{1,2}):(\d{2})""".r
+      z.trim match {
+        case OffRe(sg, h, m) =>
+          val hh = h.toInt; val mm = m.toInt
+          if (mm > 59 || hh > 14 || (hh == 14 && mm > 0)) None
+          else Some(java.time.ZoneOffset.ofTotalSeconds(
+            (if (sg == "-") -1 else 1) * (hh * 3600 + mm * 60)))
+        case other =>
+          // SHORT_IDS resolves 'EST'/'CET'-style abbreviations
+          try Some(java.time.ZoneId.of(other, java.time.ZoneId.SHORT_IDS))
+          catch { case _: Exception => None }
+      }
+    }
+    // MO renders CONVERT_TZ at seconds precision even for fractional
+    // inputs (func_convert_tz.result: datetime(4) column → '… 20:02:00')
+    def render(x: java.time.LocalDateTime): String =
+      f"${x.getYear}%04d-${x.getMonthValue}%02d-${x.getDayOfMonth}%02d " +
+        f"${x.getHour}%02d:${x.getMinute}%02d:${x.getSecond}%02d"
+    (zone(from), zone(to)) match {
+      case (Some(f), Some(t)) =>
+        val out = dt.withNano(0).atZone(f).withZoneSameInstant(t).toLocalDateTime
+        if (out.getYear < 1 || out.getYear > 9999) render(dt) else render(out)
+      case _ => null
+    }
+  }
+
+  private lazy val convertTzExactU = udf(convertTzExact _)
 
   // --------------------------------------------------------------- math
   /** MySQL TRUNCATE(x, d): toward zero. */
@@ -975,16 +1102,20 @@ object MoFunctions {
         element_at(p, 4).cast("long"))
   }
 
-  /** INET_NTOA: long → dotted quad. */
+  /** INET_NTOA: long → dotted quad (NULL in, NULL out — concat_ws
+    * would silently render '').
+    */
   def inetNtoa(n: Column): Column =
-    concat_ws(".",
+    when(n.isNull, lit(null).cast("string")).otherwise(concat_ws(".",
       ((n / 16777216).cast("long") % 256).cast("string"),
       ((n / 65536).cast("long") % 256).cast("string"),
       ((n / 256).cast("long") % 256).cast("string"),
-      (n.cast("long") % 256).cast("string"))
+      (n.cast("long") % 256).cast("string")))
 
+  // octets reject leading zeros ('192.168.01.1' is NOT ipv4 — MySQL and
+  // func_misc_is_ipv4.result)
   def isIpv4(s: Column): Column =
-    s.rlike("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+    s.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])$")
 
   /** IS_UUID. */
   def isUuid(s: Column): Column =
@@ -1072,6 +1203,8 @@ object MoFunctions {
 
     nat("mo_date_format", "mo_date_format(ts, mysql_fmt)") { args =>
       strLit(args(1)) match {
+        // an empty format is NULL, not '' (func_date_format.result)
+        case Some("") => lit(null).cast("string")
         case Some(fmt) => moDateFormat(args(0), fmt)
         case None => dynDateFormat(args(0), args(1))
       }
@@ -1085,6 +1218,36 @@ object MoFunctions {
     nat("time_to_sec", "time_to_sec(time)")(args => timeToSec(args(0)))
     nat("mo_extract", "mo_extract(unit, s) - composite EXTRACT units")(args =>
       moExtractU(args(0).cast("string"), args(1).cast("string")))
+    // MySQL's UNIX_TIMESTAMP range is [epoch, 3001-01-19 03:14:07 UTC);
+    // outside it (incl. pre-1970) is NULL, as is invalid datetime TEXT
+    // ('2021-02-29') — func_datetime_unixtime.result. Computed through
+    // to_unix_timestamp/try_to_timestamp so the override never
+    // self-resolves.
+    nat("unix_timestamp", "unix_timestamp([ts]) - MySQL range guards") { args =>
+      if (args.isEmpty) to_unix_timestamp(current_timestamp())
+      else if (args.length > 1) to_unix_timestamp(args(0), args(1))
+      else {
+        val isStr = (try Some(eagerExpression(args(0)).dataType)
+          catch { case _: Exception => None }) match {
+          case Some(_: org.apache.spark.sql.types.StringType) | None => true
+          case _ => false
+        }
+        val ts = if (isStr) try_to_timestamp(args(0)) else args(0).cast("timestamp")
+        val u = to_unix_timestamp(ts)
+        when(u < 0L || u >= 32536771200L, lit(null)).otherwise(u)
+      }
+    }
+    nat("from_unixtime", "from_unixtime(n[, fmt]) - MySQL range guards") { args =>
+      val n = args(0).cast("decimal(26,6)")
+      val ts = timestamp_seconds(n)
+      val body =
+        if (args.length > 1) (strLit(args(1)) match {
+          case Some(fmt) => moDateFormat(ts, fmt)
+          case None => dynDateFormat(ts, args(1))
+        })
+        else date_format(ts, "yyyy-MM-dd HH:mm:ss")
+      when(n < 0 || n >= 32536771200L, lit(null)).otherwise(body)
+    }
     // CAST(TIMEDIFF(…) AS CHAR) renders TIME(6): a fraction-free diff
     // gains '.000000' (func_datetime_timediff.result mixed_format1)
     nat("mo_timediff_char", "mo_timediff_char(t1, t2)") { args =>
@@ -1118,12 +1281,9 @@ object MoFunctions {
         case _ => dynGetFormat(args(0), args(1))
       }
     }
-    nat("convert_tz", "convert_tz(ts, from_tz, to_tz)") { args =>
-      (strLit(args(1)), strLit(args(2))) match {
-        case (Some(from), Some(to)) => convertTz(args(0), from, to)
-        case _ => dynConvertTz(args(0), args(1), args(2))
-      }
-    }
+    nat("convert_tz", "convert_tz(ts, from_tz, to_tz)")(args =>
+      convertTzExactU(args(0).cast("string"), args(1).cast("string"),
+        args(2).cast("string")))
     // byte-level codecs: no expression-combinator equivalent
     spark.udf.register("inet6_aton", inet6AtonBytes _)
     spark.udf.register("inet6_ntoa", inet6NtoaStr _)

@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions.udaf
 object Sketches {
 
   // ------------------------------------------------------------- bitmap
-  /** Build an exact membership bitmap from non-negative Long values. */
-  object BitmapConstructAgg extends Aggregator[Long, java.util.BitSet, Array[Byte]] {
+  /** Build an exact membership bitmap from non-negative Long values
+    * (NULLs are skipped, not hashed as zero).
+    */
+  object BitmapConstructAgg extends Aggregator[java.lang.Long, java.util.BitSet, Array[Byte]] {
     def zero: java.util.BitSet = new java.util.BitSet()
-    def reduce(b: java.util.BitSet, v: Long): java.util.BitSet = {
-      if (v >= 0 && v < Int.MaxValue) b.set(v.toInt)
+    def reduce(b: java.util.BitSet, v0: java.lang.Long): java.util.BitSet = {
+      if (v0 != null) {
+        val v = v0.longValue
+        if (v >= 0 && v < Int.MaxValue) b.set(v.toInt)
+      }
       b
     }
     def merge(a: java.util.BitSet, b: java.util.BitSet): java.util.BitSet = {
@@ -90,10 +95,16 @@ object Sketches {
     math.round(est)
   }
 
-  /** hll_add: values → dense HLL sketch (binary, mergeable). */
-  object HllAddAgg extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  /** hll_add: values → dense HLL sketch (binary, mergeable). NULLs are
+    * skipped — hashing them as zero inflated small cardinalities
+    * (func_hll.result).
+    */
+  object HllAddAgg extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
     def zero: Array[Byte] = new Array[Byte](HllM)
-    def reduce(b: Array[Byte], v: Long): Array[Byte] = { addToRegisters(b, v); b }
+    def reduce(b: Array[Byte], v: java.lang.Long): Array[Byte] = {
+      if (v != null) addToRegisters(b, v.longValue)
+      b
+    }
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       var i = 0
       while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
@@ -122,21 +133,31 @@ object Sketches {
   }
 
   // ------------------------------------------------------- Column API
-  def bitmap_construct_agg(c: Column): Column = udaf(BitmapConstructAgg).apply(c)
+  def bitmap_construct_agg(c: Column): Column =
+    udaf(BitmapConstructAgg, Encoders.LONG).apply(c)
   def bitmap_or_agg(c: Column): Column = udaf(BitmapOrAgg).apply(c)
-  def hll_add(c: Column): Column = udaf(HllAddAgg).apply(c)
+  def hll_add(c: Column): Column = udaf(HllAddAgg, Encoders.LONG).apply(c)
   def hll_merge(c: Column): Column = udaf(HllMergeAgg).apply(c)
 
   /** Register scalar + aggregate SQL names. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.udf.register("bitmap_construct_agg", udaf(BitmapConstructAgg))
+    spark.udf.register("bitmap_construct_agg", udaf(BitmapConstructAgg, Encoders.LONG))
     spark.udf.register("bitmap_or_agg", udaf(BitmapOrAgg))
-    spark.udf.register("hll_add", udaf(HllAddAgg))
+    spark.udf.register("hll_add", udaf(HllAddAgg, Encoders.LONG))
     spark.udf.register("hll_merge", udaf(HllMergeAgg))
     // reference registry spells the aggregate forms with _agg
-    spark.udf.register("hll_add_agg", udaf(HllAddAgg))
+    spark.udf.register("hll_add_agg", udaf(HllAddAgg, Encoders.LONG))
     spark.udf.register("hll_merge_agg", udaf(HllMergeAgg))
     spark.udf.register("bitmap_count", (b: Array[Byte]) => bitmapCount(b))
-    spark.udf.register("hll_cardinality", (b: Array[Byte]) => hllEstimate(b))
+    spark.udf.register("hll_cardinality", (b: Array[Byte]) =>
+      if (b == null) null
+      else java.lang.Long.valueOf(hllEstimate(b)))
+    // the reference's buckets are 0-BASED val>>15 / val&32767
+    // (func_bitmap2.result: 65536 → bucket 2); Spark 4's builtins of the
+    // same names are 1-based, so explicit registrations shadow them
+    spark.udf.register("bitmap_bucket_number", (v: java.lang.Long) =>
+      if (v == null) null else java.lang.Long.valueOf(v.longValue >> 15))
+    spark.udf.register("bitmap_bit_position", (v: java.lang.Long) =>
+      if (v == null) null else java.lang.Long.valueOf(v.longValue & 32767L))
   }
 }

@@ -1093,10 +1093,17 @@ object Starlark {
     if (res == null) null else repr(res)
   }
 
-  /** `try_starlark`: evaluation errors → NULL (reference `:153-159`). */
-  def tryStarlarkEval(code: String, arg: String): String =
+  /** `try_starlark`: EVALUATION errors → NULL; parse errors still
+    * raise — MO's try wraps only execution (func_starlark.result:
+    * `try_starlark` with a mis-indented program reports the parse
+    * error, reference `:153-159`).
+    */
+  def tryStarlarkEval(code: String, arg: String): String = {
+    if (code == null) fail("starlark code cannot be null.")
+    astCache.computeIfAbsent(code, c => new Parser(lex(c)).parseModule())
     try starlarkEval(code, arg)
     catch { case _: Exception => null }
+  }
 
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("starlark", starlarkEval _)

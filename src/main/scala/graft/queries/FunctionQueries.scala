@@ -21,8 +21,8 @@ object FunctionQueries extends QueryModule {
           Seq("BUILDING", "MACHINERY", "FURNITURE", "HOUSEHOLD", "AUTOMOBILE").map(lit))
           .as("fld"),
         insertStr(col("c_name"), lit(1), lit(8), lit("Cust")).as("ins"),
-        makeSet(col("c_custkey") % 8, Seq("a", "b", "c")).as("mkset"),
-        exportSet(col("c_custkey") % 4, "Y", "N", ",", 4).as("expset"),
+        makeSet(col("c_custkey") % 8, Seq(lit("a"), lit("b"), lit("c"))).as("mkset"),
+        exportSet(col("c_custkey") % 4, lit("Y"), lit("N"), lit(","), lit(4)).as("expset"),
         M.quote(concat(lit("o'"), col("c_name"))).as("qt"),
         substring_index(col("c_name"), "#", 1).as("subidx"),
         expr("left(c_name, 4)").as("lft"),

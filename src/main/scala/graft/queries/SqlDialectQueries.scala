@@ -30,8 +30,8 @@ object SqlDialectQueries extends QueryModule {
         |FROM events
         |WHERE event_type = 'error'
         |interval(ts, 6, hour) fill(prev)""".stripMargin)
-      .select(unix_timestamp(col("_wstart")).as("ws"),
-        unix_timestamp(col("_wend")).as("we"),
+      .select(to_unix_timestamp(col("_wstart")).as("ws"),
+        to_unix_timestamp(col("_wend")).as("we"),
         round(col("v"), 6).as("v"))
       .orderBy(col("ws"))
 
@@ -57,7 +57,7 @@ object SqlDialectQueries extends QueryModule {
         |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
         |FROM events
         |interval(ts, 1, day) sliding(12, hour)""".stripMargin)
-      .select(unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
+      .select(to_unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
       .orderBy(col("ws"))
 
   private val tws2Sql =

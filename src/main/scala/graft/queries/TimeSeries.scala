@@ -22,8 +22,8 @@ object TimeSeries extends QueryModule {
     TimeWindow.tumbling(Tables.events(s, d), col("ts"), "1 day",
         Seq(col("event_type")),
         Seq(count(lit(1)).as("n"), moneySum(col("value")).as("total")))
-      .select(col("event_type"), unix_timestamp(col("_wstart")).as("ws"),
-        unix_timestamp(col("_wend")).as("we"), col("n"), col("total"))
+      .select(col("event_type"), to_unix_timestamp(col("_wstart")).as("ws"),
+        to_unix_timestamp(col("_wend")).as("we"), col("n"), col("total"))
       .orderBy(col("event_type"), col("ws"))
 
   private val tumblingSql =
@@ -39,7 +39,7 @@ object TimeSeries extends QueryModule {
   private def slidingQ(s: SparkSession, d: String): DataFrame =
     TimeWindow.sliding(Tables.events(s, d), col("ts"), "1 day", "12 hours",
         Nil, Seq(count(lit(1)).as("n"), moneySum(col("value")).as("total")))
-      .select(unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
+      .select(to_unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
       .orderBy(col("ws"))
 
   private val slidingSql =
@@ -52,7 +52,7 @@ object TimeSeries extends QueryModule {
   // Gap-fill base: 6-hourly sum of 'error' event values (sparse buckets).
   private def errAgg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).filter(col("event_type") === "error")
-      .groupBy((floor(unix_timestamp(col("ts")) / 21600) * 21600).cast("long").as("ws"))
+      .groupBy((floor(to_unix_timestamp(col("ts")) / 21600) * 21600).cast("long").as("ws"))
       .agg(moneySum(col("value")).as("v"))
 
   private val errAggSql =

@@ -1336,11 +1336,16 @@ object GraftSql {
       // _wstart/_wend come from the window struct; everything else is a
       // grouped aggregate and passes through verbatim
       val items = splitTop(selectList)
+      // un-aliased aggregates get an explicit alias equal to their item
+      // text — Spark's natural output name can differ from it
+      // (approx_percentile(v, 0) surfaces as approx_percentile(v, 0,
+      // 10000)), which broke the final by-name projection
       val mapped = items.map { it =>
         val lower = it.toLowerCase
         if (lower == "_wstart") "window.start AS _wstart"
         else if (lower == "_wend") "window.end AS _wend"
-        else it
+        else if (itemName(it) != it.trim) it // already aliased
+        else s"$it AS `${it.trim.replace("`", "")}`"
       }
       // always carry _wstart internally: the fill stage needs the spine.
       // Repeated select items (e.g. `_wstart, ..., _wstart`) collapse to
@@ -1363,7 +1368,7 @@ object GraftSql {
           val valueCols = grouped.columns
             .filterNot(c => c == "_wstart" || c == "_wend").toSeq
           var d = grouped
-            .withColumn("_ws", unix_timestamp(col("_wstart")).cast("long"))
+            .withColumn("_ws", to_unix_timestamp(col("_wstart")).cast("long"))
             .drop("_wstart", "_wend")
           // one fill pass per agg column over the same (aggregated,
           // already tiny per slot) frame — see TimeWindow.gapFill for the
@@ -1375,7 +1380,8 @@ object GraftSql {
             .withColumn("_wend", timestamp_seconds(col("_ws") + widthSec))
             .drop("_ws")
         }
-      val projected = filled.select(outCols.map(col): _*)
+      val projected = filled.select(
+        outCols.map(n => col(s"`${n.replace("`", "")}`")): _*)
       applySuffix(spark, projected, rest)
     }
 

@@ -845,8 +845,23 @@ object MySqlCompat {
   private[graft] def mysqlEscapes(q: String): String =
     if (!q.contains("\\u")) q else UnknownEscapeRe.replaceAllIn(q, "u")
 
+  // GET_FORMAT(DATE, 'USA') — the unit is a bare keyword in MySQL's
+  // grammar (func_datetime_get_format.result); quote it for Spark
+  private val GetFormatRe =
+    """(?i)\bget_format\s*\(\s*(date|time|datetime|timestamp)\s*,""".r
+  private[graft] def getFormatUnits(q: String): String =
+    if (!q.toLowerCase.contains("get_format")) q
+    else GetFormatRe.replaceAllIn(q, m => s"get_format('${m.group(1)}',")
+
+  // NOW(3) / CURTIME(6) fsp arguments — Spark's zero-arg builtins
+  // reject them; precision is display-only for the wall-clock functions
+  private val FspArgRe =
+    """(?i)\b(now|curtime|current_timestamp|localtime|localtimestamp|sysdate)\s*\(\s*\d+\s*\)""".r
+  private[graft] def stripFsp(q: String): String =
+    FspArgRe.replaceAllIn(q, m => s"${m.group(1)}()")
+
   def pre(q: String): String =
-    mysqlEscapes(castTimediff(extractComposite(
+    mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
       plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
-        intervalUnits(groupConcat(unnestTvf(intervalFn(q))))))))))))
+        intervalUnits(groupConcat(unnestTvf(intervalFn(q))))))))))))))
 }

@@ -134,8 +134,9 @@ class FunctionCoverageSpec extends AnyFunSuite {
     assert(hex(inet6AtonBytes("::1")) == "0" * 31 + "1")
     assert(hex(inet6AtonBytes("2001:db8::8a2e:370:7334")) ==
       "20010db80000000000008a2e03707334")
-    assert(hex(inet6AtonBytes("::ffff:192.0.2.128")) ==
-      "00000000000000000000ffffc0000280")
+    // MO collapses an IPv4-mapped address to its 4 bytes
+    // (func_misc_inet6.result)
+    assert(hex(inet6AtonBytes("::ffff:192.0.2.128")) == "c0000280")
     assert(hex(inet6AtonBytes("10.0.5.9")) == "0a000509")
     for (bad <- Seq("1::2::3", "12345::", "::g", "1.2.3", "1:2:3:4:5:6:7:8:9"))
       assert(inet6AtonBytes(bad) == null, s"accepted $bad")

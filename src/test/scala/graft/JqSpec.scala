@@ -110,8 +110,14 @@ class JqSpec extends AnyFunSuite {
     jqFails("[1, 2, 3]", ".foo & .bar")
     assert(tryJq("[1, 2, 3]", ".foo & .bar") == null)
     jqFails("1", "def fact($n): 1; fact(50)")
-    jqFails("[1, 2, 3]", "reduce .[] as $item (0; + $item)")
     assert(tryJq("""{"a":1} [2] 3""", ". as {$a} ?// [$a] ?// $a | $a") == null)
+  }
+
+  test("reduce/foreach with $var bindings (func_jq.result)") {
+    assert(jq("[1, 2, 3]", "reduce .[] as $item (0; + $item)") == "3")
+    assert(jq("[1, 2, 3]", "reduce .[] as $x (0; . + $x)") == "6")
+    assert(jq("[1, 2, 3]", "foreach .[] as $item(0; . + $item; [$item, . * 2])") ==
+      "[1,2][2,6][3,12]")
   }
 
   test("builtins: length keys type add map select min max join") {

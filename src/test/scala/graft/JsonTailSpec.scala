@@ -84,10 +84,13 @@ class JsonTailSpec extends AnyFunSuite {
   test("json_schema_validation_report: MySQL report shape") {
     val schema = """{"properties":{"lat":{"type":"number","minimum":-90}}}"""
     assert(jsonSchemaValidationReport(schema, """{"lat": 10}""") == """{"valid":true}""")
+    // MO's gojsonschema rendering (func_json_schema.result): $-path
+    // document locations, '#/<keyword>' schema location, exact reason
     val bad = jsonSchemaValidationReport(schema, """{"lat": -100}""")
     assert(bad.contains("\"valid\":false"))
-    assert(bad.contains("\"schema-location\":\"#/properties/lat\""))
-    assert(bad.contains("\"document-location\":\"#/lat\""))
+    assert(bad.contains("\"reason\":\"Must be greater than or equal to -90\""))
+    assert(bad.contains("\"schema-location\":\"#/minimum\""))
+    assert(bad.contains("\"document-location\":\"$.lat\""))
     assert(bad.contains("\"schema-failed-keyword\":\"minimum\""))
   }
 

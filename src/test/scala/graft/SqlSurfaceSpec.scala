@@ -60,13 +60,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(8) == 3725L)
     assert(r.getString(9).endsWith("01") && r.getString(9).length == 32)
     assert(r.getBoolean(10))
-    assert(r.getTimestamp(11).toString.startsWith("2024-01-15 22:30"))
+    // convert_tz renders at seconds precision as a STRING (MO guards —
+    // invalid offsets NULL, out-of-range results echo the input)
+    assert(r.getString(11).startsWith("2024-01-15 22:30"))
     // the datetime/inet SQL surface resolves to the same codegen'd
-    // combinator trees as the Column API — no ScalaUDF (literal args)
+    // combinator trees as the Column API — no ScalaUDF (literal args;
+    // convert_tz is deliberately a UDF kernel now, so not listed)
     val plan = spark.sql(
       """SELECT to_days(date'2024-01-01'), sec_to_time(10L),
         |  period_add(202411L, 3L), inet_ntoa(167772161L),
-        |  convert_tz(timestamp'2024-01-15 08:30:00', 'UTC', 'Asia/Tokyo'),
         |  mo_date_format(timestamp'2024-01-15 08:30:00', '%Y-%m')""".stripMargin)
     assert(!plan.queryExecution.analyzed.toString.contains("UDF"),
       "datetime SQL surface must not resolve to ScalaUDF for literal args")
