@@ -419,7 +419,10 @@ object Bm25 {
         // reference ALGO_TFIDF (`fulltext.go:208-213`): w · tf · log10(N/df)²
         col("weight") * col("tf") * pow(log(10.0, n / col("df")), 2)
       case _ =>
-        col("weight") * log((n - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        // reference ALGO_BM25 keeps the log10² idf in boolean mode too
+        // (`fulltext.go:217-222`; fulltext_bm25.result scores boolean
+        // `+red` identically to natural-mode BM25)
+        col("weight") * pow(log(10.0, n / col("df")), 2) *
           (col("tf") * (K1 + 1)) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(index.avgdl)))
     }
@@ -440,11 +443,12 @@ object Bm25 {
     * no `+` exists (EvalPlusOR vs EvalOR, `fulltext.go:380-470`), `-`
     * nodes anti-join.
     */
-  def searchBoolean(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame =
-    searchBooleanNodes(index, parseBoolean(query), algo)
+  def searchBoolean(index: FulltextIndex, query: String, algo: String = "bm25",
+      tokenizer: String = "simple"): DataFrame =
+    searchBooleanNodes(index, parseBoolean(query), algo, tokenizer)
 
   def searchBooleanNodes(index: FulltextIndex, nodes: Seq[FtNode],
-      algo: String = "bm25"): DataFrame = {
+      algo: String = "bm25", tokenizer: String = "simple"): DataFrame = {
     var nextId = 0
     val leafBuf = Seq.newBuilder[Leaf]
 
@@ -453,8 +457,14 @@ object Bm25 {
       case FtText(t) =>
         // a TEXT word re-tokenizes through the NL parse (GenTextSql,
         // `pkg/fulltext/sql.go:171-189`): one Latin word stays a term
-        // probe, a CJK word becomes a positional phrase of its grams
-        val parsed = nlParse(t)
+        // probe, a CJK word becomes a positional phrase of its grams.
+        // A gojieba index segments the query with the SAME dictionary
+        // (the index terms are dictionary words, not grams) — sequential
+        // ordinals to match the index's position scheme.
+        val parsed =
+          if (tokenizer == "chinese")
+            CjkSegmenter.tokenize(t).zipWithIndex.map { case (w, i) => (w, false, i) }
+          else nlParse(t)
         if (parsed.length <= 1) {
           val (pat, star) = parsed.headOption.map(p => (p._1, p._2))
             .getOrElse((t.toLowerCase, false))
@@ -583,9 +593,17 @@ object Bm25 {
     * Docs with zero occurrences are absent — the reference's
     * index-apply join filters them even in a projection.
     */
-  def searchNaturalMo(index: FulltextIndex, query: String, algo: String = "bm25"): DataFrame = {
+  def searchNaturalMo(index: FulltextIndex, query: String, algo: String = "bm25",
+      tokenizer: String = "simple"): DataFrame = {
     val spark = index.postings.sparkSession
-    val pats = nlParse(query)
+    // gojieba indexes store dictionary words at sequential ordinals —
+    // the query must segment the same way (ParsePattern with the jieba
+    // tokenizer, fulltext.go:919-923); every other parser shares the
+    // byte-positioned NL parse
+    val pats =
+      if (tokenizer == "chinese")
+        CjkSegmenter.tokenize(query).zipWithIndex.map { case (w, i) => (w, false, i) }
+      else nlParse(query)
     if (pats.isEmpty)
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0.0).as("score"))
@@ -771,8 +789,8 @@ object Bm25 {
       else FulltextIndex.buildMulti(docs, idCol, textCols, tokenizer = tokenizer)
     // the SQL MATCH surface follows the reference exactly: NL mode is a
     // positional phrase with the log10²-idf scoring (searchNaturalMo)
-    if (booleanMode) searchBoolean(index, query, algo)
-    else searchNaturalMo(index, query, algo)
+    if (booleanMode) searchBoolean(index, query, algo, tokenizer)
+    else searchNaturalMo(index, query, algo, tokenizer)
   }
 }
 

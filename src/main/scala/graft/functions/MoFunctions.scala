@@ -1084,6 +1084,46 @@ object MoFunctions {
 
   private lazy val convertTzExactU = udf(convertTzExact _)
 
+  /** MySQL CAST(x AS TIME) text normalization
+    * (dtype/mysql_compat_cast_convert_matrix.result, time_1.result):
+    * compact digit runs right-align ('030405' → 03:04:05, '20' →
+    * 00:00:20), 'D H:M:S' folds days into hours ('02 10:11:12' →
+    * 58:11:12), 'H:M' gains seconds, datetimes keep their time part;
+    * invalid text is NULL.
+    */
+  def moTimeText(s0: String): String = {
+    if (s0 == null) return null
+    val s = s0.trim
+    def fmt2(neg: Boolean, h: Long, m: Long, sec: Long, frac: String): String = {
+      if (m > 59 || sec > 59) return null
+      val hh = if (h < 10) "0" + h else h.toString
+      f"${if (neg) "-" else ""}$hh:$m%02d:$sec%02d$frac"
+    }
+    val DayTime = """(\d+) (\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?""".r
+    val Hms = """(-?)(\d+):(\d{1,2}):(\d{1,2})(\.\d+)?""".r
+    val Hm = """(-?)(\d+):(\d{1,2})""".r
+    val Compact = """(-?)(\d+)(\.\d+)?""".r
+    s match {
+      case DayTime(d, h, m, sec, f) =>
+        fmt2(neg = false, d.toLong * 24 + h.toLong, m.toLong, sec.toLong,
+          if (f == null) "" else f)
+      case Hms(neg, h, m, sec, f) =>
+        fmt2(neg == "-", h.toLong, m.toLong, sec.toLong, if (f == null) "" else f)
+      case Hm(neg, h, m) => fmt2(neg == "-", h.toLong, m.toLong, 0L, "")
+      case Compact(neg, digits, f) =>
+        val v = digits.toLong
+        val (h, m, sec) = (v / 10000, (v / 100) % 100, v % 100)
+        fmt2(neg == "-", h, m, sec, if (f == null) "" else f)
+      case _ =>
+        val dt = strictDateTimeText(s)
+        if (dt == null) null
+        else fmt2(neg = false, dt.getHour.toLong, dt.getMinute.toLong,
+          dt.getSecond.toLong, "")
+    }
+  }
+
+  private lazy val moTimeU = udf(moTimeText _)
+
   // --------------------------------------------------------------- math
   /** MySQL TRUNCATE(x, d): toward zero. */
   def truncateNum(x: Column, d: Int): Column = {
@@ -1218,6 +1258,8 @@ object MoFunctions {
     nat("time_to_sec", "time_to_sec(time)")(args => timeToSec(args(0)))
     nat("mo_extract", "mo_extract(unit, s) - composite EXTRACT units")(args =>
       moExtractU(args(0).cast("string"), args(1).cast("string")))
+    nat("mo_time", "mo_time(s) - MySQL CAST(x AS TIME) normalization")(args =>
+      moTimeU(args(0).cast("string")))
     // MySQL's UNIX_TIMESTAMP range is [epoch, 3001-01-19 03:14:07 UTC);
     // outside it (incl. pre-1970) is NULL, as is invalid datetime TEXT
     // ('2021-02-29') — func_datetime_unixtime.result. Computed through

@@ -39,6 +39,14 @@ object IvfIndex {
     }
   def clear(): Unit = registry.keys.toSeq.foreach(drop)
 
+  /** Element-wise mean of `__ivf_features` — the single centroid of a
+    * lists=1 index (one distributed aggregate, no kmeans).
+    */
+  private def meanVector(featurized: DataFrame): Array[Double] =
+    featurized
+      .select(org.apache.spark.ml.stat.Summarizer.mean(col("__ivf_features")))
+      .head.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+
   /** Build and register an IVF index over `df` (≙ `ivf_create`). */
   def build(name: String, df: DataFrame, vecCol: String,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): Index = {
@@ -46,15 +54,23 @@ object IvfIndex {
     // match plan stays the caller's (unfiltered) corpus plan
     val featurized = df.filter(col(vecCol).isNotNull)
       .withColumn("__ivf_features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__ivf_features").fit(featurized)
-    val cells = model.transform(featurized)
-      .withColumnRenamed("prediction", "__ivf_cell")
+    // Spark ML KMeans requires k > 1; lists=1 is legal reference DDL
+    // (array_index.sql: `lists = 1`) and means one cell holding all rows
+    val (centers, clustered) =
+      if (nlist <= 1) (Array(meanVector(featurized)),
+        featurized.withColumn("__ivf_cell", lit(0)))
+      else {
+        val model = new KMeans().setK(nlist).setSeed(seed)
+          .setFeaturesCol("__ivf_features").fit(featurized)
+        (model.clusterCenters.map(_.toArray),
+          model.transform(featurized).withColumnRenamed("prediction", "__ivf_cell"))
+      }
+    val cells = clustered
       .drop("__ivf_features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cells.count() // materialize the index now (build-time, not query-time)
     val idx = Index(name, df.queryExecution.analyzed.canonicalized, vecCol,
-      nlist, nprobe, model.clusterCenters.map(_.toArray), cells)
+      nlist, nprobe, centers, cells)
     registry.put(name, idx)
     idx
   }
@@ -72,19 +88,25 @@ object IvfIndex {
       val spark = df.sparkSession
       val featurized = df.filter(col(vecCol).isNotNull)
         .withColumn("__ivf_features", array_to_vector(col(vecCol)))
-      val model = new KMeans().setK(nlist).setSeed(seed)
-        .setMaxIter(maxIter).setInitMode("random")
-        .setFeaturesCol("__ivf_features").fit(featurized)
+      val (centers, clustered) =
+        if (nlist <= 1) (Array(meanVector(featurized)),
+          featurized.withColumn("__ivf_cell", lit(0)))
+        else {
+          val model = new KMeans().setK(nlist).setSeed(seed)
+            .setMaxIter(maxIter).setInitMode("random")
+            .setFeaturesCol("__ivf_features").fit(featurized)
+          (model.clusterCenters.map(_.toArray),
+            model.transform(featurized).withColumnRenamed("prediction", "__ivf_cell"))
+        }
       val dir = IndexStore.path(spark, "ivf", s"$key-$nlist-$seed-$maxIter")
-      model.transform(featurized)
-        .withColumnRenamed("prediction", "__ivf_cell")
+      clustered
         .drop("__ivf_features")
         .write.mode("overwrite").partitionBy("__ivf_cell").parquet(dir)
       // pin the partition-column type (inference may be disabled)
       val cells = spark.read.parquet(dir)
         .withColumn("__ivf_cell", col("__ivf_cell").cast("int"))
       Index(key, df.queryExecution.analyzed.canonicalized, vecCol,
-        nlist, nprobe, model.clusterCenters.map(_.toArray), cells, dir)
+        nlist, nprobe, centers, cells, dir)
     })
     registry.put(key, idx)
     idx

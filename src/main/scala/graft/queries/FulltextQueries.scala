@@ -20,7 +20,7 @@ object FulltextQueries extends QueryModule {
        |q AS ($queryTermsSql),
        |scored AS (
        |  SELECT tf.doc_id,
-       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    sum(pow(log10(n_docs / df), 2)
        |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
        |       JOIN dl USING (doc_id) CROSS JOIN stats
@@ -177,7 +177,7 @@ object FulltextQueries extends QueryModule {
        |term_leaf AS (
        |  SELECT tf.doc_id,
        |    CASE tf.term WHEN 'window' THEN 1.1 WHEN 'slow' THEN -1.0 ELSE 1.0 END
-       |      * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * pow(log10(n_docs / df), 2)
        |      * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
        |  WHERE tf.term IN ('spark', 'window', 'slow')),
@@ -186,7 +186,7 @@ object FulltextQueries extends QueryModule {
        |star_df AS (SELECT count(*) AS df FROM star_tf),
        |star_leaf AS (
        |  SELECT s.doc_id,
-       |    ln((n_docs - star_df.df + 0.5) / (star_df.df + 0.5) + 1.0)
+       |    pow(log10(n_docs / star_df.df), 2)
        |      * (s.tf * 2.5) / (s.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS w
        |  FROM star_tf s JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN star_df),
        |allw AS (SELECT * FROM term_leaf UNION ALL SELECT * FROM star_leaf)
@@ -239,7 +239,7 @@ object FulltextQueries extends QueryModule {
        |q(zh) AS (VALUES ('火花'), ('连接'), ('流式'), ('窗口')),
        |scored AS (
        |  SELECT tf.doc_id,
-       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    sum(pow(log10(n_docs / df), 2)
        |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
        |  FROM tf JOIN q USING (zh) JOIN dfreq USING (zh)
        |       JOIN dl USING (doc_id) CROSS JOIN stats

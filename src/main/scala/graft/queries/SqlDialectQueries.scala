@@ -90,7 +90,7 @@ object SqlDialectQueries extends QueryModule {
        |q AS (SELECT unnest(['spark','join']) AS term),
        |scored AS (
        |  SELECT tf.doc_id,
-       |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    sum(pow(log10(n_docs / df), 2)
        |        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
        |       JOIN dl USING (doc_id) CROSS JOIN stats

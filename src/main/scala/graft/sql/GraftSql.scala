@@ -75,6 +75,8 @@ object GraftSql {
         .findFirstMatchIn(q)
         .foreach { m =>
           ftIndexCols.remove(ftKey(spark, m.group(1)))
+          // cached postings for the dead table can never be valid again
+          graft.fulltext.Bm25.FulltextIndex.invalidate(m.group(1))
           // vector indexes die with their table too (registry keys are
           // "$name-$table-$vecCol")
           val mid = s"-${m.group(1)}-"
@@ -95,6 +97,7 @@ object GraftSql {
         .orElse(queryResultRewrite(spark, q2))
         .orElse(insertSeqRewrite(spark, q2))
         .orElse(partitionRewrite(spark, q2))
+        .orElse(alterAddColRewrite(spark, q2))
         .orElse(recursiveCteRewrite(spark, q2))
         .orElse(intervalRewrite(spark, q2))
         .orElse(sampleRewrite(spark, q2))
@@ -486,6 +489,43 @@ object GraftSql {
     * DROP of a registered table, and INSERT into a registered table
     * (per-row routing evaluated inside the distributed write).
     */
+  // ----------------------------------------------------------------
+  // ALTER TABLE t ADD [COLUMN] c <type> [DEFAULT lit] {FIRST | AFTER x}
+  // MySQL places the new column at the requested position and fills
+  // existing rows with the default (fulltext2.sql:25 `add column
+  // newcolumn decimal after LastName`). Spark's v1 ALTER appends only,
+  // so the table is rewritten through a staging name with the columns
+  // reordered — a one-time full rewrite, exactly what the reference's
+  // ALTER does to its column files.
+  // ----------------------------------------------------------------
+
+  private val AlterAddColPosRe =
+    ("""(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+add\s+(?:column\s+|columns\s*)?\(?\s*""" +
+      """`?(\w+)`?\s+(.+?)(?:\s+default\s+(\S+))?\s+(first|after\s+`?\w+`?)\s*\)?\s*$""").r
+
+  private def alterAddColRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    q match {
+      case AlterAddColPosRe(table, colName, typeTxt, dfltOrNull, posTxt) =>
+        import spark.implicits._
+        val df = spark.table(table)
+        val fill = Option(dfltOrNull).getOrElse("NULL")
+        val newExpr = s"CAST($fill AS $typeTxt) AS `$colName`"
+        val at =
+          if (posTxt.equalsIgnoreCase("first")) 0
+          else {
+            val ref = posTxt.trim.split("\\s+").last.stripPrefix("`").stripSuffix("`")
+            df.columns.indexWhere(_.equalsIgnoreCase(ref)) + 1
+          }
+        val exprs = df.columns.map(c => s"`$c`").patch(at, Seq(newExpr), 0)
+        val tmp = s"${table}__graft_alter"
+        df.selectExpr(exprs.toIndexedSeq: _*)
+          .write.mode("overwrite").saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$table`")
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+        Some(Seq((table, colName, "added")).toDF("table_name", "column_name", "status"))
+      case _ => None
+    }
+
   private val CreatePartHeadRe =
     """(?is)^create\s+table\s+(if\s+not\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*\(""".r
   private val AlterAddPartRe =
@@ -1150,7 +1190,7 @@ object GraftSql {
 
   private val CreateIndexRe =
     ("""(?is)^create\s+index\s+(`?\w+`?)\s+using\s+(ivfflat|hnsw|ivfpq)\s+""" +
-      """on\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(.*)$""").r
+      """on\s+`?([A-Za-z_]\w*)`?\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s*(.*)$""").r
   /** Unquoted reserved words are a parse error in the reference
     * (`vector_index.result`: `create index add using ivfflat` fails,
     * backticked it works). The regex accepts both; reject bare keywords.
@@ -1247,7 +1287,17 @@ object GraftSql {
           graft.plans.HnswIndex.drop(n)
           graft.plans.IvfPqIndex.drop(n)
         }
-        Some(Seq((name, if (dropped.nonEmpty) "dropped" else "not found"))
+        // fulltext indexes drop by the same statement (fulltext1.sql:11
+        // `drop index fdx_01 on articles` then recreates the same columns)
+        var ftDropped = false
+        table.foreach { t =>
+          val key = ftKey(spark, t)
+          ftIndexCols.get(key).foreach { idxs =>
+            val kept = idxs.filterNot(_._1.equalsIgnoreCase(name))
+            if (kept.size != idxs.size) { ftDropped = true; ftIndexCols.put(key, kept) }
+          }
+        }
+        Some(Seq((name, if (dropped.nonEmpty || ftDropped) "dropped" else "not found"))
           .toDF("index_name", "status"))
       case _ => None
     }
@@ -1590,9 +1640,56 @@ object GraftSql {
     * 0 for non-matches), a `score IS NOT NULL` predicate in boolean
     * contexts (MySQL's "relevance > 0" WHERE semantics).
     */
+  /** Split on top-level `UNION [ALL|DISTINCT]` / `INTERSECT` / `EXCEPT`
+    * (outside quotes and parens): returns alternating segment/separator
+    * pieces, segments at even indexes.
+    */
+  private def splitSetOps(q: String): Seq[String] = {
+    val SetOp = """(?i)^(union|intersect|except|minus)(\s+(all|distinct))?\b""".r
+    val out = Seq.newBuilder[String]
+    var depth = 0; var quote: Char = 0; var segStart = 0; var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (quote != 0) { if (c == quote && (i == 0 || q(i - 1) != '\\')) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (i == 0 || !q(i - 1).isLetterOrDigit && q(i - 1) != '_')) {
+        SetOp.findFirstMatchIn(q.substring(i)) match {
+          case Some(m) =>
+            out += q.substring(segStart, i)
+            out += m.matched
+            i += m.matched.length
+            segStart = i
+          case None => i += 1
+        }
+      } else i += 1
+    }
+    out += q.substring(segStart)
+    out.result()
+  }
+
   private def matchRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    if (MatchRe.findFirstIn(q).isEmpty) return None
+    // a top-level set operation rewrites each branch independently —
+    // every branch's score joins splice into its OWN FROM
+    // (fulltext1.sql: `select ... match(...) union select ... match(...)`)
+    val parts = splitSetOps(q)
+    if (parts.length > 1) {
+      val rewritten = parts.zipWithIndex.map { case (p, i) =>
+        if (i % 2 == 1 || MatchRe.findFirstIn(p).isEmpty) p
+        else matchText(spark, p)
+      }.mkString(" ")
+      return Some(spark.sql(rewritten))
+    }
+    Some(spark.sql(matchText(spark, q)))
+  }
+
+  /** Rewrite one MATCH-bearing SELECT into plain Spark SQL text (score
+    * views created as a side effect).
+    */
+  private def matchText(spark: SparkSession, q: String): String = {
     val hits = MatchRe.findAllMatchIn(q).toList
-    if (hits.isEmpty) return None
 
     val from = FromRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException("MATCH(): single-table FROM required"))
@@ -1628,12 +1725,18 @@ object GraftSql {
             s"UNSUPPORTED_FEATURE: fulltext parser '$other' on the SQL MATCH surface")
         }
       }.getOrElse("simple")
-      // key the cached postings index by the table's resolved plan, not
-      // just its name — the same view name over different data must not
-      // hit a stale index
-      val planKey = spark.table(table).queryExecution.analyzed.semanticHash()
+      // key the cached postings index by the table's resolved plan AND
+      // its current file snapshot — the same name recreated (or INSERTed
+      // into) must not hit a stale index. File listing is driver-side
+      // metadata the file index already caches; at 100 TB this is the
+      // same freshness check every query's scan planning performs.
+      val tbl0 = spark.table(table)
+      val planKey = tbl0.queryExecution.analyzed.semanticHash()
+      val dataKey =
+        try tbl0.inputFiles.sorted.mkString("|").hashCode
+        catch { case _: Exception => 0 }
       val scores = Bm25.matchAgainstMulti(spark.table(table), pk, textCols, query,
-          booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey",
+          booleanMode = bool, cacheKey = s"$table#${textCols.mkString(",")}#$planKey#$dataKey",
           algo = sessionAlgo(spark), tokenizer = tokenizer)
         .withColumnRenamed("doc_id", "__ft_id")
       val v = s"_graft_ft_${viewSeq.incrementAndGet()}"
@@ -1669,7 +1772,6 @@ object GraftSql {
       .replaceFirst("(?is)^\\s*select\\s+\\*", s"SELECT $tblRef.*")
     val from2 = FromRe.findFirstMatchIn(replaced).get
     val fromEnd = from2.start + from2.matched.length
-    val rewritten = replaced.substring(0, fromEnd) + joins + replaced.substring(fromEnd)
-    Some(spark.sql(rewritten))
+    replaced.substring(0, fromEnd) + joins + replaced.substring(fromEnd)
   }
 }

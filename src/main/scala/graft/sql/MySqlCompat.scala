@@ -821,11 +821,34 @@ object MySqlCompat {
   // (func_datetime_extract.result) — operands are simple (no parens)
   private val ExtractCompositeRe =
     """(?i)\bextract\s*\(\s*(year_month|day_hour|day_minute|day_second|hour_minute|hour_second|minute_second)\s+from\s+([^()]*?)\s*\)""".r
+  // EXTRACT has no MICROSECOND field in Spark; the function form does.
+  // The operand may be an arbitrary expression — scan to the balanced
+  // close paren.
+  private val ExtractMicroRe =
+    """(?i)\bextract\s*\(\s*microsecond\s+from\s+""".r
+  private def extractMicro(q0: String): String = {
+    var s = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      ExtractMicroRe.findFirstMatchIn(s).foreach { m =>
+        val open = s.indexOf('(', m.start)
+        val close = closeOf(s, open)
+        if (close > 0) {
+          val operand = s.substring(m.end, close)
+          s = s.substring(0, m.start) + s"microsecond($operand)" +
+            s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    s
+  }
   private[graft] def extractComposite(q: String): String =
     if (!q.toLowerCase.contains("extract")) q
-    else ExtractCompositeRe.replaceAllIn(q, m =>
+    else extractMicro(ExtractCompositeRe.replaceAllIn(q, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"mo_extract('${m.group(1)}', ${m.group(2)})"))
+        s"mo_extract('${m.group(1)}', ${m.group(2)})")))
 
   // CAST(TIMEDIFF(…) AS CHAR) renders TIME(6) with its fraction
   // (func_datetime_timediff.result) — route to the scale-6 wrapper
@@ -845,6 +868,35 @@ object MySqlCompat {
   private[graft] def mysqlEscapes(q: String): String =
     if (!q.contains("\\u")) q else UnknownEscapeRe.replaceAllIn(q, "u")
 
+  // MO's CROSS/OUTER APPLY over a table function (join/apply.result) —
+  // Spark's LATERAL subquery join is the same correlated apply
+  private val ApplyRe =
+    """(?i)\b(cross|outer)\s+apply\s+(\w+\s*\((?:[^()]|\([^()]*\))*\))\s*(?:as\s+)?(\w+)?""".r
+  private[graft] def applyJoin(q: String): String =
+    if (!q.toLowerCase.contains("apply")) q
+    else ApplyRe.replaceAllIn(q, m => {
+      // plain JOIN … ON true keeps TVF operands (unnest) on the
+      // existing lateral-TVF path in unnestTvf
+      val join =
+        if (m.group(1).equalsIgnoreCase("outer")) "LEFT JOIN"
+        else "JOIN"
+      val alias = if (m.group(3) == null) "" else s" ${m.group(3)}"
+      java.util.regex.Matcher.quoteReplacement(
+        s"$join ${m.group(2)}$alias ON true")
+    })
+
+  // MO's ANN execution hint `LIMIT k by rank [with option 'mode=pre']`
+  // (reference pkg/sql/parsers/tree/select.go; vector/vector_ivf_mode
+  // BVT) picks the index's pre/post/force filter strategy — the result
+  // set is the same ordered top-k either way, so the suffix is purely
+  // physical and drops before parsing
+  private val ByRankRe =
+    """(?i)(\blimit\s+\d+(?:\s*,\s*\d+|\s+offset\s+\d+)?)\s+by\s+rank(?:\s+with\s+option\s+'[^']*')?""".r
+  private[graft] def byRank(q: String): String =
+    if (!q.toLowerCase.contains("by rank")) q
+    else ByRankRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1)))
+
   // GET_FORMAT(DATE, 'USA') — the unit is a bare keyword in MySQL's
   // grammar (func_datetime_get_format.result); quote it for Spark
   private val GetFormatRe =
@@ -862,6 +914,6 @@ object MySqlCompat {
 
   def pre(q: String): String =
     mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
-      plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
-        intervalUnits(groupConcat(unnestTvf(intervalFn(q))))))))))))))
+      applyJoin(plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
+        intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(q))))))))))))))))
 }
