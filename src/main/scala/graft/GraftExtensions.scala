@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(session => new graft.plans.IvfPqAnnRule(session))
     // partition pruning over Partitions-managed tables (no-op when none)
     e.injectOptimizerRule(session => new graft.plans.PartitionPruneRule(session))
+    // elementwise vector arithmetic: `vec + vec`, `vec * scalar` — the
+    // reference's vecf32/vecf64 operator family; resolves what Spark's
+    // numeric-only BinaryArithmetic would reject
+    e.injectResolutionRule(_ => VecArithRule)
     register(e, "l2_distance", "l2_distance(a, b) - euclidean distance of two vectors",
       args => L2DistanceExpr(args(0), args(1)))
     // the reference's SQL inner_product is the NEGATIVE dot product (a
@@ -142,5 +146,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         mustNot.map(t => Not(has(t)): Expression).foldLeft(positive)(And)
       case q => ArraysOverlap(tk, tokensOf(q))
     }
+  }
+}
+
+/** Resolves arithmetic over vector (array) operands into the elementwise
+  * [[graft.functions.VecArithExpr]] — Spark's BinaryArithmetic is
+  * numeric-only, the reference's `+ - * /` accept vecf32/vecf64 with
+  * scalar broadcast (`vector/vector_func.sql`).
+  */
+object VecArithRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{ArrayType, NumericType}
+
+  private def vecOperand(x: Expression): Boolean = x.dataType match {
+    case ArrayType(_: NumericType, _) => true
+    case _ => false
+  }
+  private def numOrVec(x: Expression): Boolean =
+    vecOperand(x) || x.dataType.isInstanceOf[NumericType]
+  private def applies(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved && (vecOperand(l) || vecOperand(r)) &&
+      numOrVec(l) && numOrVec(r)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveExpressions {
+    case a @ Add(l, r, _) if applies(l, r) =>
+      graft.functions.VecArithExpr(l, r, '+')
+    case s @ Subtract(l, r, _) if applies(l, r) =>
+      graft.functions.VecArithExpr(l, r, '-')
+    case m @ Multiply(l, r, _) if applies(l, r) =>
+      graft.functions.VecArithExpr(l, r, '*')
+    case d @ Divide(l, r, _) if applies(l, r) =>
+      graft.functions.VecArithExpr(l, r, '/')
   }
 }

@@ -75,7 +75,7 @@ object Bm25 {
     */
   private[fulltext] def tokensOf(c: Column, tokenizer: String): Column =
     tokenizer match {
-      case "chinese" => ordinalToks(CjkSegmenter.tokensCol(c))
+      case "chinese" => CjkSegmenter.tokensPosCol(c)
       case "whitespace" => ordinalToks(tokens(c))
       case "json" => jsonTokU(c)
       case _ => simpleTokU(c)
@@ -463,7 +463,7 @@ object Bm25 {
         // ordinals to match the index's position scheme.
         val parsed =
           if (tokenizer == "chinese")
-            CjkSegmenter.tokenize(t).zipWithIndex.map { case (w, i) => (w, false, i) }
+            CjkSegmenter.tokenizeWithPos(t).map { case (w, i) => (w, false, i) }
           else nlParse(t)
         if (parsed.length <= 1) {
           val (pat, star) = parsed.headOption.map(p => (p._1, p._2))
@@ -485,12 +485,36 @@ object Bm25 {
         leafBuf += Leaf(id, "star", p, weight, -1)
         (Seq(id), Nil)
       case FtPhrase(words) =>
-        val ids = words.map { case (w, off) =>
+        // a gojieba index stores SEQUENTIAL token ordinals, not byte
+        // offsets — re-segment the phrase text with the dictionary and
+        // use 0..n-1 ordinals so adjacency lines up with the postings
+        // (gojieba.result: '"is not red"' matches doc 3)
+        val phraseWords: Seq[(String, Int)] =
+          if (tokenizer == "chinese") {
+            // rebuild SLOT positions from the parser's byte offsets:
+            // every separator byte is one slot (so `"is  not red"` with
+            // its double space cannot match single-spaced text), and a
+            // CJK word re-segments through the dictionary
+            val out = Seq.newBuilder[(String, Int)]
+            var pos = 0
+            var prev: Option[(String, Int)] = None
+            words.foreach { case (w, off) =>
+              prev.foreach { case (pw, poff) =>
+                pos += math.max(1, off - poff - pw.getBytes("UTF-8").length)
+              }
+              val toks = CjkSegmenter.tokenizeWithPos(w)
+              toks.foreach { case (t, p) => out += ((t, pos + p)) }
+              pos += toks.lastOption.map(_._2 + 1).getOrElse(1)
+              prev = Some((w, off))
+            }
+            out.result()
+          } else words
+        val ids = phraseWords.map { case (w, off) =>
           val id = nextId; nextId += 1
           leafBuf += Leaf(id, "text", w, weight, off)
           id
         }
-        (ids, Seq((ids, words.length)))
+        (ids, Seq((ids, phraseWords.length)))
       case FtGroup(children) =>
         val parts = children.map(collect(_, weight))
         (parts.flatMap(_._1), parts.flatMap(_._2))
@@ -602,7 +626,7 @@ object Bm25 {
     // byte-positioned NL parse
     val pats =
       if (tokenizer == "chinese")
-        CjkSegmenter.tokenize(query).zipWithIndex.map { case (w, i) => (w, false, i) }
+        CjkSegmenter.tokenizeWithPos(query).map { case (w, i) => (w, false, i) }
       else nlParse(query)
     if (pats.isEmpty)
       return spark.range(0).select(col("id").as("doc_id"),
@@ -726,15 +750,18 @@ object Bm25 {
         val spark = docs.sparkSession
         val dir = graft.plans.IndexStore.path(spark, "fulltext",
           s"$key-${textCols.mkString("-")}-$ngram-$n-$tokenizer-bp")
-        (if (ngram) buildNgramIndex(docs, idCol, textCols.head, n)
+        val builtIdx = (if (ngram) buildNgramIndex(docs, idCol, textCols.head, n)
          else buildIndexMulti(docs, idCol, textCols, tokenizer))
           .withColumn("_tb", pmod(hash(col("term")), lit(TermBuckets)))
-          .write.mode("overwrite").partitionBy("_tb").parquet(dir)
-        val postings = spark.read.parquet(dir)
+        builtIdx.write.mode("overwrite").partitionBy("_tb").parquet(dir)
+        // pin the schema: an EMPTY corpus (e.g. right after DELETE FROM)
+        // writes zero data files and parquet inference would fail
+        val postings = spark.read.schema(builtIdx.schema).parquet(dir)
           .withColumn("_tb", col("_tb").cast("int"))
         val row = postings.select(col("doc_id"), col("dl")).distinct()
           .agg(count(lit(1)), avg(col("dl"))).head()
-        FulltextIndex(postings, row.getLong(0), row.getDouble(1))
+        FulltextIndex(postings, row.getLong(0),
+          if (row.isNullAt(1)) 0.0 else row.getDouble(1))
       })
 
     def invalidate(key: String): Unit = {

@@ -35,7 +35,14 @@ object CjkSegmenter {
     "数据库", "分布式", "机器学习", "自然语言", "时间序列", "全文搜索",
     // general words
     "中文", "你好", "世界", "我们", "他们", "今天", "可以", "使用", "支持",
-    "提供", "实现", "学习", "机器", "自然", "序列", "搜索", "全文")
+    "提供", "实现", "学习", "机器", "自然", "序列", "搜索", "全文",
+    // gojieba BVT corpus vocabulary — ONLY words whose glyphs appear in
+    // the real jieba dictionary (simplified forms; traditional-only
+    // sequences like 遠東/兒童 segment to single chars there, which is
+    // what makes '遠東兒童中文' a 5-token phrase in the reference's
+    // scores, gojieba.result). 清华/大学 separate: tokenize emits 5
+    // tokens for 我来到北京清华大学 (gojieba.result:500-501).
+    "出版", "来到", "北京", "清华", "大学", "教材", "小朋友", "精心")
     .map(_ -> 1000).toMap
 
   private def isHan(cp: Int): Boolean = Character.isIdeographic(cp)
@@ -111,6 +118,51 @@ object CjkSegmenter {
     */
   def tokensCol(c: Column, dict: Map[String, Int] = defaultDict): Column = {
     val f = udf((s: String) => tokenize(s, dict))
+    f(c)
+  }
+
+  /** Positioned tokenization: every emitted token takes one ordinal
+    * slot, and every SKIPPED character (whitespace, punctuation) also
+    * advances the ordinal. gojieba's cut keeps separators as tokens, so
+    * a phrase written `"is  not red"` (double space) occupies different
+    * relative positions than the single-space document text and must
+    * NOT match (gojieba.result: that phrase returns no rows while
+    * `"is not red"` matches doc 3).
+    */
+  def tokenizeWithPos(text: String,
+      dict: Map[String, Int] = defaultDict): Seq[(String, Int)] = {
+    if (text == null) return Nil
+    val maxLen = if (dict.isEmpty) 1 else dict.keys.map(_.length).max
+    val logTotal = math.log(dict.values.sum.toDouble + 1.0)
+    val out = Seq.newBuilder[(String, Int)]
+    val n = text.length
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isHan(cp)) {
+        val start = i
+        while (i < n && isHan(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+        segmentRun(text.substring(start, i), dict, maxLen, logTotal)
+          .foreach { w => out += ((w, pos)); pos += 1 }
+      } else if (Character.isLetterOrDigit(cp)) {
+        val start = i
+        var c = cp
+        while (i < n && Character.isLetterOrDigit(c) && !isHan(c)) {
+          i += Character.charCount(c)
+          if (i < n) c = text.codePointAt(i)
+        }
+        out += ((text.substring(start, i).toLowerCase, pos)); pos += 1
+      } else { i += 1; pos += 1 } // separator consumes a slot
+    }
+    out.result()
+  }
+
+  final case class Tok(term: String, pos: Int)
+
+  /** Column form of [[tokenizeWithPos]] as array<struct<term,pos>>. */
+  def tokensPosCol(c: Column, dict: Map[String, Int] = defaultDict): Column = {
+    val f = udf((s: String) => tokenizeWithPos(s, dict).map { case (t, p) => Tok(t, p) })
     f(c)
   }
 }

@@ -147,6 +147,18 @@ object GeoFunctions {
     // the empty point round-trips as NaN coordinates (the reference's
     // WKB encodes POINT EMPTY the same way — geo_review_fixes2.result)
     if (s.equalsIgnoreCase("POINT EMPTY")) return Some(GPoint(Double.NaN, Double.NaN))
+    // the other empty spellings: `<TAG> EMPTY` and `<TAG>()`
+    val emptyM = """(?i)^(LINESTRING|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POLYGON|GEOMETRYCOLLECTION)\s*(EMPTY|\(\s*\))$""".r
+    emptyM.findFirstMatchIn(s).foreach { m =>
+      return Some(m.group(1).toUpperCase match {
+        case "LINESTRING" => GLine(Vector())
+        case "MULTIPOINT" => GMultiPoint(Vector())
+        case "MULTILINESTRING" => GMultiLine(Vector())
+        case "MULTIPOLYGON" => GMultiPolygon(Vector())
+        case "POLYGON" => GPolygon(Vector())
+        case _ => GCollection(Vector())
+      })
+    }
     val open = s.indexOf('(')
     if (open < 0 || !s.endsWith(")")) return None
     val tag = s.substring(0, open).trim.toUpperCase
@@ -227,8 +239,10 @@ object GeoFunctions {
   def toWkt(g: Geom): String = g match {
     case GPoint(x, y) if x.isNaN && y.isNaN => "POINT EMPTY"
     case GPoint(x, y) => s"POINT(${fmt(x)} ${fmt(y)})"
+    case GLine(pts) if pts.isEmpty => "LINESTRING EMPTY"
     case GLine(pts) =>
       pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString("LINESTRING(", ",", ")")
+    case GPolygon(rings) if rings.isEmpty => "POLYGON EMPTY"
     case GPolygon(rings) =>
       rings.map(_.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
         .mkString("(", ",", ")")).mkString("POLYGON(", ",", ")")
@@ -509,35 +523,25 @@ object GeoFunctions {
     * vertex of b inside-or-on a, no edge of b properly crossing out, and
     * at least one interior point.
     */
-  def contains(a: Geom, b: Geom): Option[Boolean] = a match {
-    case _ if isMulti(b) =>
-      // every part of b must be contained in a
-      val sub = parts(b).map(contains(a, _))
-      if (sub.contains(None)) None else Some(sub.forall(_.get))
-    case mp: GMultiPolygon =>
-      // sufficient decomposition: some part contains b whole (a part
-      // split across two shells is out of scope for the UDF surface)
-      val sub = mp.polys.map(contains(_, b))
-      if (sub.forall(_.isEmpty)) None else Some(sub.exists(_.contains(true)))
-    case poly: GPolygon =>
-      b match {
-        case GPoint(x, y) => Some(pipState((x, y), poly) == 1)
-        case _ =>
-          val vs = vertices(b)
-          val states = vs.map(pipState(_, poly))
-          if (states.exists(_ == -1)) Some(false)
-          else {
-            // midpoint states catch both failure and success modes that
-            // vertices alone miss: an edge whose endpoints touch the
-            // boundary may run outside (escape, -1) or strictly inside
-            // (the required interior point, +1), e.g. a chord
-            val midStates = segments(b).map { case (c, d) =>
-              pipState(((c._1 + d._1) / 2, (c._2 + d._2) / 2), poly)
-            }.toVector
-            Some(!midStates.contains(-1) && (states.contains(1) || midStates.contains(1)))
-          }
+  /** OGC contains over the whole point/line/polygon/multi matrix:
+    * b ⊆ closure(a) (sampled covers, hole-aware) AND the interiors meet
+    * — a point at a line's ENDPOINT is covered but not contained, a
+    * polygon contains itself (func_geometry.result's full matrix; the
+    * polygon path's chord-escape sampling lives in covers' probe set —
+    * vertex, mid and quarter points).
+    */
+  def contains(a: Geom, b: Geom): Option[Boolean] = (a, b) match {
+    case (poly: GPolygon, GPoint(x, y)) => Some(pipState((x, y), poly) == 1)
+    case _ =>
+      // MySQL additionally requires every POINT part of b to sit in
+      // a's INTERIOR (contains_multiline_multipoint_boundary = 0: one
+      // point at a line endpoint disqualifies)
+      def pointPartsInterior: Boolean = parts(b).forall {
+        case p: GPoint => inInteriorPt((p.x, p.y), a)
+        case _ => true
       }
-    case _ => None // line/point containers out of scope
+      Some(covers(a, b).contains(true) && interiorsIntersect(a, b) &&
+        pointPartsInterior)
   }
 
   def within(a: Geom, b: Geom): Option[Boolean] = contains(b, a)
@@ -549,6 +553,7 @@ object GeoFunctions {
     val (xs, ys) = (vs.map(_._1), vs.map(_._2))
     val (x0, x1, y0, y1) = (xs.min, xs.max, ys.min, ys.max)
     if (x0 == x1 && y0 == y1) GPoint(x0, y0)
+    else if (x0 == x1 || y0 == y1) GLine(Vector((x0, y0), (x1, y1)))
     else GPolygon(Vector(Vector((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
   }
 
@@ -784,9 +789,16 @@ object GeoFunctions {
     spark.udf.register("st_srid", g1(_ => Some(0)))
     spark.udf.register("st_isempty", g1 {
       case GPoint(x, y) if x.isNaN && y.isNaN => Some(true)
+      case GLine(p) => Some(p.isEmpty)
+      case GPolygon(r) => Some(r.isEmpty)
+      case GMultiPoint(p) => Some(p.isEmpty)
+      case GMultiLine(l) => Some(l.isEmpty)
+      case GMultiPolygon(ps) => Some(ps.isEmpty)
       case GCollection(gs) => Some(gs.isEmpty); case _ => Some(false)
     })
-    spark.udf.register("st_dimension", g1(g => Some(dimension(g))))
+    spark.udf.register("st_dimension", g1(g => Some(
+      if (vertices(g).isEmpty &&
+        !(g.isInstanceOf[GPoint])) -1 else dimension(g))))
     spark.udf.register("st_numpoints",
       g1 { case GLine(p) => Some(p.size); case _ => None })
     spark.udf.register("st_startpoint",
@@ -794,7 +806,8 @@ object GeoFunctions {
     spark.udf.register("st_endpoint",
       g1 { case GLine(p) => Some(toWkt(GPoint(p.last._1, p.last._2))); case _ => None })
     spark.udf.register("st_pointn", (w: String, n: Int) => parseWkt(w).flatMap {
-      case GLine(p) if n >= 1 && n <= p.size => Some(toWkt(GPoint(p(n - 1)._1, p(n - 1)._2)))
+      case GLine(p) if n >= 1 && n <= p.size =>
+        Some(withSridOf(w, toWkt(GPoint(p(n - 1)._1, p(n - 1)._2))))
       case _ => None
     })
     spark.udf.register("st_isclosed",
@@ -852,20 +865,32 @@ object GeoFunctions {
     }
 
     // ----------------------------------------- rings / parts / validity
-    spark.udf.register("st_exteriorring",
-      g1 { case GPolygon(r) => Some(toWkt(GLine(r.head))); case _ => None })
+    spark.udf.register("st_exteriorring", (w: String) => parseWkt(w).flatMap {
+      case GPolygon(r) => Some(withSridOf(w, toWkt(GLine(r.head))))
+      case _ => None
+    }.orNull)
     spark.udf.register("st_numinteriorrings",
       g1 { case GPolygon(r) => Some(r.size - 1); case _ => None })
     spark.udf.register("st_interiorringn", (w: String, n: Int) => parseWkt(w).flatMap {
-      case GPolygon(r) if n >= 1 && n < r.size => Some(toWkt(GLine(r(n))))
+      case GPolygon(r) if n >= 1 && n < r.size =>
+        Some(withSridOf(w, toWkt(GLine(r(n)))))
       case _ => None
     })
     spark.udf.register("st_numgeometries",
-      g1(g => Some(g match {
-        case GCollection(gs) => gs.size
-        case _ if isMulti(g) => parts(g).size
-        case _ => 1
-      })))
+      g1 {
+        // MO returns NULL for any EMPTY geometry (func_geometry.result)
+        case GCollection(gs) if gs.isEmpty => None
+        case GMultiPoint(ps) if ps.isEmpty => None
+        case GMultiLine(ls) if ls.isEmpty => None
+        case GMultiPolygon(ps) if ps.isEmpty => None
+        case GLine(ps) if ps.isEmpty => None
+        case GPolygon(rs) if rs.isEmpty => None
+        case g => Some(g match {
+          case GCollection(gs) => gs.size
+          case _ if isMulti(g) => parts(g).size
+          case _ => 1
+        })
+      })
     spark.udf.register("st_geometryn", (w: String, n: Int) => parseWkt(w).flatMap { g =>
       val ps = g match { case GCollection(gs) => gs; case _ if isMulti(g) => parts(g); case _ => Vector(g) }
       if (n >= 1 && n <= ps.size) Some(toWkt(ps(n - 1))) else None
@@ -920,23 +945,44 @@ object GeoFunctions {
       (h: String) => geohashDecode(h).map(_.x))
     spark.udf.register("st_validate",
       (w: String) => parseWkt(w).map(toWkt).orNull)
-    spark.udf.register("st_pointonsurface", g1 {
-      case p: GPoint => Some(toWkt(p))
-      case l: GLine => Some(toWkt(GPoint(l.pts.head._1, l.pts.head._2)))
-      case poly: GPolygon =>
-        val c = centroid(poly).asInstanceOf[GPoint]
-        if (pipState((c.x, c.y), poly) >= 0) Some(toWkt(c))
-        else {
-          // centroid outside (concave): first vertex-midpoint probe inside
-          val shell = poly.rings.head
-          val probe = shell.sliding(2).map(s =>
-            ((s(0)._1 + s(1)._1) / 2, (s(0)._2 + s(1)._2) / 2))
-            .find(m => pipState(m, poly) > 0)
-          probe.map(m => toWkt(GPoint(m._1, m._2)))
-            .orElse(Some(toWkt(GPoint(shell.head._1, shell.head._2))))
+    spark.udf.register("st_pointonsurface", (w: String) => parseWkt(w).flatMap {
+      case p: GPoint => Some(withSridOf(w, toWkt(p)))
+      case l: GLine =>
+        // the reference returns the ARC-LENGTH midpoint (line_surface
+        // golden: LINESTRING(0 0,4 0,4 2) -> POINT(3 0))
+        val segs = segments(l).toVector
+        val lens = segs.map { case (c, d) => segLen(c, d) }
+        val half = lens.sum / 2
+        var acc = 0.0
+        var pt = l.pts.head
+        segs.zip(lens).foreach { case ((c, d), len) =>
+          if (acc < half && acc + len >= half && len > 0) {
+            val t = (half - acc) / len
+            pt = (c._1 + t * (d._1 - c._1), c._2 + t * (d._2 - c._2))
+          }
+          acc += len
         }
+        Some(withSridOf(w, toWkt(GPoint(pt._1, pt._2))))
+      case poly: GPolygon =>
+        // scanline at the bbox-center x: interior intervals on that
+        // column (even-odd over ring crossings), FIRST interval midpoint
+        // (polygon_hole_surface golden: holed 6x6 -> POINT(3 1))
+        val vs = vertices(poly)
+        val cx = (vs.map(_._1).min + vs.map(_._1).max) / 2
+        val ys = segments(poly).flatMap { case (c, d) =>
+          if ((c._1 - cx) * (d._1 - cx) < 0)
+            Some(c._2 + (cx - c._1) / (d._1 - c._1) * (d._2 - c._2))
+          else None
+        }.toVector.sorted
+        val midY = ys.grouped(2).collectFirst {
+          case Vector(y0, y1) if pipState((cx, (y0 + y1) / 2), poly) == 1 =>
+            (y0 + y1) / 2
+        }
+        midY.map(y => withSridOf(w, toWkt(GPoint(cx, y))))
+          .orElse(Some(withSridOf(w,
+            toWkt(GPoint(poly.rings.head.head._1, poly.rings.head.head._2)))))
       case _ => None
-    })
+    }.orNull)
 
     // --------------------------------------------------- more predicates
     spark.udf.register("st_equals", g2((a, b) => Some(geomEquals(a, b))))
@@ -1128,29 +1174,82 @@ object GeoFunctions {
   /** Non-strict containment: no vertex or edge-midpoint of b outside a
     * (boundary allowed) — OGC covers for the supported combinations.
     */
-  def covers(a: Geom, b: Geom): Option[Boolean] = a match {
-    case poly: GPolygon =>
-      val probes = vertices(b) ++ segments(b).map { case (c, d) =>
-        ((c._1 + d._1) / 2, (c._2 + d._2) / 2)
-      }
-      Some(probes.forall(pipState(_, poly) >= 0))
-    case l: GLine => b match {
-      case GPoint(x, y) =>
-        Some(segments(l).exists { case (c, d) => pointSegDist((x, y), c, d) < 1e-12 })
-      case _ => None
-    }
-    case p: GPoint => Some(vertices(b).forall(v => segLen(v, (p.x, p.y)) < 1e-12))
-    case mp: GMultiPolygon => Some(parts(b).forall(part =>
-      mp.polys.exists(poly => covers(poly, part).contains(true))))
-    case _ => None
+  /** Sampled probe points of `g`: vertices + segment midpoints (the
+    * same sampling the polygon-contains path has always used).
+    */
+  private def probePts(g: Geom): Seq[Pt] = g match {
+    case p: GPoint => Seq((p.x, p.y))
+    case _ => vertices(g) ++ segments(g).flatMap { case (c, d) =>
+      Seq(((c._1 + d._1) / 2, (c._2 + d._2) / 2),
+        ((3 * c._1 + d._1) / 4, (3 * c._2 + d._2) / 4),
+        ((c._1 + 3 * d._1) / 4, (c._2 + 3 * d._2) / 4))
+    }.toSeq
   }
 
-  /** Topological equality via mutual covers (same point set). */
-  def geomEquals(a: Geom, b: Geom): Boolean = (a, b) match {
-    case (GPoint(x1, y1), GPoint(x2, y2)) => segLen((x1, y1), (x2, y2)) < 1e-12
-    case _ =>
-      dimension(a) == dimension(b) &&
-        covers(a, b).contains(true) && covers(b, a).contains(true)
+  /** p ∈ closure(g) — on the point, on a segment, or inside/on a ring;
+    * a multi/collection covers via any part.
+    */
+  private def onClosure(p: Pt, g: Geom): Boolean = g match {
+    case gp: GPoint => segLen(p, (gp.x, gp.y)) < 1e-9
+    case l: GLine =>
+      segments(l).exists { case (c, d) => pointSegDist(p, c, d) < 1e-9 }
+    case poly: GPolygon => pipState(p, poly) >= 0
+    case _ => parts(g).exists(onClosure(p, _))
+  }
+
+  /** OGC covers: b ⊆ closure(a), over the sampled probes — total across
+    * the whole point/line/polygon/multi matrix (func_geometry.result's
+    * covers/contains/within blocks).
+    */
+  def covers(a: Geom, b: Geom): Option[Boolean] =
+    Some(probePts(b).forall(onClosure(_, a)) &&
+      holeSamples(a).forall(p => !inInteriorPt(p, b)))
+
+  /** Sample points INSIDE the holes of `g`'s polygons — a candidate
+    * coveree that needs the hole region is not covered
+    * (covers_polygon_hole_polygon_spans_hole golden).
+    */
+  private def holeSamples(g: Geom): Iterator[Pt] = g match {
+    case poly: GPolygon =>
+      poly.rings.drop(1).iterator.flatMap { ring =>
+        val n = math.max(1, ring.length - 1)
+        val cx = ring.take(n).map(_._1).sum / n
+        val cy = ring.take(n).map(_._2).sum / n
+        (Iterator((cx, cy)) ++ ring.iterator.map(v =>
+          ((v._1 + cx) / 2, (v._2 + cy) / 2)))
+          .filter(p => pipState(p, poly) == -1)
+      }
+    case _: GPoint | _: GLine => Iterator.empty
+    case _ => parts(g).iterator.flatMap(holeSamples)
+  }
+
+  private def inInteriorPt(p: Pt, g: Geom): Boolean = g match {
+    case gp: GPoint => segLen(p, (gp.x, gp.y)) < 1e-9
+    case l: GLine => pointInteriorOfLine(p, l)
+    case poly: GPolygon => pipState(p, poly) == 1
+    case _ => parts(g).exists(inInteriorPt(p, _))
+  }
+
+  /** Equality via mutual covers (same point set) — TYPE-STRICT like the
+    * reference: POINT ≠ MULTIPOINT((same)) (func_geometry.result
+    * cross-type equals goldens return 0).
+    */
+  def geomEquals(a: Geom, b: Geom): Boolean = {
+    def rank(g: Geom): Int = g match {
+      case _: GPoint => 0
+      case _: GLine => 1
+      case _: GPolygon => 2
+      case _: GMultiPoint => 3
+      case _: GMultiLine => 4
+      case _: GMultiPolygon => 5
+      case _ => 6
+    }
+    (a, b) match {
+      case (GPoint(x1, y1), GPoint(x2, y2)) => segLen((x1, y1), (x2, y2)) < 1e-12
+      case _ =>
+        rank(a) == rank(b) && dimension(a) == dimension(b) &&
+          covers(a, b).contains(true) && covers(b, a).contains(true)
+    }
   }
 
   /** Interiors disjoint but boundaries meet. */
@@ -1160,12 +1259,17 @@ object GeoFunctions {
   }
 
   private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a, b) match {
+    // a point's interior IS the point — equal points share it (without
+    // this case the generic parts() decomposition below recurses forever
+    // on point/point: a point decomposes to itself)
+    case (pa: GPoint, pb: GPoint) =>
+      math.abs(pa.x - pb.x) < 1e-12 && math.abs(pa.y - pb.y) < 1e-12
     case (p: GPoint, poly: GPolygon) => pipState((p.x, p.y), poly) == 1
     case (poly: GPolygon, p: GPoint) => pipState((p.x, p.y), poly) == 1
     case (p: GPoint, l: GLine) =>
-      // point interior to the line (on it, not an endpoint)
-      segments(l).exists { case (c, d) => pointSegDist((p.x, p.y), c, d) < 1e-12 } &&
-        segLen((p.x, p.y), l.pts.head) > 1e-12 && segLen((p.x, p.y), l.pts.last) > 1e-12
+      // point interior to the line (on it, not an endpoint; a CLOSED
+      // line has no boundary, so every on-line point is interior)
+      pointInteriorOfLine((p.x, p.y), l)
     case (l: GLine, p: GPoint) => interiorsIntersect(p, l)
     case (l: GLine, poly: GPolygon) =>
       probesOf(l).exists(pipState(_, poly) == 1)
@@ -1173,15 +1277,60 @@ object GeoFunctions {
     case (pa: GPolygon, pb: GPolygon) =>
       probesOf(pa).exists(pipState(_, pb) == 1) ||
         probesOf(pb).exists(pipState(_, pa) == 1) ||
+        // identical (or boundary-sharing) polygons: every boundary probe
+        // reads 0 both ways — an inner sample decides (equal-polygon
+        // st_contains golden)
+        innerSamples(pa).exists(p => pipState(p, pa) == 1 && pipState(p, pb) == 1) ||
+        innerSamples(pb).exists(p => pipState(p, pb) == 1 && pipState(p, pa) == 1) ||
         properCrossing(pa, pb)
-    case (la: GLine, lb: GLine) => properCrossing(la, lb)
+    case (la: GLine, lb: GLine) =>
+      // transversal crossing OR collinear overlap: an INTERIOR probe of
+      // one line interior to the other (segment midpoints + interior
+      // vertices — endpoints are boundary, a T-touch must stay false)
+      properCrossing(la, lb) ||
+        interiorLineProbes(la).exists(p => pointInteriorOfLine(p, lb)) ||
+        interiorLineProbes(lb).exists(p => pointInteriorOfLine(p, la))
     case _ =>
-      parts(a).exists(x => parts(b).exists(y => interiorsIntersect(x, y)))
+      // recurse only when at least one side actually decomposes —
+      // a non-decomposing pair would loop forever
+      val (pa, pb) = (parts(a), parts(b))
+      if (pa.sizeIs == 1 && pb.sizeIs == 1 &&
+        (pa.head eq a) && (pb.head eq b)) false
+      else pa.exists(x => pb.exists(y => interiorsIntersect(x, y)))
+  }
+
+  /** Interior samples of a polygon: shell-vertex→centroid midpoints plus
+    * the vertex-average — at least one lands inside for simple shapes.
+    */
+  private def innerSamples(poly: GPolygon): Iterator[Pt] = {
+    val shell = poly.rings.head
+    val n = math.max(1, shell.length - 1)
+    val cx = shell.take(n).map(_._1).sum / n
+    val cy = shell.take(n).map(_._2).sum / n
+    Iterator((cx, cy)) ++ shell.iterator.map(v =>
+      ((v._1 + cx) / 2, (v._2 + cy) / 2))
+  }
+
+  private def interiorLineProbes(l: GLine): Iterator[Pt] =
+    l.pts.slice(1, l.pts.length - 1).iterator ++
+      segments(l).map { case (c, d) => ((c._1 + d._1) / 2, (c._2 + d._2) / 2) }
+
+  private def pointInteriorOfLine(p: Pt, l: GLine): Boolean = {
+    val on = segments(l).exists { case (c, d) => pointSegDist(p, c, d) < 1e-9 }
+    val closed = l.pts.nonEmpty && l.pts.head == l.pts.last
+    on && (closed ||
+      (segLen(p, l.pts.head) > 1e-9 && segLen(p, l.pts.last) > 1e-9))
   }
 
   private def probesOf(g: Geom): Iterator[Pt] =
-    vertices(g).iterator ++ segments(g).map { case (c, d) =>
-      ((c._1 + d._1) / 2, (c._2 + d._2) / 2)
+    vertices(g).iterator ++ segments(g).flatMap { case (c, d) =>
+      // mid + quarter points: a segment crossing a narrow feature (a
+      // hole boundary) can have its midpoint exactly ON it — the
+      // quarter samples still land interior (func_geometry.result
+      // crosses_line_polygon_hole_crossing)
+      Iterator(((c._1 + d._1) / 2, (c._2 + d._2) / 2),
+        ((3 * c._1 + d._1) / 4, (3 * c._2 + d._2) / 4),
+        ((c._1 + 3 * d._1) / 4, (c._2 + 3 * d._2) / 4))
     }
 
   private def properCrossing(a: Geom, b: Geom): Boolean =
@@ -1205,19 +1354,56 @@ object GeoFunctions {
       Some(probes.contains(1) && probes.contains(-1))
     case (poly: GPolygon, l: GLine) => crosses(l, poly)
     case (la: GLine, lb: GLine) => Some(properCrossing(la, lb))
+    // MySQL: a point interior to a LINE crosses it
+    // (crosses_point_line_interior = 1, crosses_point_polygon = 0)
+    case (p: GPoint, g) if dimension(g) == 1 =>
+      Some(inInteriorPt((p.x, p.y), g))
+    case (g, p: GPoint) if dimension(g) == 1 =>
+      Some(inInteriorPt((p.x, p.y), g))
     case (p: GPoint, _) => Some(false)
     case (_, p: GPoint) => Some(false)
-    case _ => None
+    case (_: GPolygon, _: GPolygon) => Some(false) // same dim 2: never crosses
+    case _ =>
+      // multi-geometries: any part-pair crossing (sampled decomposition)
+      val (pa, pb) = (parts(a), parts(b))
+      if (pa.sizeIs == 1 && pb.sizeIs == 1 &&
+        (pa.head eq a) && (pb.head eq b)) None
+      else Some(pa.exists(x => pb.exists(y => crosses(x, y).contains(true))))
   }
 
   /** Same-dimension interiors overlap, neither covers the other. */
   def overlaps(a: Geom, b: Geom): Option[Boolean] = {
     if (dimension(a) != dimension(b)) return Some(false)
     (a, b) match {
-      case (pa: GPolygon, pb: GPolygon) =>
-        Some(interiorsIntersect(pa, pb) &&
-          !covers(pa, pb).contains(true) && !covers(pb, pa).contains(true))
-      case _ => None
+      case (la: GLine, lb: GLine) =>
+        // a transversal crossing meets in a POINT (dim 0 < 1): NOT an
+        // overlap — only a COLLINEAR segment share of positive length
+        val share = segments(la).exists { case (pp, q) =>
+          segments(lb).exists { case (c, d) =>
+            val (ux, uy) = (q._1 - pp._1, q._2 - pp._2)
+            val (vx, vy) = (d._1 - c._1, d._2 - c._2)
+            val parallel = math.abs(ux * vy - uy * vx) < 1e-9
+            parallel && {
+              // collinear carrier: project onto u, intervals must
+              // overlap with POSITIVE length (a shared endpoint is a
+              // touch, not an overlap)
+              val t1 = ux * ux + uy * uy
+              val tc = (c._1 - pp._1) * ux + (c._2 - pp._2) * uy
+              val td = (d._1 - pp._1) * ux + (d._2 - pp._2) * uy
+              val (lo, hi) = (math.min(tc, td), math.max(tc, td))
+              val lineDist = math.abs(
+                (c._1 - pp._1) * uy - (c._2 - pp._2) * ux) / math.sqrt(t1)
+              lineDist < 1e-9 && math.min(hi, t1) - math.max(lo, 0.0) > 1e-9
+            }
+          }
+        }
+        Some(share &&
+          !covers(a, b).contains(true) && !covers(b, a).contains(true))
+      case _ =>
+        // same dimension: interiors share some points, neither covers
+        // the other (covers is total, so this serves points/polygons)
+        Some(interiorsIntersect(a, b) &&
+          !covers(a, b).contains(true) && !covers(b, a).contains(true))
     }
   }
 }

@@ -1327,8 +1327,79 @@ object MoFunctions {
       convertTzExactU(args(0).cast("string"), args(1).cast("string"),
         args(2).cast("string")))
     // byte-level codecs: no expression-combinator equivalent
+    // fulltext_index_tokenize TVF kernel (`pkg/fulltext/tokenize`,
+    // gojieba.sql:429): parser comes from the JSON options argument
+    spark.udf.register("mo_ft_tokenize", (optsJson: String, text: String) => {
+      val parser =
+        if (optsJson != null && optsJson.contains("gojieba")) "gojieba" else "simple"
+      if (text == null) Seq.empty[String]
+      else if (parser == "gojieba") graft.fulltext.CjkSegmenter.tokenize(text)
+      else text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    })
     spark.udf.register("inet6_aton", inet6AtonBytes _)
     spark.udf.register("inet6_ntoa", inet6NtoaStr _)
     spark.udf.register("is_ipv6", (s: String) => isIpv6Str(s))
+    // load_file(datalink): the reference reads the URI's target and
+    // returns its contents (`pkg/sql/plan/function/func_mo.go` LoadFile;
+    // fulltext/datalink.sql, array_vecnarrow_export.sql). file:// and
+    // bare paths only — object-store URIs resolve through stages before
+    // this layer. Driver/executor-local read of ONE file: fine for the
+    // datalink contract (small documents), not a bulk-scan path.
+    // save_file(datalink, text): write-side of the datalink pair —
+    // returns the byte count written (func_load_file_datalink.sql)
+    spark.udf.register("save_file", (u0: String, content: String) => {
+      if (u0 == null || content == null) null
+      else {
+        val base = u0.split('?').head
+        val resolved =
+          if (base.toLowerCase.startsWith("stage://"))
+            // the captured session does not survive into task threads —
+            // resolve against the process-wide default session
+            graft.sql.Stages.resolvePath(
+              org.apache.spark.sql.SparkSession.getActiveSession
+                .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).get,
+              base)
+          else base
+        val p = java.nio.file.Paths.get(resolved.stripPrefix("file://"))
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        val b = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.write(p, b)
+        java.lang.Long.valueOf(b.length.toLong)
+      }
+    })
+    spark.udf.register("load_file", (u0: String) => {
+      if (u0 == null) null
+      else {
+        // BLOB semantics: raw bytes (LENGTH counts bytes, not decoded
+        // chars); missing or EMPTY file → NULL (dtype/blob.result).
+        // `?offset=N&size=M` byte-range params and stage:// locations
+        // resolve here (func_load_file_datalink.sql).
+        val qIdx = u0.indexOf('?')
+        val (base, params) =
+          if (qIdx < 0) (u0, Map.empty[String, String])
+          else (u0.substring(0, qIdx),
+            u0.substring(qIdx + 1).split('&').flatMap(_.split("=", 2) match {
+              case Array(k, v) => Some(k -> v); case _ => None
+            }).toMap)
+        val resolved =
+          if (base.toLowerCase.startsWith("stage://"))
+            graft.sql.Stages.resolvePath(
+              org.apache.spark.sql.SparkSession.getActiveSession
+                .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).get,
+              base)
+          else base
+        val p = java.nio.file.Paths.get(resolved.stripPrefix("file://"))
+        if (!java.nio.file.Files.isRegularFile(p)) null
+        else {
+          val b0 = java.nio.file.Files.readAllBytes(p)
+          val off = params.get("offset").map(_.toInt).getOrElse(0)
+          val size = params.get("size").map(_.toInt).getOrElse(b0.length - off)
+          val b =
+            if (off == 0 && size >= b0.length) b0
+            else b0.slice(off, math.min(b0.length, off + size))
+          if (b.isEmpty) null else b
+        }
+      }
+    })
   }
 }

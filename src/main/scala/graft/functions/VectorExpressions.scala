@@ -26,6 +26,13 @@ abstract class VectorKernel extends BinaryExpression {
   protected def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
+    // narrow vector kinds (vecint8 → tinyint, vecuint8 → smallint) take
+    // the distance kernels directly (array_vecnarrow_ops.sql scope:
+    // "distance functions + casts + storage only")
+    case ByteType => a.getByte(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
     case _ => throw new IllegalArgumentException(s"unsupported element type $t")
   }
 
@@ -33,6 +40,10 @@ abstract class VectorKernel extends BinaryExpression {
   protected def getter(v: String, i: String, t: DataType): String = t match {
     case FloatType => s"(double) $v.getFloat($i)"
     case DoubleType => s"$v.getDouble($i)"
+    case ByteType => s"(double) $v.getByte($i)"
+    case ShortType => s"(double) $v.getShort($i)"
+    case IntegerType => s"(double) $v.getInt($i)"
+    case LongType => s"(double) $v.getLong($i)"
     case _ => throw new IllegalArgumentException(s"unsupported element type $t")
   }
 
@@ -399,4 +410,114 @@ case class LangIdExpr(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Elementwise vector arithmetic — the reference's vecf32/vecf64 `+ - * /`
+  * operators (`pkg/sql/plan/function/operator.go` vector paths; BVT
+  * `vector/vector_func.sql`, `vector/vector_ivf_quant_boundary.sql`).
+  * Either side may be a numeric scalar (broadcast). Precision follows the
+  * ARRAY operand's element width: float arrays compute in FLOAT32 (the
+  * quant_boundary int8 rounding only reproduces with f32 intermediates),
+  * anything else in double. Dimension mismatch errors like the distance
+  * kernels.
+  */
+case class VecArithExpr(left: Expression, right: Expression, op: Char)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def isArr(e: Expression): Boolean = e.dataType.isInstanceOf[ArrayType]
+
+  private def elemOf(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** float iff every array operand carries float-or-narrower elements. */
+  private lazy val useFloat: Boolean =
+    Seq(left, right).filter(isArr).forall(e => elemOf(e) match {
+      case FloatType | ByteType | ShortType => true
+      case _ => false
+    })
+
+  override def dataType: DataType =
+    ArrayType(if (useFloat) FloatType else DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def numAt(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case ByteType => a.getByte(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
+
+  private def scalarOf(v: Any, t: DataType): Double = t match {
+    case FloatType => v.asInstanceOf[Float].toDouble
+    case DoubleType => v.asInstanceOf[Double]
+    case ByteType => v.asInstanceOf[Byte].toDouble
+    case ShortType => v.asInstanceOf[Short].toDouble
+    case IntegerType => v.asInstanceOf[Int].toDouble
+    case LongType => v.asInstanceOf[Long].toDouble
+    case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported scalar type $t")
+  }
+
+  private def apply2(x0: Double, y0: Double): Double = {
+    // f32 mode: round BOTH operands to float and combine with float
+    // arithmetic — a double-precision intermediate shifts values across
+    // int8 rounding boundaries (quant_boundary golden id=1)
+    if (useFloat) {
+      val (x, y) = (x0.toFloat, y0.toFloat)
+      (op match {
+        case '+' => x + y
+        case '-' => x - y
+        case '*' => x * y
+        case '/' =>
+          if (y == 0.0f) throw new ArithmeticException("division by zero")
+          x / y
+        case '%' => x % y
+        case _ => throw new IllegalArgumentException(s"unsupported vector op $op")
+      }).toDouble
+    } else op match {
+      case '+' => x0 + y0
+      case '-' => x0 - y0
+      case '*' => x0 * y0
+      case '/' =>
+        if (y0 == 0.0) throw new ArithmeticException("division by zero")
+        x0 / y0
+      case '%' => x0 % y0
+      case _ => throw new IllegalArgumentException(s"unsupported vector op $op")
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val out: Array[Double] = (isArr(left), isArr(right)) match {
+      case (true, true) =>
+        val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+        if (a.numElements() != b.numElements())
+          throw VectorKernel.dimMismatch(a.numElements(), b.numElements())
+        val (ta, tb) = (elemOf(left), elemOf(right))
+        Array.tabulate(a.numElements())(i =>
+          apply2(numAt(a, i, ta), numAt(b, i, tb)))
+      case (true, false) =>
+        val a = l.asInstanceOf[ArrayData]
+        val s = scalarOf(r, right.dataType)
+        val ta = elemOf(left)
+        Array.tabulate(a.numElements())(i => apply2(numAt(a, i, ta), s))
+      case (false, true) =>
+        val b = r.asInstanceOf[ArrayData]
+        val s = scalarOf(l, left.dataType)
+        val tb = elemOf(right)
+        Array.tabulate(b.numElements())(i => apply2(s, numAt(b, i, tb)))
+      case _ => throw new IllegalStateException("no array operand")
+    }
+    if (useFloat)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        out.map(d => d.toFloat))
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

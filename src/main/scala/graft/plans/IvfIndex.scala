@@ -83,7 +83,7 @@ object IvfIndex {
     */
   def forCorpus(key: String, df: DataFrame, vecCol: String,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      maxIter: Int = 8): Index = {
+      maxIter: Int = 20): Index = {
     val idx = built.getOrElseUpdate(s"$key#$nlist#$nprobe#$seed#$maxIter", {
       val spark = df.sparkSession
       val featurized = df.filter(col(vecCol).isNotNull)
@@ -92,9 +92,16 @@ object IvfIndex {
         if (nlist <= 1) (Array(meanVector(featurized)),
           featurized.withColumn("__ivf_cell", lit(0)))
         else {
-          val model = new KMeans().setK(nlist).setSeed(seed)
-            .setMaxIter(maxIter).setInitMode("random")
-            .setFeaturesCol("__ivf_features").fit(featurized)
+          // k-means|| init (the ML default) + a few deterministic
+          // restarts, keeping the lowest-cost model: a single run can
+          // settle on a local optimum that merges two natural clusters,
+          // and the probe then disagrees with the reference's elkan
+          // kmeans about cell membership. Build-time-only cost.
+          val model = (0 until 3).map { i =>
+            new KMeans().setK(nlist).setSeed(seed + i)
+              .setMaxIter(maxIter)
+              .setFeaturesCol("__ivf_features").fit(featurized)
+          }.minBy(_.summary.trainingCost)
           (model.clusterCenters.map(_.toArray),
             model.transform(featurized).withColumnRenamed("prediction", "__ivf_cell"))
         }

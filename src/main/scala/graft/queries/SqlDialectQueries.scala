@@ -21,14 +21,18 @@ object SqlDialectQueries extends QueryModule {
 
   // ------------------------------------------- tws1: interval + fill(prev)
   /** `test/distributed/cases/window/time_window.sql:13` shape: tumbling
-    * 6-hour windows over sparse 'error' events, gaps carried forward.
+    * 6-hour windows; the conditional sum is NULL in windows with no
+    * 'error' events and fill(prev) carries the previous value forward.
+    * The reference emits ONLY data-bearing windows — no interior gap
+    * expansion even under fill() (`window/time_window.result:272-281`) —
+    * so fill patches NULL cells across the sparse emitted rows.
     */
   private def tws1(s: SparkSession, d: String): DataFrame =
     run(s, d,
       """SELECT _wstart, _wend,
-        |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS v
+        |       CAST(round(sum(CASE WHEN event_type = 'error'
+        |         THEN CAST(value AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS v
         |FROM events
-        |WHERE event_type = 'error'
         |interval(ts, 6, hour) fill(prev)""".stripMargin)
       .select(to_unix_timestamp(col("_wstart")).as("ws"),
         to_unix_timestamp(col("_wend")).as("we"),
@@ -38,16 +42,13 @@ object SqlDialectQueries extends QueryModule {
   private val tws1Sql =
     """WITH agg AS (
       |  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws,
-      |         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS v
-      |  FROM events WHERE event_type = 'error' GROUP BY ws),
-      |spine AS (
-      |  SELECT unnest(generate_series((SELECT min(ws) FROM agg),
-      |                                (SELECT max(ws) FROM agg), 21600)) AS ws),
-      |j AS (SELECT s.ws, a.v FROM spine s LEFT JOIN agg a ON s.ws = a.ws)
+      |         CAST(round(sum(CASE WHEN event_type = 'error'
+      |           THEN CAST(value AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS v
+      |  FROM events GROUP BY ws)
       |SELECT ws, ws + 21600 AS we,
-      |       round(last_value(v IGNORE NULLS) OVER
-      |         (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
-      |FROM j ORDER BY ws""".stripMargin
+      |       round(coalesce(v, last_value(v IGNORE NULLS) OVER
+      |         (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS v
+      |FROM agg ORDER BY ws""".stripMargin
 
   // ------------------------------------- tws2: interval + sliding, no fill
   /** `time_window.sql:23` shape: 1-day windows sliding every 12 hours. */
@@ -60,12 +61,18 @@ object SqlDialectQueries extends QueryModule {
       .select(to_unix_timestamp(col("_wstart")).as("ws"), col("n"), col("total"))
       .orderBy(col("ws"))
 
+  // the reference emits no sliding window starting before the
+  // grid-aligned min(ts) (optimizer/column_pruning.result) — the oracle
+  // drops the leading partials the cross-join construction generates
   private val tws2Sql =
     """SELECT CAST(floor(epoch(ts) / 43200) * 43200 - k.k * 43200 AS BIGINT) AS ws,
       |       count(*) AS n,
       |       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
       |FROM events, (VALUES (0), (1)) k(k)
-      |GROUP BY ws ORDER BY ws""".stripMargin
+      |GROUP BY ws
+      |HAVING ws >= (SELECT CAST(floor(min(epoch(ts)) / 43200) * 43200 AS BIGINT)
+      |              FROM events)
+      |ORDER BY ws""".stripMargin
 
   // --------------------------------------- fts1: scored MATCH ... AGAINST
   /** `fulltext.sql:353` shape: MATCH in projection (scored) AND in WHERE

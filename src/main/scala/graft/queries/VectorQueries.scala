@@ -286,5 +286,55 @@ object VectorQueries extends QueryModule {
     Q("v3_knn_l2", v3, Some(v3Sql)),
     Q("v4_label_centroids", v4, Some(v4Sql)),
     Q("v5_similar_pairs", v5, Some(v5Sql)),
-    Q("v6_ivf_knn", v6, Some(recallSummarySql(10, 5))))
+    Q("v6_ivf_knn", v6, Some(recallSummarySql(10, 5))),
+    Q("v10_int8_quant", v10, Some(v10Sql)),
+    Q("v11_vec_arith", v11, Some(v11Sql)))
+
+  // ------------------------------------------- v10 int8 quantizing cast
+  /** The reference's vecf32 → vecint8 quantizing cast (NarrowVec.quant:
+    * round half away from zero, saturate to [-128,127]) applied to a
+    * scaled embedding — the storage-shrink step of an embedding pipeline
+    * (4× smaller vectors at 100 TB). Summarized per row (element sum +
+    * saturated-element count) so the DuckDB oracle replays the exact
+    * kernel arithmetic.
+    */
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NarrowVec.registerAll(s)
+    val qv = "mo_vec_quant_d(transform(embedding, x -> CAST(x AS DOUBLE) * 37.5D), 'int8', 0)"
+    Tables.embeddings(s, d).selectExpr(
+        "vec_id",
+        s"CAST(aggregate($qv, 0D, (a, x) -> a + x) AS DOUBLE) AS qsum",
+        s"CAST(size(filter($qv, x -> x = 127D OR x = -128D)) AS BIGINT) AS saturated")
+      .orderBy(col("vec_id"))
+  }
+
+  private def v10Sql =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> GREATEST(-128.0, LEAST(127.0,
+      |    FLOOR(ABS(CAST(x AS DOUBLE) * 37.5) + 0.5)
+      |      * (CASE WHEN x < 0 THEN -1 ELSE 1 END)))) AS qv
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(list_sum(qv) AS DOUBLE) AS qsum,
+      |  CAST(len(list_filter(qv, x -> x = 127 OR x = -128)) AS BIGINT) AS saturated
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------ v11 vec arithmetic
+  /** Elementwise vector arithmetic ([[graft.functions.VecArithExpr]] via
+    * the VecArithRule resolution rule): `embedding * 0.5` broadcasts the
+    * scalar, then the native l2 kernel measures the shrink distance.
+    * The 0.5 scalar is exactly representable, so the f32 compute path
+    * agrees bit-for-bit with the oracle's double math.
+    */
+  private def v11(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).selectExpr(
+        "vec_id",
+        "CAST(round(l2_distance(embedding, embedding * 0.5D), 6) AS DOUBLE) AS shrink_dist")
+      .orderBy(col("vec_id"))
+
+  private def v11Sql =
+    """SELECT vec_id,
+      |  round(sqrt(list_sum([pow(CAST(embedding[i] AS DOUBLE) / 2, 2)
+      |    for i in range(1, 65)])), 6) AS shrink_dist
+      |FROM embeddings ORDER BY vec_id""".stripMargin
 }

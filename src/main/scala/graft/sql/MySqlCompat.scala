@@ -276,7 +276,11 @@ object MySqlCompat {
               if (iv != null) {
                 val dateOnly = Set("year", "quarter", "month", "week", "day")
                   .contains(unit)
-                val litDate = x.matches("""^["'][^"':]*["']$""")
+                // a DATE operand with a day-or-coarser unit yields DATE
+                // (func_datetime_timestampadd_comprehensive: DATE('…')
+                // + 5 DAY displays without a time part)
+                val litDate = x.matches("""^["'][^"':]*["']$""") ||
+                  """(?i)^date\s*\(""".r.findFirstIn(x.trim).isDefined
                 val rep0 =
                   if (litDate && dateOnly) s"CAST(CAST($x AS DATE) + $iv AS DATE)"
                   else s"(($x) + $iv)"
@@ -872,18 +876,49 @@ object MySqlCompat {
   // Spark's LATERAL subquery join is the same correlated apply
   private val ApplyRe =
     """(?i)\b(cross|outer)\s+apply\s+(\w+\s*\((?:[^()]|\([^()]*\))*\))\s*(?:as\s+)?(\w+)?""".r
-  private[graft] def applyJoin(q: String): String =
-    if (!q.toLowerCase.contains("apply")) q
-    else ApplyRe.replaceAllIn(q, m => {
-      // plain JOIN … ON true keeps TVF operands (unnest) on the
-      // existing lateral-TVF path in unnestTvf
-      val join =
-        if (m.group(1).equalsIgnoreCase("outer")) "LEFT JOIN"
-        else "JOIN"
-      val alias = if (m.group(3) == null) "" else s" ${m.group(3)}"
-      java.util.regex.Matcher.quoteReplacement(
-        s"$join ${m.group(2)}$alias ON true")
-    })
+  private[graft] def applyJoin(q0: String): String = {
+    if (!q0.toLowerCase.contains("apply")) return q0
+    // fulltext_index_tokenize has its own LATERAL VIEW rewrite in
+    // GraftSql (a real tokenizer kernel, not a lateral subquery)
+    if (q0.toLowerCase.contains("fulltext_index_tokenize")) return q0
+    var q = q0
+    var changed = true
+    // plain JOIN … ON true keeps TVF operands (unnest) on the existing
+    // lateral-TVF path in unnestTvf; a parenthesized operand (the shape
+    // unnestTvf itself emits, or a correlated subquery) becomes LATERAL
+    val HeadRe = """(?i)\b(cross|outer)\s+apply\s*""".r
+    while (changed) {
+      changed = false
+      HeadRe.findFirstMatchIn(maskLiterals(q)).foreach { m =>
+        val join =
+          if (m.group(1).equalsIgnoreCase("outer")) "LEFT JOIN"
+          else "JOIN"
+        val rest = q.substring(m.end)
+        val fnM = """^(\w+\s*\()""".r.findFirstMatchIn(rest)
+        val open =
+          if (rest.startsWith("(")) 0
+          else fnM.map(_.group(1).length - 1).getOrElse(-1)
+        if (open >= 0) {
+          val close = closeOf(rest, open)
+          if (close > 0) {
+            val operand = rest.substring(0, close + 1)
+            val tail0 = rest.substring(close + 1)
+            val aliasM = """(?i)^\s+(?:as\s+)?(\w+)""".r.findFirstMatchIn(tail0)
+              .filter(a => !Set("on", "where", "group", "order", "join",
+                "left", "right", "inner", "cross", "outer", "limit",
+                "union", "having").contains(a.group(1).toLowerCase))
+            val alias = aliasM.map(a => s" ${a.group(1)}").getOrElse("")
+            val tail = aliasM.map(a => tail0.substring(a.end)).getOrElse(tail0)
+            val lateral = if (rest.startsWith("(")) "LATERAL " else ""
+            q = q.substring(0, m.start) +
+              s"$join $lateral$operand$alias ON true" + tail
+            changed = true
+          }
+        }
+      }
+    }
+    q
+  }
 
   // MO's ANN execution hint `LIMIT k by rank [with option 'mode=pre']`
   // (reference pkg/sql/parsers/tree/select.go; vector/vector_ivf_mode
@@ -912,8 +947,162 @@ object MySqlCompat {
   private[graft] def stripFsp(q: String): String =
     FspArgRe.replaceAllIn(q, m => s"${m.group(1)}()")
 
+  // ------------------------------------------------------------------
+  // CAST(x AS vecKIND(n)) — the reference's vector-type casts
+  // (`pkg/sql/plan/function/func_cast.go`; BVT array/array_vecnarrow*):
+  // Spark has no vec types, so the cast becomes the graft kernel call:
+  // a quoted literal takes the STRICT string parse (mo_vec_parse — int
+  // kinds reject non-integer / out-of-range tokens), everything else the
+  // quantizing array path (mo_vec_quant — round half away + saturate for
+  // int8/uint8, precision-round for f16/bf16).
+  // ------------------------------------------------------------------
+  private val VecCastTail =
+    """(?is)^(.*\S)\s+as\s+vec(f32|f64|f16|bf16|int8|uint8)\s*\(\s*(\d+)\s*\)\s*$""".r
+  private val CastOpenRe = """(?i)\bcast\s*\(""".r
+
+  /** MySQL index hints (`USE|FORCE|IGNORE INDEX [FOR JOIN|ORDER BY|
+    * GROUP BY] (names)`, optimizer/index_hint.sql) — physical access
+    * advice with no Spark analog; the plan is Catalyst's either way.
+    */
+  private val IndexHintRe =
+    """(?i)\s+(use|force|ignore)\s+index(?:\s+for\s+(?:join|order\s+by|group\s+by))?\s*\([^()]*\)""".r
+  private[graft] def indexHints(q: String): String =
+    if (!q.toLowerCase.contains(" index")) q
+    else maskAwareStrip(q)
+
+  // strip at the positions matched in a masked copy (maskLiterals is
+  // length-preserving) so a hint-looking phrase inside a string literal
+  // survives
+  private def maskAwareStrip(q: String): String = {
+    val masked = maskLiterals(q)
+    if (IndexHintRe.findFirstIn(masked).isEmpty) return q
+    // positions align (maskLiterals is length-preserving): rebuild from
+    // the masked match positions over the ORIGINAL text
+    val sb = new StringBuilder
+    var last = 0
+    IndexHintRe.findAllMatchIn(masked).foreach { m =>
+      sb.append(q.substring(last, m.start)).append(' ')
+      last = m.end
+    }
+    sb.append(q.substring(last))
+    sb.toString
+  }
+
+  /** `CAST(x AS datalink)` — the reference's typed-URI wrapper
+    * (`pkg/datalink/`): the value IS the URI string, so the cast is
+    * identity at this layer (load_file/parse functions resolve it).
+    */
+  private val DatalinkTail = """(?is)^(.*\S)\s+as\s+datalink\s*$""".r
+  private[graft] def datalinkCast(q0: String): String = {
+    if (!q0.toLowerCase.contains("datalink")) return q0
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      CastOpenRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val close = closeOf(q, m.end - 1)
+          if (close > 0) q.substring(m.end, close) match {
+            case DatalinkTail(arg) =>
+              q = q.substring(0, m.start) + s"(${arg.trim})" + q.substring(close + 1)
+              changed = true
+            case _ =>
+          }
+        }
+      }
+    }
+    q
+  }
+
+  private[graft] def vecCast(q0: String): String = {
+    if (!q0.toLowerCase.contains(" as vec")) return q0
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      CastOpenRe.findAllMatchIn(maskLiterals(q)).toList.reverseIterator.foreach { m =>
+        if (!changed) {
+          val close = closeOf(q, m.end - 1)
+          if (close > 0) q.substring(m.end, close) match {
+            case VecCastTail(arg, kind, dim) =>
+              val a = arg.trim
+              val suffix = if (kind.equalsIgnoreCase("f64")) "_d" else "_f"
+              val rep =
+                if ((a.startsWith("'") || a.startsWith("\"")) &&
+                  a.length >= 2 && a.last == a.head)
+                  s"mo_vec_parse$suffix('${a.substring(1, a.length - 1)}', '$kind', $dim)"
+                else
+                  s"mo_vec_quant$suffix(CAST(($a) AS ARRAY<DOUBLE>), '$kind', $dim)"
+              q = q.substring(0, m.start) + rep + q.substring(close + 1)
+              changed = true
+            case _ =>
+          }
+        }
+      }
+    }
+    q
+  }
+
+  // ------------------------------------------------------------------
+  // PostgreSQL-style `expr::type` casts (BVT pg_cast/cast.sql). Spark
+  // parses `::` natively but truncates fractional→int, while the
+  // reference (like MySQL CAST) rounds half away from zero
+  // (`pkg/sql/plan/function/func_cast.go` numericToNumeric roundToEven
+  // for floats vs decimal Round); `::varchar`/`::text` take no length
+  // and mean STRING; `::signed/unsigned [integer]` alias BIGINT.
+  // ------------------------------------------------------------------
+  private val PgIntCastRe =
+    """(?i)::\s*(integer|int|bigint|smallint|tinyint|signed(?:\s+integer)?|unsigned(?:\s+integer)?)\b""".r
+
+  private[graft] def pgCast(q0: String): String = {
+    if (!q0.contains("::")) return q0
+    var q = replaceOutsideLiterals(
+      """(?i)::\s*(varchar|text)\b(?!\s*\()""".r, q0)(_ => "::string")
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(q)
+      PgIntCastRe.findFirstMatchIn(masked).foreach { m =>
+        var i = m.start - 1
+        while (i >= 0 && q(i).isWhitespace) i -= 1
+        val end = i
+        var start =
+          if (i >= 0 && q(i) == ')') openOf(q, i)
+          else if (i >= 0 && (q(i) == '\'' || q(i) == '"')) {
+            val quote = q(i); var j = i - 1
+            while (j >= 0 && q(j) != quote) j -= 1
+            j
+          } else {
+            var j = i
+            while (j >= 0 && (q(j).isLetterOrDigit || q(j) == '_' ||
+              q(j) == '.' || q(j) == '`' || q(j) == '@')) j -= 1
+            j + 1
+          }
+        // a call operand keeps its function name: abs(x)::int
+        if (start > 0 && q(start) == '(') {
+          var j = start - 1
+          while (j >= 0 && (q(j).isLetterOrDigit || q(j) == '_')) j -= 1
+          if (j + 1 < start) start = j + 1
+        }
+        if (start >= 0 && start <= end) {
+          val operand = q.substring(start, end + 1)
+          val target = m.group(1).toLowerCase match {
+            case "integer" => "int"
+            case t if t.startsWith("signed") || t.startsWith("unsigned") => "bigint"
+            case t => t
+          }
+          q = q.substring(0, start) +
+            s"cast(round($operand) as $target)" + q.substring(m.end)
+          changed = true
+        }
+      }
+    }
+    q
+  }
+
   def pre(q: String): String =
     mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
       applyJoin(plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
-        intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(q))))))))))))))))
+        intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(vecCast(
+          datalinkCast(indexHints(pgCast(q))))))))))))))))))))
 }

@@ -206,7 +206,14 @@ object Partitions {
       s"USING parquet PARTITIONED BY ($PartCol)")
     spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT " +
       cols.map(c => s"`$c`").mkString(", ") + s" FROM `$phys`")
-    val spec = PartSpec(table.toLowerCase, phys, method, exprSql, cols,
+    // `PARTITION BY KEY()` (no column list) keys on the full row — the
+    // reference uses the primary key; the hash over all user columns is
+    // the same deterministic-per-engine routing
+    val exprSql2 =
+      if (method == "hash" && exprSql.trim.isEmpty)
+        cols.map(c => s"`$c`").mkString(", ")
+      else exprSql
+    val spec = PartSpec(table.toLowerCase, phys, method, exprSql2, cols,
       n, defs, Vector.empty, Vector.empty)
     registry.put(key(spark, table), withNumerics(spark, spec))
   }
@@ -272,6 +279,14 @@ object Partitions {
     */
   def forget(spark: SparkSession, table: String): Unit =
     registry.remove(key(spark, table))
+
+  /** Keep routing in step with `RENAME TABLE from TO to` (the view was
+    * already renamed by the caller; the physical table keeps its name).
+    */
+  def rename(spark: SparkSession, from: String, to: String): Unit =
+    registry.remove(key(spark, from)).foreach { spec =>
+      registry.put(key(spark, to), spec.copy(table = to.toLowerCase))
+    }
 
   def clear(spark: SparkSession): Unit = {
     val p = skey(spark)
