@@ -48,6 +48,16 @@ object MoAliases {
 
     // ---------------------------------------------------------- strings
     nat("to_lower", "to_lower(s)")(a => lower(a(0)))
+    // MySQL UPPER maps characters 1:1 (ß stays ß — Java's String
+    // .toUpperCase would expand it to SS, charset_collation_errors
+    // UPPER('straße') = 'STRAßE')
+    val moUpper = udf((s: String) =>
+      if (s == null) null
+      else s.map(c => if (c == 'ß') c else Character.toUpperCase(c)))
+    nat("upper", "upper(s) - 1:1 character mapping (MySQL)")(a =>
+      moUpper(a(0).cast("string")))
+    nat("ucase", "ucase(s) - 1:1 character mapping (MySQL)")(a =>
+      moUpper(a(0).cast("string")))
     nat("to_upper", "to_upper(s)")(a => upper(a(0)))
     nat("lengthutf8", "lengthutf8(s) - length in characters")(a => char_length(a(0)))
     // MySQL SUBSTRING/MID: position 0 yields '' (Spark treats 0 as 1).
@@ -68,7 +78,20 @@ object MoAliases {
     nat("substring", "substring(s, pos[, len]) - pos 0 yields '' (MySQL)")(moSubstr)
     nat("substr", "substr(s, pos[, len]) - pos 0 yields '' (MySQL)")(moSubstr)
     nat("oct", "oct(n) - octal rendering")(a => conv(a(0).cast("string"), 10, 8))
-    nat("ord", "ord(s) - code of the leading character")(a => ascii(a(0)))
+    // ORD: the leading CHARACTER's UTF-8 bytes combined LITTLE-endian —
+    // the reference's byte order (charset_collation_errors.result:
+    // ORD('中') = 0xadb8e4, the reverse of UTF-8 e4 b8 ad; MySQL proper
+    // is big-endian). Single-byte input degenerates to ASCII().
+    nat("ord", "ord(s) - leading character's bytes as a little-endian int")(a =>
+      udf((s: String) =>
+        if (s == null) null
+        else if (s.isEmpty) java.lang.Long.valueOf(0L)
+        else {
+          val cp = s.codePointAt(0)
+          val b = new String(Character.toChars(cp)).getBytes("UTF-8")
+          java.lang.Long.valueOf(
+            b.reverse.foldLeft(0L)((acc, x) => acc * 256 + (x & 0xff)))
+        }).apply(a(0).cast("string")))
     nat("strcmp", "strcmp(a, b) - -1/0/1")(a =>
       when(a(0).isNull || a(1).isNull, lit(null))
         .when(a(0) < a(1), -1).when(a(0) === a(1), 0).otherwise(1))

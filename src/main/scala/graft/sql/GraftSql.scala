@@ -69,7 +69,13 @@ object GraftSql {
     // MySQL versioned comments execute their content (`/*!40000 if
     // exists */` → `if exists`); a `--`-commented or empty body is a
     // no-op statement (ddl/mysql_ddl_1.sql:3-6)
-    val q0 = versionedComments(q0v)
+    val q0x = versionedComments(q0v)
+    // `CREATE DEFINER = user@host VIEW ...` — the definer is MySQL
+    // privilege metadata (mysql_ddl_3.result /*!50001 dumps); strip it
+    // BEFORE @-var substitution can eat the `@`
+    val q0 = q0x.replaceAll(
+      """(?is)^\s*create\s+definer\s*=\s*`?[\w%.]+`?\s*@\s*`?[\w%.]+`?\s+""",
+      "CREATE ")
     if (q0.trim.isEmpty || q0.trim.startsWith("--"))
       return spark.emptyDataFrame
     sysVarSetRewrite(spark, q0).getOrElse {
@@ -93,6 +99,9 @@ object GraftSql {
           ftIndexCols.remove(ftKey(spark, m.group(1)))
           vecCols.remove(m.group(1).toLowerCase)
           autoIncCols.remove(m.group(1).toLowerCase)
+          primaryKeys.remove(m.group(1).toLowerCase)
+          tsFsp.keys.filter(_._1 == m.group(1).toLowerCase).foreach(tsFsp.remove)
+          MoCatalog.dropTable(spark, m.group(1))
           // cached postings for the dead table can never be valid again
           graft.fulltext.Bm25.FulltextIndex.invalidate(m.group(1))
           // vector indexes die with their table too (registry keys are
@@ -112,18 +121,68 @@ object GraftSql {
       val annMode = """(?is)\bby\s+rank\b(?:\s+with\s+option\s+'mode=(\w+)')?"""
         .r.findFirstMatchIn(q)
         .map(m => Option(m.group(1)).map(_.toLowerCase).getOrElse("post"))
+      // session db bookkeeping + the mo_catalog introspection slice
+      """(?is)^use\s+`?(\w+)`?\s*$""".r.findFirstMatchIn(q).foreach { m =>
+        // switching to a database that was never created errors — the
+        // /*!40101 use ...*/ probe in mysql_ddl_1.result relies on it
+        if (!MoCatalog.dbExists(spark, m.group(1)))
+          throw new IllegalArgumentException(
+            s"Unknown database ${m.group(1)}")
+        MoCatalog.useDb(spark, m.group(1))
+        return spark.emptyDataFrame
+      }
+      """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?`?(\w+)`?.*$""".r
+        .findFirstMatchIn(q).foreach { m =>
+          MoCatalog.createDb(spark, m.group(1))
+          return spark.emptyDataFrame
+        }
+      """(?is)^drop\s+database\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(q).foreach { m =>
+          // dropping the CURRENT database leaves the session db-less
+          // (mysql_ddl_1.result: database() reverts)
+          MoCatalog.dropDb(spark, m.group(1))
+          return spark.emptyDataFrame
+        }
+      val qMo =
+        if (!q.toLowerCase.contains("mo_catalog") &&
+          !q.toLowerCase.contains("database()")) q
+        else {
+          if (q.toLowerCase.contains("mo_catalog"))
+            MoCatalog.ensureViews(spark, t => primaryKeys.contains(t.toLowerCase))
+          val dbLit = MoCatalog.currentDb(spark)
+            .map(d => s"'$d'").getOrElse("CAST(NULL AS STRING)")
+          replaceOutsideQuotes(
+            q.replaceAll("(?i)\\bmo_catalog\\.mo_(\\w+)", "_graft_mo_$1"),
+            """(?i)\bdatabase\s*\(\s*\)""".r, _ => dbLit)
+        }
+      // MO databases are virtual here — drop their qualifier on
+      // relations (PREPARE bodies built with concat('`', database(),
+      // '`.`', name, '`') arrive fully qualified)
+      val qDb = MoCatalog.seenDbs(spark).foldLeft(qMo) { (s, db) =>
+        if (!s.toLowerCase.contains(db.toLowerCase)) s
+        else {
+          val qd = java.util.regex.Pattern.quote(db)
+          // OUTSIDE string literals only — a db named `test` must not
+          // rewrite data like 'c@test.com' (func_percent_rank.sql)
+          replaceOutsideQuotes(s,
+            s"(?i)(?:`$qd`|(?<![\\w@.])$qd)\\.(?=[`\\w])".r, _ => "")
+        }
+      }
       val q2 = partSubtables(spark, parseJsonlRewrite(spark, subqueryIntervalViews(spark,
-        tableStatsRewrite(ftTokenizeApply(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
+        tableStatsRewrite(ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
           MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
-            fnArity(geoArity(narrowVecDdl(autoIncDdl(q)))))))))))))))
+            fnArity(geoArity(narrowVecDdl(autoIncDdl(qDb))))))))))))))))
       sequenceRewrite(spark, q2)
         .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
         .orElse(insertSeqRewrite(spark, q2))
         .orElse(renameRewrite(spark, q2))
         .orElse(replaceIntoRewrite(spark, q2))
+        .orElse(entriesInsertNoop(spark, q2))
+        .orElse(procedureRewrite(spark, q2))
         .orElse(withDmlRewrite(spark, q2))
         .orElse(updateRewrite(spark, q2))
+        .orElse(multiUpdateRewrite(spark, q2))
         .orElse(deleteRewrite(spark, q2))
         .orElse(partitionRewrite(spark, q2))
         .orElse(alterAddColRewrite(spark, q2))
@@ -312,6 +371,8 @@ object GraftSql {
     """(?is)^show\s+sequences(?:\s+where\s+(.+))?\s*$""".r
   private val SelectStarRe =
     """(?is)^select\s+\*\s+from\s+(?:`([^`]+)`|(\S+))\s*$""".r
+  private val SelectColsSeqRe =
+    """(?is)^select\s+([\w`,\s]+?)\s+from\s+(?:`([^`]+)`|(\w+))\s*$""".r
   private val DropTableNameRe =
     """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`([^`]+)`|(\S+))\s*$""".r
 
@@ -342,6 +403,12 @@ object GraftSql {
         Some(Sequences.showDf(spark, Option(where)))
       case SelectStarRe(n1, n2) if Sequences.exists(spark, pick(n1, n2)) =>
         Some(Sequences.stateDf(spark, pick(n1, n2)))
+      // projection over a sequence's state row (`SELECT laSt_seq_nuM,
+      // min_value FROM Seq` — ddl/lowercase.result:328-330)
+      case SelectColsSeqRe(items, n1, n2) if Sequences.exists(spark, pick(n1, n2)) =>
+        val v = s"_graft_seq_${viewSeq.incrementAndGet()}"
+        Sequences.stateDf(spark, pick(n1, n2)).createOrReplaceTempView(v)
+        Some(spark.sql(s"SELECT $items FROM $v"))
       case DropTableNameRe(n1, n2) if Sequences.exists(spark, pick(n1, n2)) =>
         throw new IllegalArgumentException(
           "internal error: Should use 'drop sequence' to drop a sequence")
@@ -660,6 +727,13 @@ object GraftSql {
     case _ => None
   }
 
+  /** Test-harness hook: forget this session's mo_catalog state. */
+  def clearMoCatalog(spark: SparkSession): Unit = MoCatalog.clear(spark)
+
+  /** Test-harness hook: mark a database as existing. */
+  def registerDb(spark: SparkSession, db: String): Unit =
+    MoCatalog.createDb(spark, db)
+
   /** Test-harness hook: forget this session's stages. */
   def clearStages(spark: SparkSession): Unit = Stages.clear(spark)
 
@@ -841,10 +915,39 @@ object GraftSql {
       case _ => None
     }
 
+  /** Load-time cast of a string cell to the column type: integral
+    * targets fall back through DOUBLE so scientific notation loads
+    * (`2.13142E+15` into BIGINT — aaa.csv via ddl/lowercase.result:35,
+    * the reference's float→int store conversion).
+    */
+  private def moLoadCast(name: String, t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        s"coalesce(try_cast(`$name` AS ${t.sql}), " +
+          s"try_cast(try_cast(`$name` AS DOUBLE) AS ${t.sql}))"
+      case _ => s"try_cast(`$name` AS ${t.sql})"
+    }
+  }
+
+  /** A direct INSERT into an IVF entries relation is accepted and
+    * ignored: our entries are a live derivation of the base table (the
+    * reference materializes them and must tolerate injected garbage —
+    * vector_ivfflat_null_entry_panic_minimal injects NULL vectors; the
+    * panic-free top-k over real rows is the contract being tested).
+    */
+  private def entriesInsertNoop(spark: SparkSession, q: String): Option[DataFrame] =
+    """(?is)^insert\s+into\s+`?(\w+)`?""".r.findFirstMatchIn(q)
+      .filter(m => MoCatalog.isEntriesView(spark, m.group(1)))
+      .map(_ => spark.emptyDataFrame)
+
   private def deleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     q match {
       case DeleteRe(table, condOrNull, limitOrNull) =>
         if (!spark.catalog.tableExists(table)) return None
+        // partitioned tables route rows through per-partition subtables;
+        // copy-on-write DML doesn't compose with that layout yet
+        if (Partitions.get(spark, table).isDefined) return None
         val target = spark.table(table)
         val remaining = (Option(condOrNull), Option(limitOrNull)) match {
           case (None, None) => target.limit(0)
@@ -859,18 +962,75 @@ object GraftSql {
               .split(",").map(_.trim).toSeq
             val doomed = condOpt.map(c =>
               spark.sql(s"SELECT * FROM `$table` WHERE ($c)")).getOrElse(target)
+              // deterministic pick: the reference deletes the earliest
+              // row; without a physical order, all-columns order stands
+              // in for insertion order
+              .orderBy(target.columns.map(c => col(s"`$c`").asc).toIndexedSeq: _*)
               .limit(n.toInt).select(pk.map(c => col(s"`$c`")): _*)
+            // a Seq-join reorders columns key-first — restore the table
+            // layout (insertInto is positional)
             target.join(broadcast(doomed), pk, "left_anti")
+              .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
         }
         commitTable(spark, table, remaining)
         Some(spark.emptyDataFrame)
       case _ => None
     }
 
+  /** (table, column) → declared datetime/timestamp fractional-second
+    * precision, recorded by the harness from the MySQL DDL.
+    */
+  private val tsFsp = TrieMap[(String, String), Int]()
+  def registerTsFsp(table: String, col: String, p: Int): Unit =
+    tsFsp.put((table.toLowerCase, col.toLowerCase), p)
+
+  /** MySQL store cast for an UPDATE value: numbers/strings landing in a
+    * datetime column go through the strict MySQL parse (compact
+    * `yyyymmddhhmmss` included — `a = a + 101` on datetime,
+    * dtype/datetime.result:240), and the column's declared fsp ROUNDS
+    * the fraction (datetime(0) stores '…12.0001' as '…12').
+    */
+  private def storeCast(spark: SparkSession, table: String,
+      f: org.apache.spark.sql.types.StructField,
+      src: org.apache.spark.sql.Column,
+      srcType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val v = (f.dataType, srcType) match {
+      case (TimestampType, _: NumericType) =>
+        graft.functions.MoFunctions.strictTsCol(
+          src.cast(DecimalType(20, 0)).cast(StringType))
+      case (TimestampType, StringType) =>
+        graft.functions.MoFunctions.strictTsCol(src)
+      case (DateType, _: NumericType) =>
+        graft.functions.MoFunctions.strictTsCol(
+          src.cast(DecimalType(20, 0)).cast(StringType)).cast(DateType)
+      case (DateType, StringType) =>
+        graft.functions.MoFunctions.strictTsCol(src).cast(DateType)
+      case _ => src.cast(f.dataType)
+    }
+    (f.dataType, tsFsp.get((table.toLowerCase, f.name.toLowerCase))) match {
+      case (TimestampType, Some(p)) if p < 6 =>
+        val unit = math.pow(10, 6 - p).toLong
+        timestamp_micros(
+          (round(unix_micros(v.cast(TimestampType)) / unit, 0)
+            .cast(LongType) * unit))
+      case _ => v
+    }
+  }
+
+  /** The column's declared DEFAULT expression (Spark records it in the
+    * field metadata), or NULL when none (`SET col = DEFAULT`,
+    * dml/update.result:98-99 restores a=222).
+    */
+  private def colDefault(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("CURRENT_DEFAULT")) f.metadata.getString("CURRENT_DEFAULT")
+    else "NULL"
+
   private def updateRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     q match {
       case UpdateRe(table, setTxt, condOrNull, orderOrNull, limitOrNull) =>
         if (!spark.catalog.tableExists(table)) return None
+        if (Partitions.get(spark, table).isDefined) return None
         val target = spark.table(table)
         val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
         val assigns = splitTop(setTxt).map { a =>
@@ -880,43 +1040,156 @@ object GraftSql {
           (m.group(1), m.group(2).trim)
         }
         if (assigns.exists(a => !fields.contains(a._1.toLowerCase))) return None
-        // which rows update: WHERE on ORIGINAL values (flag first, so a
-        // SET that rewrites a predicate column can't re-select rows);
-        // ORDER BY + LIMIT restrict to the first n matches via the pk
-        var df = Option(condOrNull) match {
-          case Some(c) => // SQL text so the predicate may hold subqueries
-            spark.sql(s"SELECT *, coalesce(($c), false) AS __upd FROM `$table`")
-          case None => target.withColumn("__upd", lit(true))
-        }
+        // one pass evaluates the flag AND every RHS against the
+        // ORIGINAL row (standard SQL / the reference: `set a = b,
+        // b = a + 1` uses the OLD a — dml/update.result:89-93), routed
+        // through sql() so the MySQL expression compat layer applies
+        val condSql = Option(condOrNull)
+          .map(c => s"coalesce(($c), false)").getOrElse("true")
+        val setSelect = assigns.zipWithIndex.map { case ((c, e), i) =>
+          val raw =
+            if (e.equalsIgnoreCase("default")) colDefault(fields(c.toLowerCase))
+            else s"($e)"
+          s"$raw AS __set_$i"
+        }.mkString(", ")
+        var df = sql(spark,
+          s"SELECT *, $condSql AS __upd, $setSelect FROM `$table`")
         (Option(orderOrNull), Option(limitOrNull)) match {
-          case (_, Some(n)) =>
-            val pk = primaryKeys.getOrElse(table, target.columns.head)
-              .split(",").map(_.trim).toSeq
-            var sel = df.filter(col("__upd"))
-            Option(orderOrNull).foreach(o => sel = sel.orderBy(
-              splitTop(o).map(x => expr(x.trim)).toIndexedSeq: _*))
-            val chosen = sel.limit(n.toInt).select(pk.map(c => col(s"`$c`")): _*)
-              .withColumn("__hit", lit(true))
-            df = df.join(broadcast(chosen), pk, "left_outer")
-              .withColumn("__upd", col("__upd") && coalesce(col("__hit"), lit(false)))
-              .drop("__hit")
+          case (orderOpt, Some(n)) =>
+            // LIMIT keeps the first n MATCHING rows; identity-free via a
+            // running count over a deterministic order (explicit ORDER
+            // BY, else all columns — standing in for insertion order)
+            val ordCols = orderOpt.map(o => splitTop(o).map(x => expr(x.trim)))
+              .getOrElse(target.columns.toSeq.map(c => col(s"`$c`").asc))
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(ordCols.toIndexedSeq: _*)
+              .rowsBetween(Long.MinValue, 0)
+            df = df.withColumn("__upd", col("__upd") &&
+              sum(when(col("__upd"), 1).otherwise(0)).over(w) <= n.toInt)
           case _ =>
         }
-        // MySQL applies assignments LEFT TO RIGHT with the new values
-        // visible to later items (`update t set a = b, b = a + 1` sets
-        // b from the NEW a — dml/update golden)
-        assigns.foreach { case (c, e) =>
+        assigns.zipWithIndex.foreach { case ((c, _), i) =>
           val f = fields(c.toLowerCase)
-          val rhs =
-            if (e.equalsIgnoreCase("default")) lit(null).cast(f.dataType)
-            else expr(e).cast(f.dataType)
-          df = df.withColumn(f.name, when(col("__upd"), rhs).otherwise(col(s"`${f.name}`")))
+          val rhs = storeCast(spark, table, f,
+            col(s"__set_$i"), df.schema(s"__set_$i").dataType)
+          df = df.withColumn(f.name,
+            when(col("__upd"), rhs).otherwise(col(s"`${f.name}`")))
         }
-        commitTable(spark, table, df.drop("__upd")
+        commitTable(spark, table, df
           .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
         Some(spark.emptyDataFrame)
       case _ => None
     }
+
+  /** Multi-table UPDATE (`UPDATE t7 AS P1, t8 AS P2 SET P1.a=10, p2.a=100
+    * WHERE P1.a=p2.a`, `UPDATE t1 JOIN t2 ON ... SET t1.b=222, t2.b=222`
+    * — ddl/lowercase.result:237, dml/update goldens). Per target table:
+    * the rows participating in at least one join row update (MySQL's
+    * semantics), found by a DISTINCT semi-probe of the join; RHS must
+    * resolve against the target table alone (literals / own columns).
+    * At scale the probe would key on the table's pk; the BVT tables are
+    * pk-less so identity is the full row (null-safe equality).
+    */
+  private val MultiUpdateRe =
+    """(?is)^update\s+(.+?)\s+set\s+(.+?)\s*(?:where\s+(.+?))?\s*$""".r
+  private def multiUpdateRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    q match {
+      case MultiUpdateRe(tablesTxt, setTxt, condOrNull) if
+          tablesTxt.contains(",") || """(?i)\bjoin\b""".r.findFirstIn(tablesTxt).isDefined =>
+        // alias → base table (parenthesized subqueries are not targets)
+        val AliasedRe = """(?i)(?:^|,|\bjoin\s)\s*`?(\w+)`?(?:\s+(?:as\s+)?(?!on\b|join\b|inner\b|left\b|right\b|cross\b)`?(\w+)`?)?""".r
+        val aliases: Map[String, String] = AliasedRe.findAllMatchIn(tablesTxt).map { m =>
+          val t = m.group(1); val a = Option(m.group(2)).getOrElse(t)
+          a.toLowerCase -> t
+        }.toMap
+        val assigns = splitTop(setTxt).map { a =>
+          val m = """(?is)^\s*(?:`?(\w+)`?\.)?`?(\w+)`?\s*=\s*(.+)$""".r
+            .findFirstMatchIn(a).getOrElse(return None)
+          (Option(m.group(1)).map(_.toLowerCase), m.group(2), m.group(3).trim)
+        }
+        if (aliases.isEmpty) return None
+        // resolve each assignment to its target alias
+        val byAlias = assigns.groupBy {
+          case (Some(al), _, _) if aliases.contains(al) => al
+          case (None, c, _) =>
+            val owners = aliases.filter { case (_, t) =>
+              spark.catalog.tableExists(t) &&
+                spark.table(t).columns.exists(_.equalsIgnoreCase(c))
+            }.keys.toSeq
+            if (owners.sizeIs == 1) owners.head else return None
+          case _ => return None
+        }
+        val whereSql = Option(condOrNull).map(c => s" WHERE ($c)").getOrElse("")
+        // materialize EVERY match set before any table commits — the
+        // join reads the tables being updated, and MySQL matches against
+        // the pre-statement snapshot (lowercase.result:237 updates both
+        // t7 and t8 from the same join)
+        val matchSets = byAlias.map { case (al, as0) =>
+          (al, as0, spark.sql(
+            s"SELECT DISTINCT $al.* FROM $tablesTxt$whereSql").localCheckpoint(true))
+        }
+        matchSets.foreach { case (al, as0, matched) =>
+          val table = aliases(al)
+          val target = spark.table(table)
+          val tcols = target.columns.toSeq
+          val marked = matched.toDF(tcols.map(_ + "__m"): _*)
+            .withColumn("__hit", lit(true))
+          val cond = tcols.map(c => col(s"`$c`") <=> col(s"`${c}__m`"))
+            .reduce(_ && _)
+          var df = target.join(broadcast(marked), cond, "left_outer")
+            .withColumn("__upd", coalesce(col("__hit"), lit(false)))
+          val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+          as0.foreach { case (_, c, e0) =>
+            val f = fields.getOrElse(c.toLowerCase, return None)
+            // strip the target's own alias prefix from the RHS
+            val e = e0.replaceAll(s"(?i)\\b$al\\.", "")
+            val rhs =
+              if (e.equalsIgnoreCase("default")) expr(colDefault(f)).cast(f.dataType)
+              else expr(e).cast(f.dataType)
+            df = df.withColumn(f.name,
+              when(col("__upd"), rhs).otherwise(col(s"`${f.name}`")))
+          }
+          commitTable(spark, table,
+            df.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*))
+        }
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+
+  // ------------------------------------------------------------------
+  // Stored procedures — CREATE/DROP PROCEDURE + CALL ([[Procedures]])
+  // ------------------------------------------------------------------
+
+  private val CreateProcHeadRe =
+    """(?is)^create\s+procedure\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\(""".r
+  private val DropProcRe =
+    """(?is)^drop\s+procedure\s+(if\s+exists\s+)?`?(\w+)`?\s*$""".r
+  private val CallProcRe = """(?is)^call\s+`?(\w+)`?\s*\(([\s\S]*)\)\s*$""".r
+
+  private def procedureRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    CreateProcHeadRe.findFirstMatchIn(q).foreach { m =>
+      // the param list nests parens (`decimal(10,2)`) — balanced scan
+      balancedSpan(q, m.end - 1).foreach { case (params, after) =>
+        val rest = q.substring(after).trim
+        """(?is)^(['"])([\s\S]*)\1\s*$""".r.findFirstMatchIn(rest).foreach { bm =>
+          val quote = bm.group(1)
+          val body =
+            if (quote == "'") bm.group(2).replace("''", "'").replace("\\'", "'")
+            else bm.group(2).replace("\"\"", "\"").replace("\\\"", "\"")
+          Procedures.create(spark, m.group(1), params, body)
+          return Some(spark.emptyDataFrame)
+        }
+      }
+    }
+    q match {
+      case DropProcRe(ifEx, name) =>
+        Procedures.drop(spark, name, ifEx != null)
+        Some(spark.emptyDataFrame)
+      case CallProcRe(name, args) if Procedures.exists(spark, name) =>
+        Some(Procedures.call(spark, name, args))
+      case _ => None
+    }
+  }
 
   /** MySQL `RENAME TABLE a TO b[, c TO d ...]`
     * (`pkg/sql/parsers/dialect/mysql/mysql_sql.y` rename_stmt; BVT
@@ -1134,7 +1407,7 @@ object GraftSql {
                       _: org.apache.spark.sql.types.MapType) =>
                     to_json(col(f.name)).as(f.name)
                   case _ =>
-                    expr(s"try_cast(`${f.name}` AS ${tf.dataType.sql})").as(f.name)
+                    expr(moLoadCast(f.name, tf.dataType)).as(f.name)
                 }
               case _ => col(f.name)
             }
@@ -1215,7 +1488,7 @@ object GraftSql {
                   expr(s"CAST(mo_vec_parse_d(`${f.name}`, '${kindDim._1}', " +
                     s"${kindDim._2}) AS ${f.dataType.sql})").as(f.name)
                 case _ =>
-                  expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+                  expr(moLoadCast(f.name, f.dataType)).as(f.name)
               }
             }: _*)
         }
@@ -1580,6 +1853,12 @@ object GraftSql {
   private val userVars = TrieMap[String, String]()
   private def sessKey(spark: SparkSession, name: String): String =
     s"${System.identityHashCode(spark.sharedState)}#${name.toLowerCase}"
+  private[sql] def sqlLiteral(v: Any): String = sqlLit(v)
+  private[sql] def userVarLiteral(spark: SparkSession, name: String): String =
+    userVarLit(spark, name)
+  private[sql] def setUserVar(spark: SparkSession, name: String, lit: String): Unit =
+    userVars.put(sessKey(spark, name), lit)
+
   private def userVarLit(spark: SparkSession, name: String): String =
     userVars.getOrElse(sessKey(spark, name), "NULL")
 
@@ -1621,6 +1900,26 @@ object GraftSql {
     * placeholders) outside single/double-quoted literals and backticks.
     * `@@system` variables are left untouched.
     */
+  /** Regex replacement applied only to unquoted segments of `s`. */
+  private def replaceOutsideQuotes(s: String, re: scala.util.matching.Regex,
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var q: Char = 0
+    def flush(): Unit = {
+      out.append(re.replaceAllIn(seg.toString,
+        m => java.util.regex.Matcher.quoteReplacement(repl(m))))
+      seg.clear()
+    }
+    s.foreach { c =>
+      if (q != 0) { out.append(c); if (c == q) q = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { flush(); out.append(c); q = c }
+      else seg.append(c)
+    }
+    flush()
+    out.toString
+  }
+
   private def substituteOutsideQuotes(
       q: String, marker: String, resolve: String => String): String = {
     val sb = new StringBuilder
@@ -1661,13 +1960,18 @@ object GraftSql {
     * its rewrite. SET @v evaluates the RHS eagerly to a literal.
     */
   private def prepareRewrite(spark: SparkSession, q: String): Option[DataFrame] =
-    q match {
+    // procedures resolve BEFORE @-var substitution: `CALL p(@out)` must
+    // see the variable NAME (it writes OUT/INOUT params back into it)
+    procedureRewrite(spark, q).orElse(q match {
       case FtAlgoRe(algo) =>
         ftAlgo.put(System.identityHashCode(spark.sharedState),
           algo.toLowerCase.replace("-", "")) // "TF-IDF" → "tfidf"
         Some(spark.emptyDataFrame)
       case PrepareRe(name, bodyRaw) =>
-        val b = bodyRaw.trim
+        var b = bodyRaw.trim
+        // `PREPARE s FROM @var` takes the variable's STRING value as the
+        // body (ivfflat_include files build their SQL with concat())
+        if (b.matches("""^@\w+$""")) b = userVarLit(spark, b.drop(1)).trim
         val body =
           if (b.length >= 2 && (b.head == '\'' || b.head == '"') && b.last == b.head)
             b.substring(1, b.length - 1)
@@ -1748,7 +2052,7 @@ object GraftSql {
         overlay.foreach { case (n, v) => userVars.put(sessKey(spark, n), v) }
         Some(spark.emptyDataFrame)
       case _ => None
-    }
+    })
 
   // ------------------------------------------------------------------
   // Narrow vector column types (vecint8/vecuint8/vecf16/vecbf16 —
@@ -1834,6 +2138,23 @@ object GraftSql {
     FtTokenizeRe.replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
       s" LATERAL VIEW explode(mo_ft_tokenize(${m.group(1)}, `${m.group(2)}`)) " +
         s"${Option(m.group(3)).getOrElse("f")} AS tk"))
+  }
+
+  /** Distance kernels want array operands; a quoted `'[...]'` literal
+    * (the reference's implicit string→vector cast) becomes a typed
+    * array. Reached by SQL that BYPASSES the harness shims — prepared
+    * bodies built with concat() (null_entry_panic p_q).
+    */
+  private val DistLitRe =
+    ("""(?i)\b(l2_distance|l2_distance_sq|cosine_distance|cosine_similarity|""" +
+      """inner_product)\s*\(\s*([^,()']+)\s*,\s*'(\[[^']*\])'\s*\)""").r
+  private def vecLitFns(q: String): String = {
+    if (!q.toLowerCase.contains("distance") &&
+      !q.toLowerCase.contains("inner_product") &&
+      !q.toLowerCase.contains("cosine_similarity")) return q
+    DistLitRe.replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+      s"${m.group(1)}(${m.group(2)}, CAST(array(" +
+        m.group(3).stripPrefix("[").stripSuffix("]") + ") AS ARRAY<FLOAT>))"))
   }
 
   private def narrowVecFns(q: String): String = {
@@ -2075,11 +2396,12 @@ object GraftSql {
     ("""(?is)^select\s+(.*?)\s+from\s+`?(\w+)`?\s*(?:where\s+(.*?))?\s*order\s+by\s+""" +
       """(l2_distance|l2_distance_sq|cosine_distance|cosine_similarity|inner_product)""" +
       """\s*\(\s*`?(\w+)`?\s*,\s*(['"]\[[^\]]*\]['"]|(?:cast\s*\(\s*)?array\s*\(""" +
-      """[^()]*\)(?:\s*as\s+array\s*<\s*\w+\s*>\s*\))?)\s*\)\s*(asc|desc)?\s*limit\s+(\d+)\s*$""").r
+      """[^()]*\)(?:\s*as\s+array\s*<\s*\w+\s*>\s*\))?)\s*\)\s*(asc|desc)?""" +
+      """\s*limit\s+(\d+)(?:\s+offset\s+(\d+))?\s*$""").r
 
   private def annModeRewrite(spark: SparkSession, q: String,
       modeOpt: Option[String]): Option[DataFrame] = q match {
-    case AnnQueryRe(proj, table, whereOrNull, fn0, vcol, vecArg, dirOrNull, kTxt) =>
+    case AnnQueryRe(proj, table, whereOrNull, fn0, vcol, vecArg, dirOrNull, kTxt, offTxt) =>
       try {
         val fn = fn0.toLowerCase
         // the numeric list sits inside [...] or array(...)
@@ -2112,10 +2434,11 @@ object GraftSql {
         val pkOrd = primaryKeys.getOrElse(table, spark.table(table).columns.head)
           .split(",").map(c => col(s"`${c.trim}`").asc).toIndexedSeq
         val w = org.apache.spark.sql.expressions.Window.orderBy(ord0 +: pkOrd: _*)
+        val off = Option(offTxt).map(_.toInt).getOrElse(0)
         def ranked(df: DataFrame): DataFrame = df
           .withColumn("__dist", distCol)
           .withColumn("__rank", row_number().over(w))
-          .filter(col("__rank") <= k)
+          .filter(col("__rank") > off && col("__rank") <= off + k)
         def finish(df: DataFrame): DataFrame = {
           val items = splitTop(proj).map(_.trim)
           val out = df.orderBy(col("__rank"))
@@ -2129,13 +2452,18 @@ object GraftSql {
           finish(ranked(base.filter(col(vcol).isNotNull)))
         }
         idxOpt match {
-          case Some(idx) if mode == "post" || mode == "auto" =>
-            val nprobe = sysVarValue(spark, "session", "probe_limit")
+          case Some(idx) if mode == "post" || mode == "auto" || mode == "include" =>
+            // the approximate modes all read the probed cells and apply
+            // the filter to EVERY row in them before the top-k slice
+            // (include_rounds: post with both cells probed recovers the
+            // filtered top-k; vector_ivf_retry 5.1: post with nprobe=1
+            // returns empty when the probed cell has no matching row).
+            //   include  widens the probe until k matching rows exist
+            //   auto     retries as pre when post comes up short
+            val nprobe0 = sysVarValue(spark, "session", "probe_limit")
               .replaceAll("'", "").toInt
             val metric = if (fn.startsWith("cosine")) "cosine" else "l2"
             val qv = vecNums.map(_.toDouble).toArray
-            val cells = graft.plans.IvfIndex.nearestCells(
-              idx.copy(nprobe = nprobe), qv, metric).toSet
             val cents = idx.centroids
             val assign = udf((v: Seq[Double]) => {
               var best = 0; var bd = Double.MaxValue; var i = 0
@@ -2148,13 +2476,25 @@ object GraftSql {
               }
               best
             })
-            val probed = spark.table(table).filter(col(vcol).isNotNull)
+            val assigned = spark.table(table).filter(col(vcol).isNotNull)
               .withColumn("__ivf_cell", assign(col(s"`$vcol`").cast("array<double>")))
-              .filter(col("__ivf_cell").isin(cells.toSeq: _*))
-            val topk = ranked(probed)
-            val post = Option(whereOrNull).map(_.trim).filter(_.nonEmpty)
-              .foldLeft(topk)((d, c) => d.where(c))
-            if (mode == "auto" && post.count() < k) Some(pre) else Some(finish(post))
+            def candIn(n: Int): DataFrame = {
+              val cells = graft.plans.IvfIndex.nearestCells(
+                idx.copy(nprobe = n), qv, metric).toSet
+              Option(whereOrNull).map(_.trim).filter(_.nonEmpty)
+                .foldLeft(assigned.filter(
+                  col("__ivf_cell").isin(cells.toSeq: _*)))((d, c) => d.where(c))
+            }
+            var n = math.max(1, nprobe0)
+            var cand = candIn(n)
+            if (mode == "include")
+              while (n < idx.nlist && cand.count() < off + k) {
+                n += 1
+                cand = candIn(n)
+              }
+            val res = ranked(cand)
+            if (mode == "auto" && res.count() < k) Some(pre)
+            else Some(finish(res))
           case _ => Some(pre) // pre/force, or hinted query with no index
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -2192,6 +2532,10 @@ object GraftSql {
           sysVarValue(spark, "session", "experimental_hnsw_index") != "1")
           throw new IllegalStateException(
             "internal error: experimental_hnsw_index is not enabled")
+        if (method.equalsIgnoreCase("hnsw") &&
+          """(?i)include\s*\(""".r.findFirstIn(optsTxt).isDefined)
+          throw new UnsupportedOperationException(
+            "not supported: HNSW index does not support INCLUDE columns")
         val opts = parseIndexOpts(optsTxt)
         val df0 = spark.table(table)
         require(df0.columns.contains(vecCol), s"no column $vecCol on $table")
@@ -2232,10 +2576,26 @@ object GraftSql {
         val df =
           if (narrowElems) df0.withColumn(vecCol, col(vecCol).cast("array<float>"))
           else df0
+        def moRegister(centroids: Array[Array[Double]]): Unit = {
+          val includeCols = """(?i)include\s*\(([^)]*)\)""".r
+            .findFirstMatchIn(optsTxt).toSeq
+            .flatMap(mm => splitTop(mm.group(1)).map(
+              _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+          MoCatalog.registerVectorIndex(spark, name, table, method.toLowerCase,
+            vecCol, primaryKeys.getOrElse(table, df.columns.head)
+              .split(",").map(_.trim).toSeq,
+            includeCols, centroids)
+        }
         val nRows = df0.filter(col(vecCol).isNotNull).count()
-        if (nRows == 0)
+        if (nRows == 0) {
+          // empty corpus: no cells to build, but the index (and its live
+          // entries view) still registers — rows inserted later surface
+          // through it (vector_ivfflat_include_dml_sync creates the
+          // index before the first INSERT)
+          moRegister(Array.empty)
           return Some(Seq((name, table, vecCol, method.toLowerCase, "created"))
             .toDF("index_name", "table_name", "column_name", "method", "status"))
+        }
         def clamp(v: Int): Int = math.max(1, math.min(v, nRows).toInt)
         val pk = primaryKeys.getOrElse(table, df.columns.head)
         def iOpt(k: String, dflt: Int) = opts.get(k).map(_.toInt).getOrElse(dflt)
@@ -2247,19 +2607,25 @@ object GraftSql {
           graft.plans.HnswIndex.indexes.map(_.name) ++
           graft.plans.IvfPqIndex.indexes.map(_.name)).exists(_.startsWith(prefix)))
           throw new IllegalArgumentException(s"duplicate key name '$name'")
-        method.toLowerCase match {
+        val builtCentroids = method.toLowerCase match {
           case "ivfflat" =>
             graft.plans.IvfIndex.forCorpus(key, df, vecCol,
               nlist = clamp(iOpt("lists", 16)), nprobe = iOpt("nprobe", 4))
+              .centroids
           case "hnsw" =>
             graft.plans.HnswIndex.forCorpus(key, df, pk, vecCol,
               m = iOpt("m", 16), efConstruction = iOpt("ef_construction", 100),
               efSearch = iOpt("ef_search", 64))
+            Array.empty[Array[Double]]
           case "ivfpq" =>
             graft.plans.IvfPqIndex.forCorpus(key, df, pk, vecCol,
               nlist = iOpt("lists", 16), mSub = iOpt("m", 8),
               codebookSize = iOpt("codebook", 16), nprobe = iOpt("nprobe", 8))
+            Array.empty[Array[Double]]
         }
+        // surface the index in the mo_catalog slice (+ the live entries
+        // view for ivfflat); include(...) carry columns come from the DDL
+        moRegister(builtCentroids)
         Some(Seq((name, table, vecCol, method.toLowerCase, "created"))
           .toDF("index_name", "table_name", "column_name", "method", "status"))
       case AlterReindexRe(table, name, method0, optsTxt) =>
@@ -2338,6 +2704,16 @@ object GraftSql {
           graft.plans.IvfIndex.drop(n)
           graft.plans.HnswIndex.drop(n)
           graft.plans.IvfPqIndex.drop(n)
+          n.split("-") match {
+            case Array(i, t, _*) => MoCatalog.dropIndex(spark, i, t)
+            case _ =>
+          }
+        }
+        // the catalog rows drop even when no physical index was built
+        // (index created on an empty corpus registers metadata only)
+        Option(tableOrNull) match {
+          case Some(t) => MoCatalog.dropIndex(spark, name, t)
+          case None => MoCatalog.dropIndexByName(spark, name)
         }
         // fulltext indexes drop by the same statement (fulltext1.sql:11
         // `drop index fdx_01 on articles` then recreates the same columns)
@@ -2501,7 +2877,25 @@ object GraftSql {
          else "window.start AS _wstart" +: mapped).distinct
       // startTime aligns the window grid to the reference's Datetime
       // origin (0001-01-01) — see TimeWindow.moOffsetSec
-      val offsetSec = TimeWindow.moOffsetSec(stepSec)
+      // sliding grids anchor at floor_WIDTH(min ts) on the MO-origin
+      // width grid and step by the slide from there — 365d/200d windows
+      // start at a 365-day-aligned point (time_window.result:204 block's
+      // 2020-08-29 grid), NOT on the 200-day grid. Tumbling keeps the
+      // width(=step) alignment. The min/max scan is one small agg job.
+      val bounds =
+        if (stepSec >= widthSec) None
+        else {
+          val b = spark.sql(s"SELECT min($tsCol), max($tsCol) FROM $fromPart").head
+          if (b.isNullAt(0)) None
+          else Some((b.getTimestamp(0).getTime / 1000, b.getTimestamp(1).getTime / 1000))
+        }
+      val offW = TimeWindow.moOffsetSec(widthSec)
+      val anchor = bounds.map { case (mnE, _) =>
+        Math.floorDiv(mnE - offW, widthSec) * widthSec + offW
+      }
+      val offsetSec = anchor
+        .map(a => ((a % stepSec) + stepSec) % stepSec)
+        .getOrElse(TimeWindow.moOffsetSec(stepSec))
       val groupExprs = (extraKeys :+
         s"window($tsCol, '$widthSec seconds', '$stepSec seconds', '$offsetSec seconds')")
         .mkString(", ")
@@ -2510,20 +2904,25 @@ object GraftSql {
            |FROM $fromPart
            |GROUP BY $groupExprs""".stripMargin)
 
-      // sliding windows: the reference emits no window starting before
-      // the grid-aligned minimum timestamp (optimizer/column_pruning's
-      // `sliding(5, second)` goldens) — drop the leading partial windows
-      val slid =
-        if (stepSec >= widthSec) grouped
-        else {
-          val mn = grouped.agg(min(col("_wstart"))).head.get(0)
-          if (mn == null) grouped
-          else grouped.filter(col("_wstart") >=
-            lit(mn.toString).cast("timestamp") +
-              expr(s"INTERVAL ${widthSec - stepSec} SECONDS"))
-        }
       val keyNames = extraKeys.map(_.stripPrefix("`").stripSuffix("`"))
         .filter(k => grouped.columns.exists(_.equalsIgnoreCase(k)))
+      // SLIDING emits the DENSE aligned grid: every slide-aligned window
+      // start s with s + width > min(ts) and s <= max(ts), including
+      // interior EMPTY windows as NULL rows even without fill
+      // (time_window.result sliding goldens). Tumbling stays sparse —
+      // data-bearing windows only (time_window.result:272-281 keeps the
+      // 03:30→12:00 gap absent under fill(prev)).
+      // output stays SPARSE — a window row exists iff at least one
+      // source row falls in it (aggregates may still be NULL when the
+      // aggregated column is NULL for every row in the window). The one
+      // sliding-specific rule: windows STARTING before the anchor are
+      // not emitted even when they overlap data
+      // (optimizer/column_pruning: 10s/5s drops the 23:59:55 start).
+      val slid = anchor match {
+        case Some(a) =>
+          grouped.filter(col("_wstart") >= lit(a).cast("timestamp"))
+        case None => grouped
+      }
       val outCols = items.map(itemName)
       // the reference's interval() emits ONLY data-bearing windows —
       // no interior gap expansion even under fill()
@@ -2554,14 +2953,22 @@ object GraftSql {
               case TimeWindow.FillValue(v) => coalesce(c, lit(v).cast(
                 d.schema(vc).dataType))
               case TimeWindow.FillLinear =>
-                val ws = to_unix_timestamp(col("_wstart"))
-                val pv = last(when(c.isNotNull, struct(ws.as("t"), c.as("v"))),
-                  ignoreNulls = true).over(w.rowsBetween(Long.MinValue, -1))
-                val nv = first(when(c.isNotNull, struct(ws.as("t"), c.as("v"))),
-                  ignoreNulls = true).over(w.rowsBetween(1, Long.MaxValue))
-                coalesce(c, (pv("v") + (nv("v") - pv("v")) *
-                  (ws - pv("t")) / (nv("t") - pv("t")))
-                  .cast(d.schema(vc).dataType))
+                // the reference's linear fill is the NEIGHBOR MIDPOINT,
+                // constant across a multi-row gap (time_window.result
+                // block 182: two missing rows both get (prev+next)/2),
+                // rounded half-away for integral columns
+                val pv = last(c, ignoreNulls = true)
+                  .over(w.rowsBetween(Long.MinValue, -1))
+                val nv = first(c, ignoreNulls = true)
+                  .over(w.rowsBetween(1, Long.MaxValue))
+                val mid = (pv.cast("double") + nv.cast("double")) / 2
+                import org.apache.spark.sql.types._
+                val fillV = d.schema(vc).dataType match {
+                  case ByteType | ShortType | IntegerType | LongType =>
+                    round(mid, 0)
+                  case _ => mid
+                }
+                coalesce(c, fillV.cast(d.schema(vc).dataType))
               case _ => c
             }
             d = d.withColumn(vc, patched)

@@ -1,0 +1,218 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** A thin emulation of the reference's `mo_catalog` system schema —
+  * the slice the BVT corpus introspects: `mo_tables` (rel_id lookup),
+  * `mo_indexes` (index algo/table-type rows + the hidden internal
+  * table names), `mo_columns` (layout of an index's entries table).
+  * Reference: `pkg/catalog/` table definitions; BVT
+  * `vector_ivfflat_include_*`, `vector_index_plugin_smoke`.
+  *
+  * Vector-index DDL registers rows here; the IVF *entries* internal
+  * table surfaces as a LIVE temp view over the base table with cell
+  * assignment against the index's frozen centroids — the same
+  * "centroids freeze at build, entries follow DML" contract the
+  * reference maintains with its synced entries table, without a second
+  * copy of the data.
+  */
+object MoCatalog {
+
+  final case class IndexRow(name: String, tableId: Long, algo: String,
+      tableType: String, indexTableName: String, algoParams: String = "")
+
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(100000L)
+  private def sk(spark: SparkSession) = System.identityHashCode(spark.sharedState)
+  private val tableIds = TrieMap[(Int, String), Long]()
+  private val indexRows = TrieMap[(Int, String), Vector[IndexRow]]() // key (sess, idxName-table)
+  private val entriesViews = TrieMap[(Int, String), String]() // view → owning db
+  private val sessionDb = TrieMap[Int, String]()
+
+  private val allDbs = TrieMap[(Int, String), Unit]()
+  def useDb(spark: SparkSession, db: String): Unit = {
+    sessionDb.put(sk(spark), db)
+    allDbs.put((sk(spark), db), ())
+  }
+  def seenDbs(spark: SparkSession): Seq[String] =
+    allDbs.keys.filter(_._1 == sk(spark)).map(_._2).toSeq
+  def currentDb(spark: SparkSession): Option[String] =
+    sessionDb.get(sk(spark))
+  private val createdDbs = TrieMap[(Int, String), Unit]()
+  def createDb(spark: SparkSession, db: String): Unit =
+    createdDbs.put((sk(spark), db.toLowerCase), ())
+  def dbExists(spark: SparkSession, db: String): Boolean =
+    createdDbs.contains((sk(spark), db.toLowerCase))
+  def dropDb(spark: SparkSession, db: String): Unit = {
+    createdDbs.remove((sk(spark), db.toLowerCase))
+    if (sessionDb.get(sk(spark)).exists(_.equalsIgnoreCase(db)))
+      sessionDb.remove(sk(spark))
+  }
+  /** Test-harness hook: forget this session's catalog state. */
+  def clear(spark: SparkSession): Unit = {
+    val k = sk(spark)
+    Seq(tableIds, tableDb, indexRows, entriesViews, createdDbs)
+      .foreach(m => m.keys.filter(_._1 == k).foreach(m.remove))
+    sessionDb.remove(k)
+    allDbs.keys.filter(_._1 == k).foreach(allDbs.remove)
+  }
+
+  private val tableDb = TrieMap[(Int, String), String]()
+  def tableId(spark: SparkSession, table: String): Long = {
+    tableDb.putIfAbsent((sk(spark), table.toLowerCase),
+      currentDb(spark).getOrElse("default"))
+    tableIds.getOrElseUpdate((sk(spark), table.toLowerCase),
+      nextId.incrementAndGet())
+  }
+
+  def isEntriesView(spark: SparkSession, name: String): Boolean =
+    entriesViews.contains((sk(spark), name.toLowerCase))
+
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    val k = sk(spark)
+    tableIds.remove((k, table.toLowerCase))
+    tableDb.remove((k, table.toLowerCase))
+    indexRows.keys.filter(key => key._1 == k &&
+      key._2.endsWith(s"-${table.toLowerCase}")).foreach(indexRows.remove)
+  }
+
+  def dropIndex(spark: SparkSession, idxName: String, table: String): Unit =
+    indexRows.remove((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"))
+  /** Drop an index by name alone (DROP INDEX without ON table). */
+  def dropIndexByName(spark: SparkSession, idxName: String): Unit = {
+    val k = sk(spark)
+    indexRows.keys.filter(key => key._1 == k &&
+      key._2.startsWith(s"${idxName.toLowerCase}-")).foreach(indexRows.remove)
+  }
+
+  /** Register a vector index's mo_indexes rows and (for ivfflat) its
+    * live entries view. `includeCols` are the DDL's include(...) carry
+    * columns.
+    */
+  def registerVectorIndex(spark: SparkSession, idxName: String, table: String,
+      method: String, vecCol: String, pkCols: Seq[String],
+      includeCols: Seq[String], centroids: Array[Array[Double]]): Unit = {
+    val tid = tableId(spark, table)
+    // mirrors the reference's algo_params JSON closely enough for the
+    // goldens' LIKE probes ('%included_columns%')
+    val params =
+      if (includeCols.isEmpty) ""
+      else s"""{"included_columns":[${includeCols.map(c => "\"" + c + "\"").mkString(",")}]}"""
+    val db = currentDb(spark).getOrElse("default")
+    val rows = method.toLowerCase match {
+      case "ivfflat" =>
+        val base = s"__mo_index_secondary_${tid}_${idxName.toLowerCase}"
+        val entries = s"${base}_entries"
+        // live entries view: base rows assigned to the FROZEN centroids.
+        // Built as SQL TEXT over a registered assign function so the
+        // base table resolves by NAME at every query — the view then
+        // follows UPDATE/DELETE overwrites instead of pinning the file
+        // listing of the build-time snapshot.
+        val cents = centroids
+        val assignName = s"__mo_assign_${tid}_${idxName.toLowerCase}"
+        spark.udf.register(assignName, (v: Seq[Double]) =>
+          if (v == null) null
+          else {
+            var best = 0; var bd = Double.MaxValue; var i = 0
+            while (i < cents.length) {
+              val c = cents(i); var s = 0.0; var j = 0
+              val n = math.min(c.length, v.length)
+              while (j < n) { val d = c(j) - v(j); s += d * d; j += 1 }
+              if (s < bd) { bd = s; best = i }
+              i += 1
+            }
+            java.lang.Integer.valueOf(best)
+          })
+        val pkSql =
+          if (pkCols.length == 1) s"`${pkCols.head}`"
+          else pkCols.map(c => s"CAST(`$c` AS STRING)")
+            .mkString("concat_ws('', ", ", ", ")")
+        val selCols = Seq(
+          "CAST(0 AS BIGINT) AS __mo_index_centroid_fk_version",
+          s"CAST($assignName(CAST(`$vecCol` AS ARRAY<DOUBLE>)) AS BIGINT) " +
+            "AS __mo_index_centroid_fk_id",
+          s"$pkSql AS __mo_index_pri_col",
+          s"`$vecCol` AS __mo_index_centroid_fk_entry") ++
+          includeCols.map(c => s"`$c` AS __mo_index_include_$c")
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $entries AS " +
+          s"SELECT ${selCols.mkString(", ")} FROM `$table`")
+        entriesViews.put((sk(spark), entries.toLowerCase), db)
+        Vector(
+          IndexRow(idxName, tid, "ivfflat", "metadata", s"${base}_meta", params),
+          IndexRow(idxName, tid, "ivfflat", "centroids", s"${base}_centroids", params),
+          IndexRow(idxName, tid, "ivfflat", "entries", entries, params))
+      case "hnsw" =>
+        val base = s"__mo_index_secondary_${tid}_${idxName.toLowerCase}"
+        Vector(
+          IndexRow(idxName, tid, "hnsw", "hnsw_index", s"${base}_index"),
+          IndexRow(idxName, tid, "hnsw", "hnsw_meta", s"${base}_meta"))
+      case other =>
+        Vector(IndexRow(idxName, tid, other, "metadata",
+          s"__mo_index_secondary_${tid}_${idxName.toLowerCase}_meta"))
+    }
+    indexRows.put((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"), rows)
+  }
+
+  /** (Re)materialize the `_graft_mo_*` views the mo_catalog rewrite
+    * targets. Driver-side metadata only — tiny.
+    */
+  def ensureViews(spark: SparkSession, primaryKeyed: String => Boolean): Unit = {
+    import spark.implicits._
+    val k = sk(spark)
+    val db = currentDb(spark).getOrElse("default")
+    val tids = tableIds.toSeq.filter(_._1._1 == k)
+      .map { case ((_, t), id) =>
+        (id, t, tableDb.getOrElse((k, t), db)) }
+    // the reference's catalog also lists each index's INTERNAL tables
+    // (array_index.result counts base + metadata/centroids/entries)
+    val internal = indexRows.toSeq.filter(_._1._1 == k).flatMap(_._2)
+      .map { r =>
+        val baseDb = tableIds.toSeq.filter(_._1._1 == k)
+          .find(_._2 == r.tableId)
+          .map { case ((_, t), _) => tableDb.getOrElse((k, t), db) }
+          .getOrElse(db)
+        (r.tableId * 1000 + r.indexTableName.hashCode.abs % 997,
+          r.indexTableName, baseDb)
+      }
+    (tids ++ internal).toDF("rel_id", "relname", "reldatabase")
+      .createOrReplaceTempView("_graft_mo_tables")
+    // a primary key surfaces as a nameless index row (plugin_smoke's
+    // golden leads with an empty algo/algo_table_type row)
+    val pkRows = tids.filter(t => primaryKeyed(t._2))
+      .map(t => ("", t._1, "", "", ""))
+    val idxRows = indexRows.toSeq.filter(_._1._1 == k).flatMap(_._2)
+      .map(r => (r.name, r.tableId, r.algo, r.tableType, r.indexTableName,
+        r.algoParams))
+    (pkRows.map(t => (t._1, t._2, t._3, t._4, t._5, "")) ++ idxRows)
+      .toDF("name", "table_id", "algo", "algo_table_type",
+        "index_table_name", "algo_params")
+      .createOrReplaceTempView("_graft_mo_indexes")
+    // the stage registry's deterministic columns (ids/created_time are
+    // run-specific in the reference and stay unverifiable)
+    Stages.list(spark).zipWithIndex
+      .map { case (st, i) =>
+        (i + 1L, st.name, st.url,
+          st.credentials.map { case (ck, cv) => s"$ck=$cv" }.mkString(","),
+          "in_use", st.comment)
+      }
+      .toDF("stage_id", "stage_name", "url", "stage_credentials",
+        "stage_status", "comment")
+      .createOrReplaceTempView("_graft_mo_stages")
+    val colRows = entriesViews.toSeq.filter(_._1._1 == k).flatMap {
+      case ((_, v), vdb) =>
+        try {
+          val visible = spark.table(v).schema.fields.zipWithIndex.map {
+            case (f, i) => (f.name, i + 1, 0, v, vdb)
+          }.toSeq
+          // the reference's storage appends two HIDDEN columns
+          // (entries_layout golden rows 7-8)
+          visible ++ Seq(
+            ("__mo_cpkey_col", visible.length + 1, 1, v, vdb),
+            ("__mo_rowid", visible.length + 2, 1, v, vdb))
+        } catch { case _: Exception => Seq.empty[(String, Int, Int, String, String)] }
+    }
+    colRows.toDF("attname", "attnum", "att_is_hidden", "att_relname", "att_database")
+      .createOrReplaceTempView("_graft_mo_columns")
+  }
+}

@@ -584,6 +584,13 @@ object MySqlCompat {
     * an is-null filter so correlation depth is unchanged.
     */
   def projectionIn(q0: String): String = {
+    // a CREATE VIEW body freezes Spark's (non-3VL) projection IN into
+    // the catalog — rewrite the body before it's stored
+    // (view-subquery-with-in.result v2/v3/v7)
+    """(?is)^(\s*create\s+(?:or\s+replace\s+)?view\s+.+?\bas\s+)(select\b.*)$""".r
+      .findFirstMatchIn(q0).foreach { m =>
+        return m.group(1) + projectionIn(m.group(2))
+      }
     if (!"""(?is)^\s*select\b""".r.findFirstIn(q0).isDefined) return q0
     val selStart = q0.toLowerCase.indexOf("select") + 6
     val fromIdx = topIndexOf(q0, "from", selStart)
@@ -623,6 +630,14 @@ object MySqlCompat {
               val lo = openOf(q, e)
               if (lo >= 0 && !isFunctionCall(q, lo))
                 (lo, GraftSql.splitTop(q.substring(lo + 1, e)).map(_.trim))
+              else (-1, Seq.empty[String])
+            } else if (e >= 0 && q(e) == '\'') {
+              // string-literal lhs (`'XYZS' IN (SELECT * FROM t1)` —
+              // subquery-with-in.result:244 expects UNKNOWN, which
+              // Spark's projection-context IN does not produce)
+              var b = e - 1
+              while (b >= 0 && q(b) != '\'') b -= 1
+              if (b >= 0) (b, Seq(q.substring(b, e + 1)))
               else (-1, Seq.empty[String])
             } else {
               var b = e
@@ -1100,9 +1115,15 @@ object MySqlCompat {
     q
   }
 
+  // MO temporary tables are session-scoped; the session IS the process
+  // here, so they map to plain managed tables (procedure.sql temp-table
+  // lifecycle cases; the `temporary` BVT category)
+  private[graft] def tempTable(q: String): String =
+    q.replaceFirst("(?i)^(\\s*create)\\s+temporary\\s+table\\b", "$1 TABLE")
+
   def pre(q: String): String =
     mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
       applyJoin(plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
         intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(vecCast(
-          datalinkCast(indexHints(pgCast(q))))))))))))))))))))
+          datalinkCast(indexHints(pgCast(tempTable(q)))))))))))))))))))))
 }

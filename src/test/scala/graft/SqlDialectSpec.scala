@@ -22,11 +22,14 @@ class SqlDialectSpec extends AnyFunSuite {
   // ---------------------------------------------------------- interval
   private def tsTable(): Unit =
     Seq(
-      ("2021-01-01 00:00:00", 10, "a"),
-      ("2021-01-01 05:00:00", 20, "a"),
-      // 06:00-12:00 bucket empty
-      ("2021-01-01 13:00:00", 40, "b"),
-      ("2021-01-02 01:00:00", 80, "b"))
+      ("2021-01-01 00:00:00", Some(10), "a"),
+      ("2021-01-01 05:00:00", Some(20), "a"),
+      // the 06-12 bucket HAS a row but its value is NULL — the
+      // reference's interval() emits only data-bearing windows
+      // (time_window.result goldens), so fills patch NULL cells
+      ("2021-01-01 07:00:00", None, "a"),
+      ("2021-01-01 13:00:00", Some(40), "b"),
+      ("2021-01-02 01:00:00", Some(80), "b"))
       .toDF("tss", "v", "k")
       .select(to_timestamp($"tss").as("ts"), $"v", $"k")
       .createOrReplaceTempView("tw_t")
@@ -37,10 +40,13 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT _wstart, _wend, max(v) AS mx, min(v) AS mn FROM tw_t interval(ts, 6, hour)")
       .orderBy("_wstart")
       .select(unix_timestamp($"_wstart"), unix_timestamp($"_wend"), $"mx", $"mn")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -99 else r.getInt(2),
+        if (r.isNullAt(3)) -99 else r.getInt(3)))
     val day = 1609459200L // 2021-01-01 UTC
     assert(rows.toSeq == Seq(
       (day, day + 21600, 20, 10),
+      (day + 21600, day + 43200, -99, -99), // null-valued window emitted
       (day + 43200, day + 64800, 40, 40),
       (day + 86400, day + 108000, 80, 80)))
   }
@@ -50,8 +56,10 @@ class SqlDialectSpec extends AnyFunSuite {
     val rows = GraftSql.sql(spark,
       "SELECT _wstart, max(v) AS mx FROM tw_t interval(ts, 6, hour) fill(prev)")
       .orderBy("_wstart").select($"mx").as[Int].collect()
-    // spine 00,06,12,18,00 → 20 carried into 06-12, 40 into 18-24
-    assert(rows.toSeq == Seq(20, 20, 40, 40, 80))
+    // sparse windows 00,06,12,00+1d → 20 carried into the NULL 06-12
+    // cell; gaps with NO rows are not materialized (the goldens'
+    // semantics — dense gap-filling is the TimeWindow.gapFill operator)
+    assert(rows.toSeq == Seq(20, 20, 40, 80))
   }
 
   test("fill(value, X) and fill(linear) follow the reference modes") {
@@ -59,11 +67,12 @@ class SqlDialectSpec extends AnyFunSuite {
     val v = GraftSql.sql(spark,
       "SELECT _wstart, max(v) AS mx FROM tw_t interval(ts, 6, hour) fill(value, -1)")
       .orderBy("_wstart").select($"mx").as[Double].collect()
-    assert(v.toSeq == Seq(20.0, -1.0, 40.0, -1.0, 80.0))
+    assert(v.toSeq == Seq(20.0, -1.0, 40.0, 80.0))
     val lin = GraftSql.sql(spark,
       "SELECT _wstart, max(v) AS mx FROM tw_t interval(ts, 6, hour) fill(linear)")
       .orderBy("_wstart").select($"mx").as[Double].collect()
-    assert(lin.toSeq == Seq(20.0, 30.0, 40.0, 60.0, 80.0))
+    // linear = neighbor midpoint (time_window.result block 182)
+    assert(lin.toSeq == Seq(20.0, 30.0, 40.0, 80.0))
   }
 
   test("sliding(M, unit) produces overlapping windows") {
