@@ -39,10 +39,27 @@ class PartitionPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The relation is only prunable if every node between the Filter and
+    * the scan is one a Filter may be pushed through without changing the
+    * row set the upper operators see: Filters, deterministic Projects,
+    * and Joins (descending into the side holding the scan — the derived
+    * conjuncts are null-intolerant, so the outer-join null-extension
+    * argument holds). Window/Limit/Sample/Aggregate etc. bail — pruning
+    * below them would renumber/resample against the pruned scan.
+    */
+  private def findRel(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case r: LogicalRelation if r.output.exists(_.name == Partitions.PartCol) => Some(r)
+    case Filter(_, c) => findRel(c)
+    case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+        if pr.projectList.forall(_.deterministic) => findRel(pr.child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => findRel(s.child)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+      findRel(j.left).orElse(findRel(j.right))
+    case _ => None
+  }
+
   private def prune(f: Filter, cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
-    val rel = child.collectFirst {
-      case r: LogicalRelation if r.output.exists(_.name == Partitions.PartCol) => r
-    }.getOrElse(return None)
+    val rel = findRel(child).getOrElse(return None)
     val spec = rel.catalogTable
       .flatMap(ct => Partitions.byPhys(session, ct.identifier.table))
       .getOrElse(return None)
@@ -68,7 +85,10 @@ class PartitionPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     def isSrc(e: Expression): Boolean = e match {
       case a: AttributeReference => a.exprId == srcAttr.exprId
-      case Cast(a: AttributeReference, _, _, _) => a.exprId == srcAttr.exprId
+      // only value-PRESERVING casts: CAST(dbl AS INT) = 5 is satisfied by
+      // 5.4, which may live in a partition the bound math would skip
+      case Cast(a: AttributeReference, dt, _, _) =>
+        a.exprId == srcAttr.exprId && Cast.canUpCast(a.dataType, dt)
       case _ => false
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -44,6 +44,23 @@ object GraftSql {
   def registerPrimaryKey(table: String, pk: String): Unit =
     primaryKeys.put(table, pk)
 
+  /** table → (index name, covered columns) for UNIQUE secondary keys —
+    * REPLACE INTO / INSERT ... ON DUPLICATE KEY dedup against these as
+    * well as the pk (the reference's dedup join keys on every unique
+    * index, `pkg/sql/colexec/dedupjoin/`).
+    */
+  private val uniqueKeys = TrieMap[String, Vector[(String, Seq[String])]]()
+  def registerUniqueKey(table: String, name: String, cols: Seq[String]): Unit =
+    uniqueKeys.updateWith(table.toLowerCase) {
+      case Some(v) => Some(v.filterNot(_._1.equalsIgnoreCase(name)) :+ (name, cols))
+      case None => Some(Vector((name, cols)))
+    }
+  def dropUniqueKey(table: String, name: String): Unit =
+    uniqueKeys.updateWith(table.toLowerCase)(
+      _.map(_.filterNot(_._1.equalsIgnoreCase(name))))
+  def uniqueKeysOf(table: String): Vector[(String, Seq[String])] =
+    uniqueKeys.getOrElse(table.toLowerCase, Vector.empty)
+
   private val viewSeq = new AtomicLong(0L)
 
   /** Entry point: accept reference-dialect SQL, return the DataFrame. */
@@ -100,6 +117,7 @@ object GraftSql {
           vecCols.remove(m.group(1).toLowerCase)
           autoIncCols.remove(m.group(1).toLowerCase)
           primaryKeys.remove(m.group(1).toLowerCase)
+          uniqueKeys.remove(m.group(1).toLowerCase)
           tsFsp.keys.filter(_._1 == m.group(1).toLowerCase).foreach(tsFsp.remove)
           MoCatalog.dropTable(spark, m.group(1))
           // cached postings for the dead table can never be valid again
@@ -941,9 +959,20 @@ object GraftSql {
       .filter(m => MoCatalog.isEntriesView(spark, m.group(1)))
       .map(_ => spark.emptyDataFrame)
 
+  /** Anchored-regex match against the literal-MASKED copy of `q`
+    * (length-preserving), groups sliced from the ORIGINAL by offset — so
+    * clause keywords inside string data (`SET a = 'x where y'`) never
+    * split the statement. Absent optional groups come back null.
+    */
+  private def matchMasked(re: scala.util.matching.Regex, q: String): Option[IndexedSeq[String]] =
+    re.findFirstMatchIn(MySqlCompat.maskLiterals(q)).map { m =>
+      (1 to m.groupCount).map(i =>
+        if (m.start(i) < 0) null else q.substring(m.start(i), m.end(i)))
+    }
+
   private def deleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
-    q match {
-      case DeleteRe(table, condOrNull, limitOrNull) =>
+    matchMasked(DeleteRe, q) match {
+      case Some(IndexedSeq(table, condOrNull, limitOrNull)) =>
         if (!spark.catalog.tableExists(table)) return None
         // partitioned tables route rows through per-partition subtables;
         // copy-on-write DML doesn't compose with that layout yet
@@ -957,20 +986,38 @@ object GraftSql {
             // rows stay when the predicate is FALSE or UNKNOWN
             spark.sql(s"SELECT * FROM `$table` WHERE NOT coalesce(($c), false)")
           case (condOpt, Some(n)) =>
-            // LIMIT picks n matching rows; identity via the primary key
-            val pk = primaryKeys.getOrElse(table, target.columns.head)
-              .split(",").map(_.trim).toSeq
-            val doomed = condOpt.map(c =>
-              spark.sql(s"SELECT * FROM `$table` WHERE ($c)")).getOrElse(target)
-              // deterministic pick: the reference deletes the earliest
-              // row; without a physical order, all-columns order stands
-              // in for insertion order
-              .orderBy(target.columns.map(c => col(s"`$c`").asc).toIndexedSeq: _*)
-              .limit(n.toInt).select(pk.map(c => col(s"`$c`")): _*)
-            // a Seq-join reorders columns key-first — restore the table
-            // layout (insertInto is positional)
-            target.join(broadcast(doomed), pk, "left_anti")
-              .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            primaryKeys.get(table) match {
+              case Some(pkTxt) =>
+                // LIMIT picks n matching rows; identity via the primary key
+                val pk = pkTxt.split(",").map(_.trim).toSeq
+                val doomed = condOpt.map(c =>
+                  spark.sql(s"SELECT * FROM `$table` WHERE ($c)")).getOrElse(target)
+                  // deterministic pick: the reference deletes the earliest
+                  // row; without a physical order, all-columns order stands
+                  // in for insertion order
+                  .orderBy(target.columns.map(c => col(s"`$c`").asc).toIndexedSeq: _*)
+                  .limit(n.toInt).select(pk.map(c => col(s"`$c`")): _*)
+                // a Seq-join reorders columns key-first — restore the table
+                // layout (insertInto is positional)
+                target.join(broadcast(doomed), pk, "left_anti")
+                  .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+              case None =>
+                // pk-less: an anti-join on any single column over-deletes
+                // duplicates; flag the first n matching rows by a running
+                // count over the all-columns order instead (identical rows
+                // are interchangeable, so a row-based pick is exact)
+                val condSql = condOpt
+                  .map(c => s"coalesce(($c), false)").getOrElse("true")
+                val flagged = spark.sql(
+                  s"SELECT *, $condSql AS __del FROM `$table`")
+                val w = org.apache.spark.sql.expressions.Window
+                  .orderBy(target.columns.map(c => col(s"`$c`").asc).toIndexedSeq: _*)
+                  .rowsBetween(Long.MinValue, 0)
+                flagged.withColumn("__del", col("__del") &&
+                    sum(when(col("__del"), 1).otherwise(0)).over(w) <= n.toInt)
+                  .filter(!col("__del"))
+                  .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            }
         }
         commitTable(spark, table, remaining)
         Some(spark.emptyDataFrame)
@@ -1027,8 +1074,8 @@ object GraftSql {
     else "NULL"
 
   private def updateRewrite(spark: SparkSession, q: String): Option[DataFrame] =
-    q match {
-      case UpdateRe(table, setTxt, condOrNull, orderOrNull, limitOrNull) =>
+    matchMasked(UpdateRe, q) match {
+      case Some(IndexedSeq(table, setTxt, condOrNull, orderOrNull, limitOrNull)) =>
         if (!spark.catalog.tableExists(table)) return None
         if (Partitions.get(spark, table).isDefined) return None
         val target = spark.table(table)
@@ -2371,6 +2418,59 @@ object GraftSql {
     Set("add", "index", "key", "primary", "select", "from", "where", "using")
   private val DropIndexRe =
     """(?is)^drop\s+index\s+(\w+)(?:\s+on\s+([A-Za-z_]\w*))?$""".r
+
+  // CREATE [UNIQUE|SPATIAL] INDEX name [USING algo] ON tbl(cols ...) —
+  // physical-layout advice for Catalyst, real mo_catalog surface
+  private val CreatePlainIndexRe =
+    ("""(?is)^create\s+(unique\s+|spatial\s+)?index\s+`?([\w$]+)`?\s*""" +
+      """(?:using\s+(\w+)\s+)?on\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\((.*?)\)\s*(.*)$""").r
+  // ALTER TABLE t ADD [CONSTRAINT c] [UNIQUE|SPATIAL] [INDEX|KEY] [name]
+  // [USING algo] (cols) — the kind-or-keyword guard below keeps ADD
+  // COLUMN out of this shape
+  private val AlterAddIndexRe =
+    ("""(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+add\s+""" +
+      """(?:constraint\s+`?([\w$]+)`?\s+)?""" +
+      """(?:(unique|spatial)\s+)?(?:(index|key)\s*)?""" +
+      """`?([\w$]*)`?\s*(?:using\s+(\w+)\s*)?\((.*?)\)\s*(.*)$""").r
+  private val AlterDropIndexRe =
+    """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+drop\s+(?:index|key)\s+`?([\w$]+)`?\s*$""".r
+
+  /** True when `stmt` is secondary-index DDL this engine registers
+    * (harness probe: unmatched variants stay physical-layout no-ops).
+    */
+  def handlesIndexDdl(stmt: String): Boolean = stmt.trim.stripSuffix(";") match {
+    case CreatePlainIndexRe(_*) => true
+    case AlterAddIndexRe(_, _, kind, kw, _, _, _, _) => kind != null || kw != null
+    case AlterDropIndexRe(_*) => true
+    case _ => false
+  }
+
+  private def indexColNames(colsTxt: String): Seq[String] =
+    splitTop(colsTxt).map(_.trim
+      .replaceAll("(?i)\\s+(asc|desc)$", "")
+      .replaceAll("\\(\\s*\\d+\\s*\\)$", "") // prefix length `col(10)`
+      .stripPrefix("`").stripSuffix("`").trim).filter(_.nonEmpty)
+
+  private def registerPlain(spark: SparkSession, name0: String, table: String,
+      kindOrNull: String, usingOrNull: String, colsTxt: String): DataFrame = {
+    import spark.implicits._
+    val kind = Option(kindOrNull).map(_.trim.toLowerCase).getOrElse("")
+    val cols = indexColNames(colsTxt)
+    val name = if (name0.nonEmpty) name0 else cols.headOption.getOrElse("idx")
+    val idxType = kind match {
+      case "unique" => "UNIQUE"
+      case "spatial" => "SPATIAL"
+      case _ => "MULTIPLE"
+    }
+    // SPATIAL defaults to the rtree algo (pkg/sql/compile/util.go)
+    val algo = Option(usingOrNull).map(_.toLowerCase)
+      .getOrElse(if (kind == "spatial") "rtree" else "")
+    val pkCols = primaryKeys.get(table.toLowerCase)
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    MoCatalog.registerPlainIndex(spark, name, table, idxType, algo, cols, pkCols)
+    if (idxType == "UNIQUE") registerUniqueKey(table, name, cols)
+    Seq((name, table, "created")).toDF("index_name", "table_name", "status")
+  }
   private val AlterReindexRe =
     """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+alter\s+reindex\s+`?(\w+)`?\s+(\w+)\s*(.*)$""".r
 
@@ -2692,6 +2792,21 @@ object GraftSql {
         }
         Some(Seq((name, table, method, "rebuilt"))
           .toDF("index_name", "table_name", "method", "status"))
+      case CreatePlainIndexRe(kindOrNull, name, usingOrNull, table, colsTxt, _) =>
+        if (!spark.catalog.tableExists(table)) return None
+        Some(registerPlain(spark, name, table, kindOrNull, usingOrNull, colsTxt))
+      case AlterAddIndexRe(table, constrOrNull, kindOrNull, kwOrNull,
+          nameOrEmpty, usingOrNull, colsTxt, _)
+          if kindOrNull != null || kwOrNull != null =>
+        if (!spark.catalog.tableExists(table)) return None
+        val nm =
+          if (nameOrEmpty.nonEmpty) nameOrEmpty
+          else Option(constrOrNull).getOrElse("")
+        Some(registerPlain(spark, nm, table, kindOrNull, usingOrNull, colsTxt))
+      case AlterDropIndexRe(table, name) =>
+        MoCatalog.dropIndex(spark, name, table)
+        dropUniqueKey(table, name)
+        Some(Seq((name, "dropped")).toDF("index_name", "status"))
       case DropIndexRe(name, tableOrNull) =>
         val table = Option(tableOrNull)
         val prefix = table.map(t => s"$name-$t-").getOrElse(s"$name-")
@@ -2712,7 +2827,9 @@ object GraftSql {
         // the catalog rows drop even when no physical index was built
         // (index created on an empty corpus registers metadata only)
         Option(tableOrNull) match {
-          case Some(t) => MoCatalog.dropIndex(spark, name, t)
+          case Some(t) =>
+            MoCatalog.dropIndex(spark, name, t)
+            dropUniqueKey(t, name)
           case None => MoCatalog.dropIndexByName(spark, name)
         }
         // fulltext indexes drop by the same statement (fulltext1.sql:11

@@ -21,7 +21,8 @@ import scala.collection.concurrent.TrieMap
 object MoCatalog {
 
   final case class IndexRow(name: String, tableId: Long, algo: String,
-      tableType: String, indexTableName: String, algoParams: String = "")
+      tableType: String, indexTableName: String, algoParams: String = "",
+      idxType: String = "MULTIPLE", columns: Seq[String] = Seq.empty)
 
   private val nextId = new java.util.concurrent.atomic.AtomicLong(100000L)
   private def sk(spark: SparkSession) = System.identityHashCode(spark.sharedState)
@@ -151,7 +152,30 @@ object MoCatalog {
         Vector(IndexRow(idxName, tid, other, "metadata",
           s"__mo_index_secondary_${tid}_${idxName.toLowerCase}_meta"))
     }
-    indexRows.put((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"), rows)
+    indexRows.put((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"),
+      rows.map(_.copy(columns = Seq(vecCol))))
+  }
+
+  /** A non-vector secondary index (plain KEY / UNIQUE / SPATIAL): its
+    * physical layout is Catalyst's business, but the mo_indexes rows are
+    * real introspection surface — func_geometry reads
+    * type/algo/column_name; the reference emits one row per covered
+    * column, the pk carried as its `__mo_alias_<col>` hidden alias
+    * (`pkg/sql/compile/util.go` indexMetadataType + the secondary-index
+    * table layout in `pkg/catalog/secondary_index_utils.go`).
+    */
+  def registerPlainIndex(spark: SparkSession, idxName: String, table: String,
+      idxType: String, algo: String, cols: Seq[String],
+      pkCols: Seq[String]): Unit = {
+    val tid = tableId(spark, table)
+    val columns = cols ++ pkCols
+      .filterNot(p => cols.exists(_.equalsIgnoreCase(p)))
+      .map(p => s"__mo_alias_$p")
+    val prefix =
+      if (idxType == "UNIQUE") "__mo_index_unique_" else "__mo_index_secondary_"
+    val base = s"$prefix${tid}_${idxName.toLowerCase}"
+    indexRows.put((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"),
+      Vector(IndexRow(idxName, tid, algo, "", base, "", idxType, columns)))
   }
 
   /** (Re)materialize the `_graft_mo_*` views the mo_catalog rewrite
@@ -178,15 +202,22 @@ object MoCatalog {
     (tids ++ internal).toDF("rel_id", "relname", "reldatabase")
       .createOrReplaceTempView("_graft_mo_tables")
     // a primary key surfaces as a nameless index row (plugin_smoke's
-    // golden leads with an empty algo/algo_table_type row)
+    // golden leads with an empty algo/algo_table_type row); one
+    // mo_indexes row per covered column, like the reference
     val pkRows = tids.filter(t => primaryKeyed(t._2))
-      .map(t => ("", t._1, "", "", ""))
+      .map(t => ("", t._1, "", "", "", "", "", "", 1))
     val idxRows = indexRows.toSeq.filter(_._1._1 == k).flatMap(_._2)
-      .map(r => (r.name, r.tableId, r.algo, r.tableType, r.indexTableName,
-        r.algoParams))
-    (pkRows.map(t => (t._1, t._2, t._3, t._4, t._5, "")) ++ idxRows)
+      .flatMap { r =>
+        val cols = if (r.columns.isEmpty) Seq("") else r.columns
+        cols.zipWithIndex.map { case (c, i) =>
+          (r.name, r.tableId, r.algo, r.tableType, r.indexTableName,
+            r.algoParams, r.idxType, c, i + 1)
+        }
+      }
+    (pkRows ++ idxRows)
       .toDF("name", "table_id", "algo", "algo_table_type",
-        "index_table_name", "algo_params")
+        "index_table_name", "algo_params", "type", "column_name",
+        "ordinal_position")
       .createOrReplaceTempView("_graft_mo_indexes")
     // the stage registry's deterministic columns (ids/created_time are
     // run-specific in the reference and stay unverifiable)

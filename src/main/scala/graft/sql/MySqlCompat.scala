@@ -50,7 +50,7 @@ object MySqlCompat {
     * (`'wait interval 1.5 minute'` must survive untouched). Backslash
     * escapes inside literals stay masked too.
     */
-  private[sql] def maskLiterals(s: String): String = {
+  private[graft] def maskLiterals(s: String): String = {
     val b = s.toCharArray
     var i = 0; var q: Char = 0
     while (i < b.length) {

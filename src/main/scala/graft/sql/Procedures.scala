@@ -306,10 +306,15 @@ object Procedures {
         val df = GraftSql.sql(ctx.spark, sqlTxt)
         if (ctx.firstResult.isEmpty && df.schema.nonEmpty &&
           low.startsWith("select") || ctx.firstResult.isEmpty &&
-          (low.startsWith("execute") && df.schema.nonEmpty))
+          (low.startsWith("execute") && df.schema.nonEmpty)) {
+          // the first result set materializes driver-side so it survives
+          // the procedure's later DML on the same tables — cap it; a
+          // procedure SELECTing an unbounded table must not OOM the driver
+          graft.operators.QueryGuard.check(df, "CALL result set")
           ctx.firstResult = Some(ctx.spark.createDataFrame(
             new java.util.ArrayList[Row](java.util.Arrays.asList(df.collect(): _*)),
             df.schema))
+        }
         i + 1
     }
   }

@@ -410,14 +410,17 @@ class BvtSpec extends AnyFunSuite {
       low.startsWith("grant ") || low.startsWith("revoke ")) return None
     if ("""^(create|drop|alter)\s+stage\b""".r.findFirstIn(low).isDefined)
       return Some(stmt)
-    // secondary-index DDL is physical-layout advice; FULLTEXT index DDL
-    // is real surface (GraftSql registry + the same-column rule)
+    // secondary-index DDL is physical-layout advice for Catalyst, but
+    // parseable forms register their mo_indexes / unique-key metadata
+    // (func_geometry introspects type/algo/column_name; REPLACE keys on
+    // UNIQUE indexes); unparsed variants stay skipped
     if ("""^alter\s+table\s+\w+\s+add\s+index\b""".r.findFirstIn(low).isDefined ||
       """^alter\s+table\s+\w+\s+add\s+unique\b""".r.findFirstIn(low).isDefined ||
       """^alter\s+table\s+\w+\s+drop\s+index\b""".r.findFirstIn(low).isDefined ||
       ("""^create\s+(unique\s+|spatial\s+)?index\b""".r.findFirstIn(low).isDefined &&
         !low.contains("using ivfflat") && !low.contains("using hnsw") &&
-        !low.contains("using ivfpq"))) return None
+        !low.contains("using ivfpq")))
+      return if (graft.sql.GraftSql.handlesIndexDdl(stmt)) Some(stmt) else None
     // charset/collation table attributes are storage metadata here
     if ("""^alter\s+table\s+\w+\s+(convert\s+to\s+)?(default\s+)?(character\s+set|charset|collate)\b"""
       .r.findFirstIn(low).isDefined) return None
@@ -664,22 +667,22 @@ class BvtSpec extends AnyFunSuite {
       // db-qualified relations whose db the harness never created (the
       // corpus CREATE DATABASEs are session management, skipped): the
       // object lives in the default db — drop the qualifier. A TABLE
-      // qualifier must survive (`extract(year from t1.b)` is a column)
-      e = """(?i)\b(from|join|into|table)\s+`?(\w+)`?\s*\.\s*`?(\w+)`?""".r
-        .replaceAllIn(e, m =>
+      // qualifier must survive (`extract(year from t1.b)` is a column).
+      // Both passes match against literal-MASKED text so data like
+      // '10.0.0.1' or '192.168.1.1' never reaches the catalog probes.
+      e = replaceMasked("""(?i)\b(from|join|into|table)\s+`?(\w+)`?\s*\.\s*`?(\w+)`?""".r, e)(m =>
           if (m.group(2).equalsIgnoreCase("mo_catalog") || // engine handles
-            spark.catalog.databaseExists(m.group(2)) ||
-            (try spark.catalog.tableExists(m.group(2)) catch { case _: Exception => false }))
+            safeDbExists(m.group(2)) ||
+            safeTableExists(m.group(2)))
             m.matched
           else s"${m.group(1)} ${m.group(3)}")
       // db-qualified COLUMN refs (`test.t2.id`, `TEST03.T6.a` —
       // ddl/lowercase.sql): the db level doesn't exist here, drop it
       // when the middle part is a known table (any case)
-      e = """(?i)(?<![\w`.])`?(\w+)`?\.`?(\w+)`?\.`?(\w+)`?""".r
-        .replaceAllIn(e, m =>
-          if (!spark.catalog.databaseExists(m.group(1)) &&
-            !(try spark.catalog.tableExists(m.group(1)) catch { case _: Exception => false }) &&
-            (try spark.catalog.tableExists(m.group(2).toLowerCase) catch { case _: Exception => false }))
+      e = replaceMasked("""(?i)(?<![\w`.])`?(\w+)`?\.`?(\w+)`?\.`?(\w+)`?""".r, e)(m =>
+          if (!safeDbExists(m.group(1)) &&
+            !safeTableExists(m.group(1)) &&
+            safeTableExists(m.group(2).toLowerCase))
             s"${m.group(2)}.${m.group(3)}"
           else m.matched)
       // CAST targets the reference types that have no Spark analog
@@ -853,6 +856,39 @@ class BvtSpec extends AnyFunSuite {
       "(?is)\\)\\s*((?:default\\s+)?(?:character\\s+set|charset|collate|engine|auto_increment|comment|row_format)\\s*=?\\s*\\S+\\s*)+$",
       ")")
     Some(s)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** Catalog probes that swallow parse errors (identifiers like "10"
+    * from IP-literal fragments make `parseIdent` throw).
+    */
+  private def safeDbExists(n: String): Boolean =
+    try spark.catalog.databaseExists(n) catch { case _: Exception => false }
+  private def safeTableExists(n: String): Boolean =
+    try spark.catalog.tableExists(n) catch { case _: Exception => false }
+
+  /** `re.replaceAllIn` matching against the literal-masked copy of `s`
+    * (maskLiterals is length-preserving, so spans line up). Matches that
+    * can't include quote chars read identically from either copy, so
+    * group texts are taken from the masked match directly.
+    */
+  private def replaceMasked(re: scala.util.matching.Regex, s: String)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val masked = graft.sql.MySqlCompat.maskLiterals(s)
+    if (re.findFirstIn(masked).isEmpty) return s
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(s, last, m.start)
+      sb.append(f(m))
+      last = m.end
+    }
+    sb.append(s, last, s.length)
+    sb.toString
   }
 
   private def parenClose(s: String, open: Int): Int = {
@@ -1756,7 +1792,18 @@ class BvtSpec extends AnyFunSuite {
         case Some(sql0) =>
           val (sql, commitAutoInc) = autoIncRewrite(sql0)
           try {
-            val df = graft.sql.GraftSql.sql(spark, sql)
+            val df = try graft.sql.GraftSql.sql(spark, sql) catch {
+              // a killed previous run can leave a stale warehouse dir for
+              // a table the catalog no longer knows — CREATE then fails
+              // with LOCATION_ALREADY_EXISTS and poisons the whole
+              // lineage; clear the orphan location and retry once
+              case e: Exception if e.getMessage != null &&
+                  e.getMessage.contains("LOCATION_ALREADY_EXISTS") =>
+                """file:([^'\s]+)""".r.findFirstMatchIn(e.getMessage)
+                  .map(_.group(1)).filter(_.contains("spark-warehouse"))
+                  .foreach { p => deleteRec(new java.io.File(p)) }
+                graft.sql.GraftSql.sql(spark, sql)
+            }
             // follow-up statements a shim queued (inline vector-index
             // KEY clauses re-emitted as CREATE INDEX)
             val pend = pendingStmts.toList
