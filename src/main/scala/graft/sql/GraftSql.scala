@@ -142,8 +142,10 @@ object GraftSql {
       // session db bookkeeping + the mo_catalog introspection slice
       """(?is)^use\s+`?(\w+)`?\s*$""".r.findFirstMatchIn(q).foreach { m =>
         // switching to a database that was never created errors — the
-        // /*!40101 use ...*/ probe in mysql_ddl_1.result relies on it
-        if (!MoCatalog.dbExists(spark, m.group(1)))
+        // /*!40101 use ...*/ probe in mysql_ddl_1.result relies on it;
+        // the reference's predefined system dbs always exist
+        if (!MoCatalog.dbExists(spark, m.group(1)) &&
+          !MoCatalog.SystemDbs.contains(m.group(1).toLowerCase))
           throw new IllegalArgumentException(
             s"Unknown database ${m.group(1)}")
         MoCatalog.useDb(spark, m.group(1))
@@ -161,6 +163,8 @@ object GraftSql {
           MoCatalog.dropDb(spark, m.group(1))
           return spark.emptyDataFrame
         }
+      rbacRewrite(spark, q).foreach(return _)
+      noDbGuard(spark, q)
       val qMo =
         if (!q.toLowerCase.contains("mo_catalog") &&
           !q.toLowerCase.contains("database()")) q
@@ -170,7 +174,7 @@ object GraftSql {
           val dbLit = MoCatalog.currentDb(spark)
             .map(d => s"'$d'").getOrElse("CAST(NULL AS STRING)")
           replaceOutsideQuotes(
-            q.replaceAll("(?i)\\bmo_catalog\\.mo_(\\w+)", "_graft_mo_$1"),
+            q.replaceAll("(?i)`?\\bmo_catalog`?\\s*\\.\\s*`?mo_(\\w+)`?", "_graft_mo_$1"),
             """(?i)\bdatabase\s*\(\s*\)""".r, _ => dbLit)
         }
       // MO databases are virtual here — drop their qualifier on
@@ -969,6 +973,119 @@ object GraftSql {
       (1 to m.groupCount).map(i =>
         if (m.start(i) < 0) null else q.substring(m.start(i), m.end(i)))
     }
+
+  // ------------------------------------------------------------------
+  // RBAC DDL + MySQL session-db error states (reference:
+  // pkg/frontend/authenticate.go; BVT ddl/lowercase, truncate_table_2,
+  // function/func_aggr_var_pop:248-283)
+  // ------------------------------------------------------------------
+
+  private val CreateUserRe =
+    """(?is)^create\s+user\s+(?:if\s+not\s+exists\s+)?`?'?([\w$]+)'?`?\b.*$""".r
+  private val DropUserRe =
+    """(?is)^drop\s+user\s+(?:if\s+exists\s+)?`?'?([\w$]+)'?`?\s*$""".r
+  private val CreateAccountRe =
+    """(?is)^create\s+account\s+(?:if\s+not\s+exists\s+)?`?([\w$]+)`?\s+(.*)$""".r
+  private val AlterAccountRe =
+    """(?is)^alter\s+account\s+(?:if\s+exists\s+)?`?([\w$]+)`?\s+(.*)$""".r
+  private val DropAccountRe =
+    """(?is)^drop\s+account\s+(?:if\s+exists\s+)?`?([\w$]+)`?\s*$""".r
+  private val CreateRoleRe =
+    """(?is)^create\s+role\s+(?:if\s+not\s+exists\s+)?(.+)$""".r
+  private val DropRoleRe =
+    """(?is)^drop\s+role\s+(?:if\s+exists\s+)?(.+)$""".r
+
+  private def rbacRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    def names(txt: String): Seq[String] =
+      splitTop(txt).map(_.trim.stripPrefix("`").stripSuffix("`")
+        .stripPrefix("'").stripSuffix("'")).filter(_.matches("[\\w$]+"))
+    matchMasked(CreateUserRe, q).foreach { g =>
+      MoCatalog.createUser(spark, g(0)); return Some(spark.emptyDataFrame) }
+    matchMasked(DropUserRe, q).foreach { g =>
+      MoCatalog.dropUser(spark, g(0)); return Some(spark.emptyDataFrame) }
+    matchMasked(CreateAccountRe, q).foreach { g =>
+      val rest = q.substring(q.length - g(1).length)
+      val admin = """(?is)admin_name\s*=?\s*'([^']*)'""".r
+        .findFirstMatchIn(rest).map(_.group(1)).getOrElse("root")
+      val comments = """(?is)\bcomment\s+'([^']*)'""".r
+        .findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
+      val status =
+        if ("""(?i)\bsuspend\b""".r.findFirstIn(MySqlCompat.maskLiterals(rest))
+          .isDefined) "suspend" else "open"
+      MoCatalog.createAccount(spark, g(0), admin, status, comments)
+      return Some(spark.emptyDataFrame)
+    }
+    matchMasked(AlterAccountRe, q).foreach { g =>
+      val rest = q.substring(q.length - g(1).length)
+      val masked = MySqlCompat.maskLiterals(rest)
+      val comments = """(?is)\bcomment\s+'([^']*)'""".r
+        .findFirstMatchIn(rest).map(_.group(1))
+      val status =
+        if ("""(?i)\bsuspend\b""".r.findFirstIn(masked).isDefined) Some("suspend")
+        else if ("""(?i)\bopen\b""".r.findFirstIn(masked).isDefined) Some("open")
+        else None
+      MoCatalog.alterAccount(spark, g(0), status, comments)
+      return Some(spark.emptyDataFrame)
+    }
+    matchMasked(DropAccountRe, q).foreach { g =>
+      MoCatalog.dropAccount(spark, g(0)); return Some(spark.emptyDataFrame) }
+    matchMasked(CreateRoleRe, q).foreach { g =>
+      names(g(0)).foreach(MoCatalog.createRole(spark, _))
+      return Some(spark.emptyDataFrame) }
+    matchMasked(DropRoleRe, q).foreach { g =>
+      names(g(0)).foreach(MoCatalog.dropRole(spark, _))
+      return Some(spark.emptyDataFrame) }
+    // unparsed variants (ALTER USER password policy etc.): accepted
+    // no-ops — the introspection slice tracks existence, not credentials
+    if ("""(?is)^(create|drop|alter)\s+(user|account|role)\b""".r
+      .findFirstIn(q).isDefined) return Some(spark.emptyDataFrame)
+    None
+  }
+
+  /** MySQL's session-db error states: a session whose current database
+    * was dropped errors "No database selected" on any statement needing
+    * an unqualified table; writes inside the predefined system dbs are
+    * privilege errors (truncate_table_2.result:141-160). Only sessions
+    * that ever issued `use` are subject — library callers that never
+    * select a db keep the default-db behavior.
+    */
+  private val NoDbTableRes = List(
+    """(?is)^(?:create|drop|truncate)\s+(?:temporary\s+|external\s+)?table\s+(?:if\s+(?:not\s+)?exists\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
+    """(?is)^insert\s+(?:ignore\s+)?(?:into\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
+    """(?is)^replace\s+(?:into\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
+    """(?is)^update\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)\s+set\b""".r,
+    """(?is)^delete\s+from\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
+    """(?is)^alter\s+table\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
+    """(?is)^load\s+data\s.*?\binto\s+table\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r)
+
+  private def noDbGuard(spark: SparkSession, q: String): Unit = {
+    val cur = MoCatalog.currentDb(spark)
+    val masked = MySqlCompat.maskLiterals(q)
+    if (cur.exists(d => MoCatalog.SystemDbs.contains(d.toLowerCase))) {
+      // writes against predefined system tables are privilege errors
+      if ("""(?is)^(truncate|insert|update|delete|drop\s+table)\b""".r
+        .findFirstIn(masked.trim).isDefined)
+        throw new IllegalStateException(
+          "internal error: do not have privilege to execute the statement")
+      return
+    }
+    if (cur.nonEmpty || !MoCatalog.dbEverSelected(spark)) return
+    val tok = NoDbTableRes.view.flatMap(_.findFirstMatchIn(masked.trim))
+      .headOption.map(_.group(1))
+    val selFrom =
+      if (tok.nonEmpty) None
+      else if (!masked.trim.toLowerCase.startsWith("select")) None
+      else """(?is)\bfrom\s+`?([A-Za-z_][\w$]*)`?(?![\w$]*\s*[.(])""".r
+        .findFirstMatchIn(masked).map(_.group(1))
+        .filterNot(t => t.equalsIgnoreCase("dual") ||
+          spark.catalog.tableExists(t) && {
+            // temp views (oracle fixtures etc.) resolve without a db
+            try spark.catalog.getTable(t).isTemporary
+            catch { case _: Exception => false }
+          })
+    if (tok.exists(!_.contains(".")) || selFrom.nonEmpty)
+      throw new IllegalStateException("No database selected")
+  }
 
   private def deleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     matchMasked(DeleteRe, q) match {

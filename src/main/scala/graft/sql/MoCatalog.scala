@@ -31,9 +31,22 @@ object MoCatalog {
   private val entriesViews = TrieMap[(Int, String), String]() // view → owning db
   private val sessionDb = TrieMap[Int, String]()
 
+  /** Databases the reference pre-creates (`pkg/frontend/predefined.go`):
+    * always valid `use` targets, never really created here.
+    */
+  val SystemDbs: Set[String] =
+    Set("mo_catalog", "system", "system_metrics", "information_schema",
+      "mysql", "mo_task", "mo_debug")
+
   private val allDbs = TrieMap[(Int, String), Unit]()
+  // once a session has selected ANY db, dropping the current one leaves
+  // it in MySQL's "No database selected" error state
+  private val everUsed = TrieMap[Int, Boolean]()
+  def dbEverSelected(spark: SparkSession): Boolean =
+    everUsed.getOrElse(sk(spark), false)
   def useDb(spark: SparkSession, db: String): Unit = {
     sessionDb.put(sk(spark), db)
+    everUsed.put(sk(spark), true)
     allDbs.put((sk(spark), db), ())
   }
   def seenDbs(spark: SparkSession): Seq[String] =
@@ -56,7 +69,66 @@ object MoCatalog {
     Seq(tableIds, tableDb, indexRows, entriesViews, createdDbs)
       .foreach(m => m.keys.filter(_._1 == k).foreach(m.remove))
     sessionDb.remove(k)
+    everUsed.remove(k)
+    users.remove(k); accounts.remove(k); roles.remove(k)
     allDbs.keys.filter(_._1 == k).foreach(allDbs.remove)
+  }
+
+  // ------------------------------------------------------------------
+  // RBAC registry — mo_user / mo_account / mo_role introspection rows
+  // (`pkg/frontend/predefined.go` table defs + authenticate.go built-ins:
+  // users root/dump, roles moadmin/public, account sys). Names store
+  // LOWERCASED like the reference; duplicate creates throw its exact
+  // "internal error: the {user|tenant|role} X exists" text.
+  // ------------------------------------------------------------------
+
+  private val users = TrieMap[Int, Vector[String]]()
+  private val accounts = TrieMap[Int, Vector[(String, String, String, String)]]() // name, admin, status, comments
+  private val roles = TrieMap[Int, Vector[String]]()
+  private def userList(k: Int) = users.getOrElseUpdate(k, Vector("root", "dump"))
+  private def accountList(k: Int) =
+    accounts.getOrElseUpdate(k, Vector(("sys", "root", "open", "system account")))
+  private def roleList(k: Int) = roles.getOrElseUpdate(k, Vector("moadmin", "public"))
+
+  def createUser(spark: SparkSession, name0: String): Unit = {
+    val k = sk(spark); val name = name0.toLowerCase
+    if (userList(k).contains(name))
+      throw new IllegalStateException(s"internal error: the user $name exists")
+    users.put(k, userList(k) :+ name)
+  }
+  def dropUser(spark: SparkSession, name0: String): Unit = {
+    val k = sk(spark)
+    users.put(k, userList(k).filterNot(_ == name0.toLowerCase))
+  }
+  def createAccount(spark: SparkSession, name0: String, admin: String,
+      status: String, comments: String): Unit = {
+    val k = sk(spark); val name = name0.toLowerCase
+    if (accountList(k).exists(_._1 == name))
+      throw new IllegalStateException(s"internal error: the tenant $name exists")
+    accounts.put(k, accountList(k) :+ ((name, admin, status, comments)))
+  }
+  def alterAccount(spark: SparkSession, name0: String,
+      status: Option[String], comments: Option[String]): Unit = {
+    val k = sk(spark); val name = name0.toLowerCase
+    accounts.put(k, accountList(k).map {
+      case (n, a, st, cm) if n == name =>
+        (n, a, status.getOrElse(st), comments.getOrElse(cm))
+      case r => r
+    })
+  }
+  def dropAccount(spark: SparkSession, name0: String): Unit = {
+    val k = sk(spark)
+    accounts.put(k, accountList(k).filterNot(_._1 == name0.toLowerCase))
+  }
+  def createRole(spark: SparkSession, name0: String): Unit = {
+    val k = sk(spark); val name = name0.toLowerCase
+    if (roleList(k).contains(name))
+      throw new IllegalStateException(s"internal error: the role $name exists")
+    roles.put(k, roleList(k) :+ name)
+  }
+  def dropRole(spark: SparkSession, name0: String): Unit = {
+    val k = sk(spark)
+    roles.put(k, roleList(k).filterNot(_ == name0.toLowerCase))
   }
 
   private val tableDb = TrieMap[(Int, String), String]()
@@ -245,5 +317,21 @@ object MoCatalog {
     }
     colRows.toDF("attname", "attnum", "att_is_hidden", "att_relname", "att_database")
       .createOrReplaceTempView("_graft_mo_columns")
+    // RBAC slices — ids are insertion order; timestamps are run-specific
+    // in the reference too, so the deterministic columns carry the tests
+    userList(k).zipWithIndex
+      .map { case (u, i) => (i + 1, "localhost", u, "unlock", "password", 0, 0, 1) }
+      .toDF("user_id", "user_host", "user_name", "status", "login_type",
+        "creator", "owner", "default_role")
+      .createOrReplaceTempView("_graft_mo_user")
+    accountList(k).zipWithIndex
+      .map { case ((n, a, st, cm), i) => (i + 1, n, a, st, cm, "1.2.0") }
+      .toDF("account_id", "account_name", "admin_name", "status",
+        "comments", "create_version")
+      .createOrReplaceTempView("_graft_mo_account")
+    roleList(k).zipWithIndex
+      .map { case (r, i) => (i + 1, r, 0, 0, "") }
+      .toDF("role_id", "role_name", "creator", "owner", "comments")
+      .createOrReplaceTempView("_graft_mo_role")
   }
 }

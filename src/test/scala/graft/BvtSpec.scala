@@ -31,7 +31,7 @@ class BvtSpec extends AnyFunSuite {
   private val QueryStart =
     """(?is)^(?:/\*\s*save_result\s*\*/\s*)?(select|with|\().*""".r
   private val ErrorMarker =
-    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column|will be supported|not yet implemented|already exists|more than 1 row|should contain|not found|no configure|unexpected end of|unexpected token|missing query|not defined|expected |want indent|data truncation|division by zero)""".r
+    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column|will be supported|not yet implemented|already exists|more than 1 row|should contain|not found|no configure|unexpected end of|unexpected token|missing query|not defined|expected |want indent|data truncation|division by zero|no database selected|do not have privilege)""".r
 
   private def normStmt(s: String): String =
     s.toLowerCase.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
@@ -403,11 +403,14 @@ class BvtSpec extends AnyFunSuite {
       // bare-name sysvar assignment the engine's registry knows
       !("""^set\s+(\w+)\s*=""".r.findFirstMatchIn(low)
         .exists(m => graft.sql.GraftSql.knownSysVar(m.group(1))))) return None
-    // reference account/role management (no Spark analog); STAGE DDL is
-    // real surface (GraftSql.stageRewrite) and passes through
-    if ("""^(create|drop|alter)\s+(account|role|user|publication|snapshot)\b"""
+    // account/role/user DDL drives the mo_user/mo_account/mo_role
+    // introspection slice (GraftSql.rbacRewrite); grants and
+    // publications/snapshots stay out of scope
+    if ("""^(create|drop|alter)\s+(publication|snapshot)\b"""
       .r.findFirstIn(low).isDefined ||
       low.startsWith("grant ") || low.startsWith("revoke ")) return None
+    if ("""^(create|drop|alter)\s+(account|role|user)\b"""
+      .r.findFirstIn(low).isDefined) return Some(stmt)
     if ("""^(create|drop|alter)\s+stage\b""".r.findFirstIn(low).isDefined)
       return Some(stmt)
     // secondary-index DDL is physical-layout advice for Catalyst, but
