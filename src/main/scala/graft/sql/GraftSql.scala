@@ -43,6 +43,8 @@ object GraftSql {
   private val primaryKeys = TrieMap[String, String]("documents" -> "doc_id")
   def registerPrimaryKey(table: String, pk: String): Unit =
     primaryKeys.put(table, pk)
+  def clearPrimaryKey(table: String): Unit =
+    primaryKeys.remove(table.toLowerCase)
 
   /** table → (index name, covered columns) for UNIQUE secondary keys —
     * REPLACE INTO / INSERT ... ON DUPLICATE KEY dedup against these as
@@ -58,8 +60,29 @@ object GraftSql {
   def dropUniqueKey(table: String, name: String): Unit =
     uniqueKeys.updateWith(table.toLowerCase)(
       _.map(_.filterNot(_._1.equalsIgnoreCase(name))))
+  def clearUniqueKeys(table: String): Unit =
+    uniqueKeys.remove(table.toLowerCase)
   def uniqueKeysOf(table: String): Vector[(String, Seq[String])] =
     uniqueKeys.getOrElse(table.toLowerCase, Vector.empty)
+
+  /** child table → (child col, parent table, parent col) — FOREIGN KEY
+    * constraints; REPLACE on a parent rejects when a doomed row is still
+    * referenced (MySQL RESTRICT, replace.result fk blocks).
+    */
+  private val foreignKeys = TrieMap[String, Vector[(String, String, String)]]()
+  def registerForeignKey(child: String, childCol: String,
+      parent: String, parentCol: String): Unit =
+    foreignKeys.updateWith(child.toLowerCase) {
+      case Some(v) => Some(v :+ ((childCol, parent.toLowerCase, parentCol)))
+      case None => Some(Vector((childCol, parent.toLowerCase, parentCol)))
+    }
+  def clearForeignKeys(child: String): Unit =
+    foreignKeys.remove(child.toLowerCase)
+  private def childRefsOf(parent: String): Seq[(String, String, String)] =
+    foreignKeys.toSeq.flatMap { case (child, refs) =>
+      refs.filter(_._2 == parent.toLowerCase)
+        .map(r => (child, r._1, r._3)) // (childTable, childCol, parentCol)
+    }
 
   private val viewSeq = new AtomicLong(0L)
 
@@ -90,11 +113,20 @@ object GraftSql {
     // `CREATE DEFINER = user@host VIEW ...` — the definer is MySQL
     // privilege metadata (mysql_ddl_3.result /*!50001 dumps); strip it
     // BEFORE @-var substitution can eat the `@`
-    val q0 = q0x.replaceAll(
+    var q0 = q0x.replaceAll(
       """(?is)^\s*create\s+definer\s*=\s*`?[\w%.]+`?\s*@\s*`?[\w%.]+`?\s+""",
       "CREATE ")
     if (q0.trim.isEmpty || q0.trim.startsWith("--"))
       return spark.emptyDataFrame
+    // leading plain block comments (`/* comment */ replace into ...`,
+    // dml/replace): strip — versioned /*!...*/ already executed above
+    while (q0.trim.startsWith("/*")) {
+      val t = q0.trim
+      val close = t.indexOf("*/")
+      if (close < 0) return spark.emptyDataFrame
+      q0 = t.substring(close + 2).trim
+      if (q0.isEmpty) return spark.emptyDataFrame
+    }
     sysVarSetRewrite(spark, q0).getOrElse {
     val q0m = sysVarSubst(spark, q0)
     // under sql_mode ANSI_QUOTES double quotes delimit IDENTIFIERS
@@ -118,6 +150,8 @@ object GraftSql {
           autoIncCols.remove(m.group(1).toLowerCase)
           primaryKeys.remove(m.group(1).toLowerCase)
           uniqueKeys.remove(m.group(1).toLowerCase)
+          foreignKeys.remove(m.group(1).toLowerCase)
+          loadPaths.remove(m.group(1).toLowerCase)
           tsFsp.keys.filter(_._1 == m.group(1).toLowerCase).foreach(tsFsp.remove)
           MoCatalog.dropTable(spark, m.group(1))
           // cached postings for the dead table can never be valid again
@@ -184,22 +218,30 @@ object GraftSql {
         if (!s.toLowerCase.contains(db.toLowerCase)) s
         else {
           val qd = java.util.regex.Pattern.quote(db)
+          // a BACKTICKED qualifier sits inside a backtick span the
+          // quote-aware replacer skips — strip it via the literal-masked
+          // scan instead (concat-built PREPARE bodies arrive as
+          // `db`.`tbl`, vector_ivfflat_include_dml_sync)
+          val s1 = deleteMasked(s, s"(?i)`$qd`\\s*\\.\\s*(?=[`\\w])".r)
           // OUTSIDE string literals only — a db named `test` must not
           // rewrite data like 'c@test.com' (func_percent_rank.sql)
-          replaceOutsideQuotes(s,
-            s"(?i)(?:`$qd`|(?<![\\w@.])$qd)\\.(?=[`\\w])".r, _ => "")
+          replaceOutsideQuotes(s1,
+            s"(?i)(?<![\\w@.])$qd\\.(?=[`\\w])".r, _ => "")
         }
       }
       val q2 = partSubtables(spark, parseJsonlRewrite(spark, subqueryIntervalViews(spark,
         tableStatsRewrite(ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
           MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
-            fnArity(geoArity(narrowVecDdl(autoIncDdl(qDb))))))))))))))))
+            fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark, qDb)))))))))))))))))
       sequenceRewrite(spark, q2)
         .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
         .orElse(insertSeqRewrite(spark, q2))
         .orElse(renameRewrite(spark, q2))
         .orElse(replaceIntoRewrite(spark, q2))
+        .orElse(insertOnDupRewrite(spark, q2))
+        .orElse(insertIgnoreRewrite(spark, q2))
+        .orElse(multiDeleteRewrite(spark, q2))
         .orElse(entriesInsertNoop(spark, q2))
         .orElse(procedureRewrite(spark, q2))
         .orElse(withDmlRewrite(spark, q2))
@@ -857,42 +899,401 @@ object GraftSql {
     */
   private val ReplaceIntoRe =
     """(?is)^replace\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*(\([^)]*\))?\s*((?:values|select|with|table|\()\b?.*)$""".r
+  /** New-row source of an INSERT/REPLACE aligned to the target table's
+    * column order and types; unlisted columns take their declared
+    * DEFAULT (NULL when none).
+    */
+  private def alignedRows(spark: SparkSession, table: String,
+      colsOrNull: String, src0: String): DataFrame = {
+    val target = spark.table(table)
+    val src = src0.trim
+    val df0 =
+      if (src.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $src")
+      else sql(spark, src)
+    val listed = Option(colsOrNull).map(c => splitTop(
+      c.stripPrefix("(").stripSuffix(")"))
+      .map(_.trim.stripPrefix("`").stripSuffix("`")))
+    val named = listed match {
+      case Some(ls) =>
+        var d = df0.toDF(ls: _*)
+        target.schema.fields.foreach { f =>
+          if (!ls.exists(_.equalsIgnoreCase(f.name)))
+            d = d.withColumn(f.name, expr(colDefault(f)).cast(f.dataType))
+        }
+        d.select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      case None => df0.toDF(target.columns.toIndexedSeq: _*)
+    }
+    named.select(target.schema.fields.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  // REPLACE INTO t SET col = expr, ... — the single-row SET spelling;
+  // unassigned columns (and column refs inside the RHS) take DEFAULTs
+  private val ReplaceSetRe =
+    """(?is)^replace\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s+set\s+(.+)$""".r
+
   private def replaceIntoRewrite(spark: SparkSession, q: String): Option[DataFrame] =
-    q match {
-      case ReplaceIntoRe(table, colsOrNull, src0) =>
-        import spark.implicits._
+    matchMasked(ReplaceSetRe, q) match {
+      case Some(IndexedSeq(table, setTxt)) if spark.catalog.tableExists(table) =>
         val target = spark.table(table)
-        val src = src0.trim
-        val df0 =
-          if (src.toLowerCase.startsWith("values")) spark.sql(s"SELECT * FROM $src")
-          else sql(spark, src)
-        val listed = Option(colsOrNull).map(c => splitTop(
-          c.stripPrefix("(").stripSuffix(")"))
-          .map(_.trim.stripPrefix("`").stripSuffix("`")))
-        var named = listed match {
-          case Some(ls) =>
-            var d = df0.toDF(ls: _*)
-            target.columns.foreach { c =>
-              if (!ls.exists(_.equalsIgnoreCase(c)))
-                d = d.withColumn(c, lit(null))
+        val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+        val assigns = splitTop(setTxt).map { a =>
+          val m = """(?is)^\s*`?(\w+)`?\s*=\s*(.+)$""".r
+            .findFirstMatchIn(a).getOrElse(return None)
+          (m.group(1).toLowerCase, m.group(2).trim)
+        }.toMap
+        if (assigns.keys.exists(!fields.contains(_))) return None
+        val inner = target.schema.fields.map(f =>
+          s"CAST(${colDefault(f)} AS ${f.dataType.sql}) AS `${f.name}`")
+          .mkString(", ")
+        val outer = target.schema.fields.map { f =>
+          assigns.get(f.name.toLowerCase)
+            .map(e => s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`")
+            .getOrElse(s"`${f.name}`")
+        }.mkString(", ")
+        replaceCore(spark, table,
+          spark.sql(s"SELECT $outer FROM (SELECT $inner)"))
+      case _ => q match {
+        case ReplaceIntoRe(table, colsOrNull, src0) =>
+          replaceCore(spark, table, alignedRows(spark, table, colsOrNull, src0))
+        case _ => None
+      }
+    }
+
+  private def replaceCore(spark: SparkSession, table: String,
+      named0: DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    val target = spark.table(table)
+    val tcols = target.columns.toSeq
+    // a row is replaced when it collides on the pk OR any UNIQUE
+    // index (the reference's dedup join keys on every unique index,
+    // pkg/sql/colexec/dedupjoin/) — one anti-join per key set;
+    // NULL key values never match, like MySQL's unique-null rule
+    val keySets: Seq[Seq[String]] =
+      primaryKeys.get(table.toLowerCase)
+        .map(_.split(",").map(_.trim).toSeq).toSeq ++
+        uniqueKeysOf(table).map(_._2)
+    // a batch row can also replace a row the SAME statement inserted
+    // (`values (1,u,10),(2,u,20)` keeps only the second) — MySQL applies
+    // sequentially. VALUES batches are driver-sized; resolve them
+    // exactly with a sequential scan, fall back to the distributed
+    // anti-join shape (existing-row replacement is order-free) for bulk
+    // SELECT sources.
+    val named =
+      if (keySets.isEmpty) named0
+      else {
+        val snap = named0.localCheckpoint(true)
+        val n = snap.limit(10001).count()
+        if (n > 10000) snap
+        else {
+          val rows = snap.collect()
+          val colIdx = tcols.zipWithIndex.toMap
+          def keyTuple(r: org.apache.spark.sql.Row, keys: Seq[String]) = {
+            val vs = keys.map(k => r.get(colIdx(k)))
+            if (vs.contains(null)) None else Some(vs)
+          }
+          val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          rows.foreach { r =>
+            acc.filterInPlace { p =>
+              !keySets.exists(ks =>
+                keyTuple(r, ks).exists(t => keyTuple(p, ks).contains(t)))
             }
-            d.select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-          case None => df0.toDF(target.columns.toIndexedSeq: _*)
+            acc += r
+          }
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(acc.toSeq: _*)),
+            snap.schema)
         }
-        named = named.select(target.schema.fields.map(f =>
-          col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        val result = primaryKeys.get(table.toLowerCase) match {
-          case Some(pkTxt) =>
-            val keys = pkTxt.split(",").map(_.trim).toSeq
-            target.join(named.select(keys.map(col): _*).distinct,
-              keys, "left_anti").unionByName(named)
-          case None => target.unionByName(named)
+      }
+    // FOREIGN KEY RESTRICT: replacing (= deleting) a parent row that a
+    // child still references is an error. Existing-row deletion keys on
+    // the FULL batch (a batch row deletes its victim even when a later
+    // batch row replaces it in turn — t_replace_cross_key_keep_last)
+    val children = childRefsOf(table)
+    if (children.nonEmpty && keySets.nonEmpty) {
+      val doomed = keySets.map { keys =>
+        target.join(broadcast(
+          named0.select(keys.map(c => col(s"`$c`")): _*).distinct),
+          keys, "left_semi")
+      }.reduce(_ unionByName _).distinct()
+      children.foreach { case (child, childCol, parentCol) =>
+        if (spark.catalog.tableExists(child)) {
+          val refd = spark.table(child).select(col(s"`$childCol`").as("__ck"))
+            .join(broadcast(doomed.select(col(s"`$parentCol`").as("__ck"))),
+              Seq("__ck"), "left_semi")
+          if (refd.limit(1).count() > 0)
+            throw new IllegalStateException(
+              "Cannot delete or update a parent row: a foreign key " +
+                s"constraint fails (`$child` references `$table`)")
         }
-        // break lineage off the table being overwritten
-        val snap = result.localCheckpoint(true)
-        snap.write.mode("overwrite").insertInto(table)
-        spark.catalog.refreshTable(table)
-        Some(Seq((table, "replaced")).toDF("table_name", "status"))
+      }
+    }
+    val result =
+      if (keySets.isEmpty) target.unionByName(named)
+      else keySets.foldLeft(target) { (t, keys) =>
+        t.join(named0.select(keys.map(c => col(s"`$c`")): _*).distinct,
+          keys, "left_anti")
+      }.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        .unionByName(named)
+    // break lineage off the table being overwritten
+    val snap = result.localCheckpoint(true)
+    snap.write.mode("overwrite").insertInto(table)
+    spark.catalog.refreshTable(table)
+    Some(Seq((table, "replaced")).toDF("table_name", "status"))
+  }
+
+  // ------------------------------------------------------------------
+  // INSERT ... ON DUPLICATE KEY UPDATE / INSERT IGNORE — MySQL upsert
+  // semantics over the pk + every UNIQUE key (reference: dedup join,
+  // pkg/sql/colexec/dedupjoin + fuzzyfilter). Spark mapping: the MERGE
+  // shape — per key set, a broadcast left join marks collisions; new
+  // rows that hit update in place (all RHS against the OLD row,
+  // VALUES(c) reading the incoming row), the rest append.
+  // ------------------------------------------------------------------
+
+  private val InsertDupRe =
+    ("""(?is)^insert\s+(?:ignore\s+)?into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*""" +
+      """(\([^)]*\))?\s*((?:values|select)\b.*?)\s+on\s+duplicate\s+key\s+update\s+(.+)$""").r
+  private val InsertIgnoreRe =
+    ("""(?is)^insert\s+ignore\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*""" +
+      """(\([^)]*\))?\s*((?:values|select)\b.*)$""").r
+
+  private def tableKeySets(table: String): Seq[Seq[String]] =
+    primaryKeys.get(table.toLowerCase)
+      .map(_.split(",").map(_.trim).toSeq).toSeq ++
+      uniqueKeysOf(table).map(_._2)
+
+  private def insertOnDupRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    matchMasked(InsertDupRe, q) match {
+      case Some(IndexedSeq(table, colsOrNull, srcTxt, setTxt)) =>
+        if (!spark.catalog.tableExists(table)) return None
+        val target = spark.table(table)
+        val tcols = target.columns.toSeq
+        val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+        val keySets = tableKeySets(table)
+        val named0 = alignedRows(spark, table, colsOrNull, srcTxt)
+        if (keySets.isEmpty) {
+          commitTable(spark, table, target.unionByName(named0))
+          return Some(spark.emptyDataFrame)
+        }
+        val assigns = splitTop(setTxt).map { a =>
+          val m = """(?is)^\s*(?:`?\w+`?\.)?`?(\w+)`?\s*=\s*(.+)$""".r
+            .findFirstMatchIn(a).getOrElse(return None)
+          (m.group(1), m.group(2).trim)
+        }
+        if (assigns.exists(a => !fields.contains(a._1.toLowerCase))) return None
+        // the reference rejects an update that rewrites a UNIQUE key
+        // column (on_duplicate_key.result "unsupported DML")
+        if (assigns.exists(a => uniqueKeysOf(table)
+          .exists(_._2.exists(_.equalsIgnoreCase(a._1)))))
+          throw new UnsupportedOperationException(
+            "unsupported DML: update unique key on duplicate")
+        // VALUES(c) reads the INCOMING row — exposed as __new_c
+        def valuesRefs(e: String): String =
+          e.replaceAll("(?i)\\bvalues\\s*\\(\\s*`?(\\w+)`?\\s*\\)", "`__new_$1`")
+        // MySQL applies the batch row-by-row: a row can collide with one
+        // the SAME statement just inserted, and repeated keys chain their
+        // updates (b=b+10 twice → +20). Split the batch into sequential
+        // ROUNDS by per-key occurrence index and upsert round-by-round —
+        // one extra Spark job per extra round, rounds are almost always 1.
+        val ordered = named0.withColumn("__ord", monotonically_increasing_id())
+        val rnCols = keySets.zipWithIndex.map { case (keys, i) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(k => col(s"`$k`")): _*)
+            .orderBy(col("__ord").asc)
+          when(keys.map(k => col(s"`$k`").isNull).reduce(_ || _), lit(1))
+            .otherwise(row_number().over(w)).as(s"__rn_$i")
+        }
+        val withRn = ordered
+          .select((tcols.map(c => col(s"`$c`")) ++ rnCols): _*)
+          .withColumn("__round",
+            greatest(keySets.indices.map(i => col(s"__rn_$i")): _*))
+          .localCheckpoint(true)
+        val maxRoundRow = withRn.agg(max(col("__round"))).head
+        val maxRound =
+          if (maxRoundRow.isNullAt(0)) 0
+          else math.min(maxRoundRow.getInt(0), 16)
+        (1 to maxRound).foreach { r =>
+          val batch = withRn.filter(col("__round") === r)
+            .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          val pre = spark.table(table)
+          var cur = pre
+          var remaining = batch
+          keySets.zipWithIndex.foreach { case (keys, ki) =>
+            if (ki > 0) {
+              // the reference's dup-update path keys on the FIRST index
+              // only; a residual collision on a later unique key is a
+              // raw duplicate error (indup_04_multi_uk_null: (4,NULL,10)
+              // errors "Duplicate entry '10' for key 'c'")
+              val clash = remaining
+                .filter(keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+                .join(broadcast(pre.select(keys.map(c => col(s"`$c`")): _*).distinct),
+                  keys, "left_semi")
+                .select(keys.map(c => col(s"`$c`")): _*).limit(1).collect()
+              if (clash.nonEmpty)
+                throw new IllegalStateException(
+                  s"Duplicate entry '${clash.head.toSeq.mkString("-")}' " +
+                    s"for key '${keys.head}'")
+            }
+            val hits = remaining
+              .filter(keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+            val marked = hits
+              .select(tcols.map(c => col(s"`$c`").as(s"__new_$c")) :+
+                lit(true).as("__new__hit"): _*)
+            val joinCond = keys.map(k =>
+              col(s"`$k`") === col(s"`__new_$k`")).reduce(_ && _)
+            var df = cur.join(broadcast(marked), joinCond, "left_outer")
+              .withColumn("__hit", coalesce(col("__new__hit"), lit(false)))
+            // every RHS evaluates against the OLD row + the incoming row
+            assigns.zipWithIndex.foreach { case ((_, e), i) =>
+              df = df.withColumn(s"__set_$i", expr(valuesRefs(e)))
+            }
+            assigns.zipWithIndex.foreach { case ((c, _), i) =>
+              val f = fields(c.toLowerCase)
+              val rhs = storeCast(spark, table, f,
+                col(s"__set_$i"), df.schema(s"__set_$i").dataType)
+              df = df.withColumn(f.name,
+                when(col("__hit"), rhs).otherwise(col(s"`${f.name}`")))
+            }
+            cur = df.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            // incoming rows that matched the ROUND-state on these keys
+            // are consumed (they updated in place)
+            remaining = remaining.join(
+              broadcast(pre.select(keys.map(c => col(s"`$c`")): _*).distinct),
+              keys, "left_anti")
+              .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          }
+          commitTable(spark, table, cur.unionByName(remaining))
+        }
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+
+  private def insertIgnoreRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    matchMasked(InsertIgnoreRe, q) match {
+      case Some(IndexedSeq(table, colsOrNull, srcTxt)) =>
+        if (!spark.catalog.tableExists(table)) return None
+        val target = spark.table(table)
+        val tcols = target.columns.toSeq
+        val keySets = tableKeySets(table)
+        val named0 = alignedRows(spark, table, colsOrNull, srcTxt)
+        if (keySets.isEmpty) {
+          commitTable(spark, table, target.unionByName(named0))
+          return Some(spark.emptyDataFrame)
+        }
+        val snap = named0.localCheckpoint(true)
+        val small = snap.limit(10001).count() <= 10000
+        val kept =
+          if (small) {
+            // MySQL applies row-by-row: a row REJECTED by an existing
+            // key frees its other key values for later batch rows
+            // (insert_ignore_multi_key). VALUES batches are
+            // driver-sized — resolve sequentially against the existing
+            // key sets (computed distributed, only batch-sized results
+            // collect).
+            val colIdx = tcols.zipWithIndex.toMap
+            val existing: Seq[scala.collection.mutable.Set[Seq[Any]]] =
+              keySets.map { keys =>
+                val hit = target.join(broadcast(
+                  snap.select(keys.map(c => col(s"`$c`")): _*).distinct),
+                  keys, "left_semi")
+                  .select(keys.map(c => col(s"`$c`")): _*).distinct.collect()
+                scala.collection.mutable.Set(hit.toSeq.map(_.toSeq): _*)
+              }
+            def keyTuple(r: org.apache.spark.sql.Row, keys: Seq[String]) = {
+              val vs = keys.map(k => r.get(colIdx(k)))
+              if (vs.contains(null)) None else Some(vs)
+            }
+            val acc = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            snap.collect().foreach { r =>
+              val collide = keySets.zipWithIndex.exists { case (ks, i) =>
+                keyTuple(r, ks).exists(existing(i).contains)
+              }
+              if (!collide) {
+                acc += r
+                keySets.zipWithIndex.foreach { case (ks, i) =>
+                  keyTuple(r, ks).foreach(existing(i) += _)
+                }
+              }
+            }
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(acc.toSeq: _*)),
+              snap.schema)
+          } else {
+            // bulk SELECT source: first-wins per key set + anti-join —
+            // order-free and fully distributed
+            var named = snap.withColumn("__ord", monotonically_increasing_id())
+            keySets.foreach { keys =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(k => col(s"`$k`")): _*)
+                .orderBy(col("__ord").asc)
+              val anyNull = keys.map(k => col(s"`$k`").isNull).reduce(_ || _)
+              named = named.withColumn("__rn", row_number().over(w))
+                .filter(anyNull || col("__rn") === 1).drop("__rn")
+              // no broadcast hint: the existing-key side scales with the
+              // table; AQE picks broadcast when it is actually small
+              named = named.join(
+                target.select(keys.map(c => col(s"`$c`")): _*).distinct,
+                keys, "left_anti")
+                .select((tcols.map(c => col(s"`$c`")) :+ col("__ord")).toIndexedSeq: _*)
+            }
+            named.drop("__ord")
+          }
+        commitTable(spark, table, target.unionByName(kept))
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+
+  /** Multi-table DELETE (`DELETE t1, t2 FROM t1 JOIN t2 ON ... WHERE`):
+    * per target, the rows participating in at least one join row are
+    * removed — identity is the full row (null-safe), like
+    * multiUpdateRewrite; every match set materializes against the
+    * pre-statement snapshot before any table commits.
+    */
+  private val MultiDeleteRe =
+    """(?is)^delete\s+((?:`?\w+`?\s*,\s*)*`?\w+`?)\s+from\s+(.+?)\s*(?:where\s+(.+?))?\s*$""".r
+  // DELETE FROM t1, t2 USING t1 JOIN t2 ON ... — the USING spelling
+  private val MultiDeleteUsingRe =
+    """(?is)^delete\s+from\s+((?:`?\w+`?\s*,\s*)*`?\w+`?)\s+using\s+(.+?)\s*(?:where\s+(.+?))?\s*$""".r
+  private def multiDeleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
+    matchMasked(MultiDeleteUsingRe, q)
+      .orElse(matchMasked(MultiDeleteRe, q)) match {
+      case Some(IndexedSeq(targetsTxt, fromTxt, condOrNull)) =>
+        val AliasedRe =
+          """(?i)(?:^|,|\bjoin\s)\s*`?(\w+)`?(?:\s+(?:as\s+)?(?!on\b|join\b|inner\b|left\b|right\b|cross\b|where\b|using\b)`?(\w+)`?)?""".r
+        val aliases: Map[String, String] =
+          AliasedRe.findAllMatchIn(fromTxt).map { m =>
+            val t = m.group(1); val a = Option(m.group(2)).getOrElse(t)
+            a.toLowerCase -> t
+          }.toMap
+        val targets = splitTop(targetsTxt)
+          .map(_.trim.stripPrefix("`").stripSuffix("`").toLowerCase)
+        if (targets.isEmpty || targets.exists(!aliases.contains(_))) return None
+        if (targets.exists(t => !spark.catalog.tableExists(aliases(t)))) return None
+        // partitioned tables route rows through per-partition subtables;
+        // copy-on-write DML doesn't compose with that layout yet
+        if (targets.exists(t => Partitions.get(spark, aliases(t)).isDefined))
+          throw new UnsupportedOperationException(
+            "not supported: multi-table DELETE over partitioned tables")
+        val whereSql = Option(condOrNull).map(c => s" WHERE ($c)").getOrElse("")
+        val matchSets = targets.map { al =>
+          (al, spark.sql(
+            s"SELECT DISTINCT $al.* FROM $fromTxt$whereSql").localCheckpoint(true))
+        }
+        matchSets.foreach { case (al, doomed) =>
+          val table = aliases(al)
+          val target = spark.table(table)
+          val tcols = target.columns.toSeq
+          val marked = doomed.toDF(tcols.map(_ + "__m"): _*)
+            .withColumn("__hit", lit(true))
+          val cond = tcols.map(c => col(s"`$c`") <=> col(s"`${c}__m`"))
+            .reduce(_ && _)
+          val remaining = target.join(broadcast(marked), cond, "left_outer")
+            .filter(col("__hit").isNull)
+            .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          commitTable(spark, table, remaining)
+        }
+        Some(spark.emptyDataFrame)
       case _ => None
     }
 
@@ -908,7 +1309,7 @@ object GraftSql {
   private val DeleteRe =
     """(?is)^delete\s+from\s+(?:`?\w+`?\.)?`?(\w+)`?\s*(?:where\s+(.+?))?\s*(?:limit\s+(\d+))?\s*$""".r
   private val UpdateRe =
-    """(?is)^update\s+(?:`?\w+`?\.)?`?(\w+)`?\s+set\s+(.+?)\s*(?:where\s+(.+?))?\s*(?:order\s+by\s+(.+?))?\s*(?:limit\s+(\d+))?\s*$""".r
+    """(?is)^update\s+(ignore\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s+set\s+(.+?)\s*(?:where\s+(.+?))?\s*(?:order\s+by\s+(.+?))?\s*(?:limit\s+(\d+))?\s*$""".r
 
   private def commitTable(spark: SparkSession, table: String, df: DataFrame): Unit = {
     val snap = df.localCheckpoint(true)
@@ -1087,6 +1488,22 @@ object GraftSql {
       throw new IllegalStateException("No database selected")
   }
 
+  /** Delete every match of `re` found against the literal-MASKED copy
+    * of `s` (so data like 'a.b' is never touched, but backtick-quoted
+    * identifiers — invisible to replaceOutsideQuotes — are).
+    */
+  private def deleteMasked(s: String, re: scala.util.matching.Regex): String = {
+    val masked = MySqlCompat.maskLiterals(s)
+    if (re.findFirstIn(masked).isEmpty) return s
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(s, last, m.start); last = m.end
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
   private def deleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     matchMasked(DeleteRe, q) match {
       case Some(IndexedSeq(table, condOrNull, limitOrNull)) =>
@@ -1170,6 +1587,13 @@ object GraftSql {
           src.cast(DecimalType(20, 0)).cast(StringType)).cast(DateType)
       case (DateType, StringType) =>
         graft.functions.MoFunctions.strictTsCol(src).cast(DateType)
+      // MySQL ROUNDS fractional values stored into integer columns
+      // (UPDATE t1 SET n2 = EXP(1) on an INT stores 3, not 2)
+      case (it, st)
+          if Seq(ByteType, ShortType, IntegerType, LongType).contains(it) &&
+            (st == DoubleType || st == FloatType ||
+              st.isInstanceOf[DecimalType]) =>
+        round(src, 0).cast(it)
       case _ => src.cast(f.dataType)
     }
     (f.dataType, tsFsp.get((table.toLowerCase, f.name.toLowerCase))) match {
@@ -1192,8 +1616,9 @@ object GraftSql {
 
   private def updateRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     matchMasked(UpdateRe, q) match {
-      case Some(IndexedSeq(table, setTxt, condOrNull, orderOrNull, limitOrNull)) =>
+      case Some(IndexedSeq(ignoreOrNull, table, setTxt, condOrNull, orderOrNull, limitOrNull)) =>
         if (!spark.catalog.tableExists(table)) return None
+        val isIgnore = ignoreOrNull != null
         if (Partitions.get(spark, table).isDefined) return None
         val target = spark.table(table)
         val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -1232,6 +1657,43 @@ object GraftSql {
               sum(when(col("__upd"), 1).otherwise(0)).over(w) <= n.toInt)
           case _ =>
         }
+        // UPDATE IGNORE: a candidate row whose NEW pk/unique value would
+        // collide (with another row's current value, or with another
+        // candidate's new value) is silently skipped, not an error
+        // (update_ignore.result — MySQL applies row-by-row; the
+        // pre-state approximation reproduces the goldens)
+        if (isIgnore) {
+          val setIdx = assigns.zipWithIndex
+            .map { case ((c, _), i) => c.toLowerCase -> i }.toMap
+          tableKeySets(table).foreach { keys =>
+            if (keys.exists(k => setIdx.contains(k.toLowerCase))) {
+              def newK(k: String) = setIdx.get(k.toLowerCase)
+                .map(i => col(s"__set_$i").cast(fields(k.toLowerCase).dataType))
+                .getOrElse(col(s"`$k`"))
+              val counts = spark.table(table)
+                .groupBy(keys.map(k => col(s"`$k`").as(s"__ok_$k")): _*)
+                .agg(count(lit(1)).as("__ocnt"))
+              val joinCond = keys.map(k => newK(k) <=> col(s"__ok_$k"))
+                .reduce(_ && _)
+              df = df.join(broadcast(counts), joinCond, "left_outer")
+              val self = keys.map(k => newK(k) <=> col(s"`$k`")).reduce(_ && _)
+              val others = coalesce(col("__ocnt"), lit(0L)) -
+                when(self, lit(1L)).otherwise(lit(0L))
+              val w2 = org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(k => newK(k)): _*)
+              // among candidates colliding on the same NEW key, the row
+              // whose new key equals its own old key wins ("owner wins",
+              // update_ignore_owner_wins); the others are skipped
+              val candDup =
+                sum(when(col("__upd"), 1).otherwise(0)).over(w2) > 1 && !self
+              val newNull = keys.map(k => newK(k).isNull).reduce(_ || _)
+              df = df.withColumn("__upd",
+                  col("__upd") && (newNull || (others <= 0 && !candDup)))
+                .drop("__ocnt")
+              keys.foreach(k => df = df.drop(s"__ok_$k"))
+            }
+          }
+        }
         assigns.zipWithIndex.foreach { case ((c, _), i) =>
           val f = fields(c.toLowerCase)
           val rhs = storeCast(spark, table, f,
@@ -1239,8 +1701,23 @@ object GraftSql {
           df = df.withColumn(f.name,
             when(col("__upd"), rhs).otherwise(col(s"`${f.name}`")))
         }
-        commitTable(spark, table, df
-          .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+        val updated = df
+          .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        // an UPDATE landing two rows on the same pk is a duplicate-key
+        // error (auto_increment_columns.result:95 `set a='200'`); checked
+        // only when the SET touches a pk column (IGNORE pre-filters)
+        (if (isIgnore) None else primaryKeys.get(table.toLowerCase))
+          .map(_.split(",").map(_.trim).toSeq)
+          .filter(pks => assigns.exists(a => pks.exists(_.equalsIgnoreCase(a._1))))
+          .foreach { pks =>
+            val dup = updated.groupBy(pks.map(c => col(s"`$c`")): _*)
+              .count().filter(col("count") > 1).limit(1).collect()
+            if (dup.nonEmpty)
+              throw new IllegalStateException(
+                s"Duplicate entry '${dup.head.toSeq.dropRight(1).mkString("-")}' " +
+                  s"for key '${pks.head}'")
+          }
+        commitTable(spark, table, updated)
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -1255,13 +1732,19 @@ object GraftSql {
     * pk-less so identity is the full row (null-safe equality).
     */
   private val MultiUpdateRe =
-    """(?is)^update\s+(.+?)\s+set\s+(.+?)\s*(?:where\s+(.+?))?\s*$""".r
+    """(?is)^update\s+(.+?)\s+set\s+(.+?)(?:\s+from\s+(.+?))?\s*(?:where\s+(.+?))?\s*$""".r
   private def multiUpdateRewrite(spark: SparkSession, q: String): Option[DataFrame] =
-    q match {
-      case MultiUpdateRe(tablesTxt, setTxt, condOrNull) if
-          tablesTxt.contains(",") || """(?i)\bjoin\b""".r.findFirstIn(tablesTxt).isDefined =>
+    matchMasked(MultiUpdateRe, q) match {
+      case Some(IndexedSeq(tablesTxt0, setTxt, fromOrNull, condOrNull)) if
+          tablesTxt0.contains(",") ||
+            """(?i)\bjoin\b""".r.findFirstIn(tablesTxt0).isDefined ||
+            fromOrNull != null =>
+        // the PG-style `UPDATE a JOIN b ... SET ... FROM c WHERE ...`
+        // spelling joins the FROM relations in as well
+        val tablesTxt = tablesTxt0 +
+          Option(fromOrNull).map(f => s", $f").getOrElse("")
         // alias → base table (parenthesized subqueries are not targets)
-        val AliasedRe = """(?i)(?:^|,|\bjoin\s)\s*`?(\w+)`?(?:\s+(?:as\s+)?(?!on\b|join\b|inner\b|left\b|right\b|cross\b)`?(\w+)`?)?""".r
+        val AliasedRe = """(?i)(?:^|,|\bjoin\s)\s*`?(\w+)`?(?:\s+(?:as\s+)?(?!on\b|join\b|inner\b|left\b|right\b|cross\b|where\b|using\b|set\b)`?(\w+)`?)?""".r
         val aliases: Map[String, String] = AliasedRe.findAllMatchIn(tablesTxt).map { m =>
           val t = m.group(1); val a = Option(m.group(2)).getOrElse(t)
           a.toLowerCase -> t
@@ -1287,29 +1770,48 @@ object GraftSql {
         // materialize EVERY match set before any table commits — the
         // join reads the tables being updated, and MySQL matches against
         // the pre-statement snapshot (lowercase.result:237 updates both
-        // t7 and t8 from the same join)
+        // t7 and t8 from the same join). The RHS expressions evaluate in
+        // the FULL join context (`SET jt1.v = s.v FROM js s`), carried
+        // alongside the target row; one value per target row (arbitrary
+        // join row on >1 matches, like MySQL).
         val matchSets = byAlias.map { case (al, as0) =>
-          (al, as0, spark.sql(
-            s"SELECT DISTINCT $al.* FROM $tablesTxt$whereSql").localCheckpoint(true))
+          val rhsSel = as0.zipWithIndex.map { case ((_, _, e), i) =>
+            val e2 = if (e.equalsIgnoreCase("default")) "NULL" else e
+            s"($e2) AS __rhs_$i"
+          }.mkString(", ")
+          val table = aliases(al)
+          val tcols = spark.table(table).columns.toSeq
+          val m0 = spark.sql(
+            s"SELECT $al.*, $rhsSel FROM $tablesTxt$whereSql")
+          // >1 join row per target row: MySQL applies sequentially and
+          // the LAST write wins — pick the last join-order row
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(tcols.map(c => col(s"`$c`")): _*)
+            .orderBy(col("__mid").desc)
+          val dedup = m0.withColumn("__mid", monotonically_increasing_id())
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", "__mid")
+          (al, as0, dedup.localCheckpoint(true))
         }
         matchSets.foreach { case (al, as0, matched) =>
           val table = aliases(al)
           val target = spark.table(table)
           val tcols = target.columns.toSeq
-          val marked = matched.toDF(tcols.map(_ + "__m"): _*)
+          val marked = matched.toDF(
+            (tcols.map(_ + "__m") ++ as0.indices.map(i => s"__rhs_$i")): _*)
             .withColumn("__hit", lit(true))
           val cond = tcols.map(c => col(s"`$c`") <=> col(s"`${c}__m`"))
             .reduce(_ && _)
           var df = target.join(broadcast(marked), cond, "left_outer")
             .withColumn("__upd", coalesce(col("__hit"), lit(false)))
           val fields = target.schema.fields.map(f => f.name.toLowerCase -> f).toMap
-          as0.foreach { case (_, c, e0) =>
+          as0.zipWithIndex.foreach { case ((_, c, e0), i) =>
             val f = fields.getOrElse(c.toLowerCase, return None)
-            // strip the target's own alias prefix from the RHS
-            val e = e0.replaceAll(s"(?i)\\b$al\\.", "")
             val rhs =
-              if (e.equalsIgnoreCase("default")) expr(colDefault(f)).cast(f.dataType)
-              else expr(e).cast(f.dataType)
+              if (e0.equalsIgnoreCase("default"))
+                expr(colDefault(f)).cast(f.dataType)
+              else storeCast(spark, table, f, col(s"__rhs_$i"),
+                matched.schema(s"__rhs_$i").dataType)
             df = df.withColumn(f.name,
               when(col("__upd"), rhs).otherwise(col(s"`${f.name}`")))
           }
@@ -1664,35 +2166,109 @@ object GraftSql {
             }.select(target.columns.map(col): _*)
           case None => df.toDF(target.columns.toSeq: _*)
         }
-        // an all-NULL auto_increment column takes freshly allocated ids
-        // in file order (the reference's incrservice fill; vector.csv
-        // carries \N ids) — order-preserving distributed zipWithIndex
+        // auto_increment columns: NULL/absent cells take freshly
+        // allocated ids in FILE ORDER and explicit values advance the
+        // counter (the reference's incrservice fill — a sequential
+        // allocator by definition; one fold pass in a single executor
+        // partition, never a driver collect)
         val aligned = autoIncCols.get(table.toLowerCase) match {
-          case Some((acol, next))
-              if aligned0.columns.exists(_.equalsIgnoreCase(acol)) &&
-                aligned0.filter(col(acol).isNotNull).isEmpty =>
+          case Some(acs0) =>
             val cn = aligned0.columns
-            val ai = cn.indexWhere(_.equalsIgnoreCase(acol))
-            val tgtType = target.schema.fields(
-              target.schema.fieldNames.indexWhere(_.equalsIgnoreCase(acol))).dataType
-            val filled = spark.createDataFrame(
-              aligned0.rdd.zipWithIndex.map { case (r, i) =>
-                org.apache.spark.sql.Row.fromSeq(
-                  r.toSeq.updated(ai, next + i + 1))
-              },
-              org.apache.spark.sql.types.StructType(aligned0.schema.fields
-                .updated(ai, aligned0.schema.fields(ai)
-                  .copy(dataType = org.apache.spark.sql.types.LongType))))
-            val cnt = filled.count()
-            autoIncCols.put(table.toLowerCase, (acol, next + cnt))
-            filled.withColumn(acol, col(acol).cast(tgtType))
+            val acs = acs0.zipWithIndex.flatMap { case ((c, base), ri) =>
+              val ai = cn.indexWhere(_.equalsIgnoreCase(c))
+              if (ai >= 0 && aligned0.filter(col(c).isNull).limit(1).count() > 0)
+                Some((c, base, ai, ri))
+              else None
+            }
+            if (acs.isEmpty) aligned0
+            else {
+              val schema = aligned0.schema
+              val filledRdd = aligned0.rdd.coalesce(1).mapPartitions { it =>
+                val ctrs = scala.collection.mutable.Map(
+                  acs.map(a => a._3 -> a._2): _*)
+                it.map { r =>
+                  var vals = r.toSeq
+                  acs.foreach { case (_, _, ai, _) =>
+                    vals(ai) match {
+                      case null =>
+                        ctrs(ai) += 1
+                        val v: Any = schema.fields(ai).dataType match {
+                          case org.apache.spark.sql.types.IntegerType => ctrs(ai).toInt
+                          case org.apache.spark.sql.types.ShortType => ctrs(ai).toShort
+                          case _: org.apache.spark.sql.types.DecimalType =>
+                            new java.math.BigDecimal(ctrs(ai))
+                          case _ => ctrs(ai)
+                        }
+                        vals = vals.updated(ai, v)
+                      case n: Number =>
+                        if (n.longValue() > ctrs(ai)) ctrs(ai) = n.longValue()
+                      case d: java.math.BigDecimal =>
+                        if (d.longValue() > ctrs(ai)) ctrs(ai) = d.longValue()
+                      case _ =>
+                    }
+                  }
+                  org.apache.spark.sql.Row.fromSeq(vals)
+                }
+              }
+              val filled = spark.createDataFrame(filledRdd, schema)
+                .localCheckpoint(true)
+              // committed counter = max over the stored column
+              val maxes = filled.agg(
+                acs.head._1 -> "max",
+                acs.tail.map(a => a._1 -> "max"): _*).head
+              autoIncCols.put(table.toLowerCase,
+                acs0.zipWithIndex.map { case ((c, base), ri) =>
+                  acs.indexWhere(_._4 == ri) match {
+                    case -1 => (c, base)
+                    case k =>
+                      val mv = maxes.get(k) match {
+                        case n: Number => n.longValue()
+                        case d: java.math.BigDecimal => d.longValue()
+                        case _ => base
+                      }
+                      (c, math.max(base, mv))
+                  }
+                })
+              filled
+            }
           case _ => aligned0
         }
         aligned.write.insertInto(table)
         spark.catalog.refreshTable(table)
+        // record the source for the __mo_filepath metadata column
+        // (issue_25908: external scans expose the originating file)
+        loadPaths.put(table.toLowerCase, path)
         Some(Seq((table, path, "loaded")).toDF("table_name", "file", "status"))
       case _ => None
     }
+  }
+
+  /** table → last LOAD source path, backing the reference's
+    * `__mo_filepath` load-metadata column (`pkg/sql/colexec/external/`).
+    * Substituted as a literal per referencing table — exact while a
+    * table is fed from one file (the external-table shape); a
+    * multi-file union would need a real per-row metadata column
+    * (Spark's `_metadata.file_path`) on a direct file-source scan.
+    */
+  private val loadPaths = TrieMap[String, String]()
+
+  private def moFilepathRewrite(spark: SparkSession, q: String): String = {
+    if (!q.contains("__mo_filepath")) return q
+    // the bare token only — `customer.__mo_filepath` backtick-quoted
+    // column names are ordinary columns (issue_25908's decoys)
+    val masked = MySqlCompat.maskLiterals(q)
+    val tbl = """(?is)\bfrom\s+`?(\w+)`?""".r.findAllMatchIn(masked)
+      .map(_.group(1).toLowerCase).find(loadPaths.contains)
+      .getOrElse(return q)
+    val lit = "'" + loadPaths(tbl).replace("'", "''") + "'"
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    """(?<![\w.$`])__mo_filepath\b""".r.findAllMatchIn(masked).foreach { m =>
+      sb.append(q, last, m.start).append(lit)
+      last = m.end
+    }
+    sb.append(q, last, q.length)
+    sb.toString
   }
 
   /** Extract the first regular file from a `.tar.gz` archive to a temp
@@ -2232,7 +2808,7 @@ object GraftSql {
     * reference's implicit id allocation (`pkg/incrservice/`), needed at
     * LOAD time when the file carries NULL for the id column.
     */
-  private val autoIncCols = TrieMap[String, (String, Long)]()
+  private val autoIncCols = TrieMap[String, Vector[(String, Long)]]()
   def clearVecCols(): Unit = {
     vecCols.clear(); autoIncCols.clear(); statPatches.clear()
   }
@@ -2247,8 +2823,9 @@ object GraftSql {
     if (!q.toLowerCase.contains("auto_increment")) return q
     q match {
       case CreateTableNameRe(table) =>
-        AutoIncColDefRe.findFirstMatchIn(q).foreach(m =>
-          autoIncCols.put(table.toLowerCase, (m.group(1), 0L)))
+        val acs = AutoIncColDefRe.findAllMatchIn(q)
+          .map(m => (m.group(1), 0L)).toVector
+        if (acs.nonEmpty) autoIncCols.put(table.toLowerCase, acs)
         q.replaceAll("(?i)\\s+AUTO_INCREMENT", "")
       case _ => q
     }

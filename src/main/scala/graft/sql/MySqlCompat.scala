@@ -426,18 +426,48 @@ object MySqlCompat {
     """(?i)(\(|\bunion(?:\s+all|\s+distinct)?|\bintersect|\bexcept)\s*table\s+(`?\w+`?)""".r
 
   def valuesTable(q0: String): String = {
-    var q = """(?i)\bvalues\s+row\s*\(""".r.findFirstIn(maskLiterals(q0)) match {
-      case None => q0
-      case Some(_) =>
-        replaceOutsideLiterals(ValuesRowRe, q0)(m => {
-          val rows = """(?is)row\s*(\([^)]*\))""".r
-            .findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-          // MySQL names values-table columns column_0, column_1, …
-          val n = GraftSql.splitTop(
-            rows.head.substring(1, rows.head.length - 1)).length
-          val cols = (0 until n).map(i => s"column_$i").mkString(", ")
-          s"SELECT * FROM VALUES ${rows.mkString(", ")} AS _gvals($cols)"
-        })
+    // balanced-paren scan: row cells may nest calls/casts
+    // (`row(abs(-2), cast('[3,4,5]' as vecf32(3)))`, dml/select/values)
+    val HeadRe = """(?i)\bvalues\s+row\s*\(""".r
+    var q = q0
+    var changed = true
+    while (changed && HeadRe.findFirstIn(maskLiterals(q)).isDefined) {
+      changed = false
+      val masked = maskLiterals(q)
+      HeadRe.findFirstMatchIn(masked).foreach { m =>
+        var i = m.end - 1 // the '(' of the first row
+        val rows = Seq.newBuilder[String]
+        var ok = true
+        var endIdx = -1
+        val RowSep = """(?is)^\s*,\s*row\s*\(""".r
+        while (endIdx < 0 && ok) {
+          val close = closeOf(q, i)
+          if (close < 0) ok = false
+          else {
+            rows += q.substring(i, close + 1)
+            RowSep.findFirstMatchIn(masked.substring(close + 1)) match {
+              case Some(s2) => i = close + 1 + s2.end - 1
+              case None => endIdx = close
+            }
+          }
+        }
+        if (ok) {
+          val rs = rows.result()
+          // MySQL names values-table columns column_0, column_1, … ;
+          // UNION ALL selects instead of an inline VALUES table so cells
+          // may hold arbitrary expressions (casts/UDFs — Spark's inline
+          // table only evaluates foldables)
+          val sels = rs.map { r =>
+            val cells = GraftSql.splitTop(r.substring(1, r.length - 1))
+            "SELECT " + cells.zipWithIndex
+              .map { case (c, k) => s"($c) AS column_$k" }.mkString(", ")
+          }
+          q = q.substring(0, m.start) +
+            s"SELECT * FROM (${sels.mkString(" UNION ALL ")}) _gvals" +
+            q.substring(endIdx + 1)
+          changed = true
+        }
+      }
     }
     // `TABLE t` query shorthand in subquery / set-operation position
     q = replaceOutsideLiterals(TableShorthandRe, q)(m =>
