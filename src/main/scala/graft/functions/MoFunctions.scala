@@ -269,7 +269,8 @@ object MoFunctions {
     var ti = 0
     var year = -1; var month = -1; var day = -1; var doy = -1
     var hour = -1; var minute = -1; var sec = -1; var micros = -1L
-    var hour12 = false; var pm = false
+    var hour12 = false; var hour24 = false; var pm = false
+    var weekTok: Char = 0; var yearTok: Char = 0
     var sawDate = false; var sawTime = false; var sawFrac = false
     var weekNum = -1; var weekMode = -1; var weekdayNo = -1
     var ok = true
@@ -288,13 +289,13 @@ object MoFunctions {
       if (c == ' ') skipSpace()
       else { skipSpace(); if (ti < n && text(ti) == c) ti += 1 else ok = false }
     }
-    def meridiem(): Unit = {
+    def meridiem(): Boolean = {
       skipSpace()
       if (ti + 1 < n && (text(ti) == 'A' || text(ti) == 'a' ||
           text(ti) == 'P' || text(ti) == 'p') &&
           (text(ti + 1) == 'M' || text(ti + 1) == 'm')) {
-        pm = text(ti) == 'P' || text(ti) == 'p'; ti += 2
-      }
+        pm = text(ti) == 'P' || text(ti) == 'p'; ti += 2; true
+      } else false
     }
     val monthNames = Seq("january", "february", "march", "april", "may",
       "june", "july", "august", "september", "october", "november", "december")
@@ -314,11 +315,13 @@ object MoFunctions {
           case 'Y' =>
             // a 1-2 digit year under %Y still pivots like %y
             // (func_datetime_todate: '03-01-02' %Y-%m-%d → 2003)
+            yearTok = 'Y'
             val before = ti
             year = num(4); sawDate = true; ok = year >= 0
             if (ok && ti - before <= 2 && year < 100)
               year = if (year < 70) 2000 + year else 1900 + year
           case 'y' =>
+            yearTok = 'Y'
             val v = num(2); sawDate = true; ok = v >= 0
             if (ok) year = if (v < 70) 2000 + v else 1900 + v
           case 'm' | 'c' => month = num(2); sawDate = true; ok = month >= 0
@@ -327,7 +330,8 @@ object MoFunctions {
             day = num(2); sawDate = true; ok = day >= 0
             while (ok && ti < n && text(ti).isLetter) ti += 1
           case 'j' => doy = num(3); sawDate = true; ok = doy >= 0
-          case 'H' | 'k' => hour = num(2); sawTime = true; ok = hour >= 0
+          case 'H' | 'k' =>
+            hour = num(2); hour24 = true; sawTime = true; ok = hour >= 0
           case 'h' | 'I' | 'l' =>
             hour = num(2); hour12 = true; sawTime = true; ok = hour >= 0
           case 'i' => minute = num(2); sawTime = true; ok = minute >= 0
@@ -340,7 +344,10 @@ object MoFunctions {
               micros = text.substring(st, ti).padTo(6, '0').take(6).toLong
               sawFrac = true; sawTime = true
             }
-          case 'p' => meridiem()
+          case 'p' =>
+            // %p REQUIRES a meridiem token and rejects a 24-hour %H
+            // (func_datetime_todate invalid-variant block: all NULL)
+            ok = meridiem() && !hour24
           case '#' => // %#: skip a numeric run
             skipSpace(); while (ti < n && text(ti).isDigit) ti += 1
           case 'b' | 'M' =>
@@ -356,11 +363,12 @@ object MoFunctions {
           case 'w' => // numeric weekday, 0=Sunday
             val v = num(1); ok = v >= 0 && v <= 6
             if (ok) weekdayNo = (v + 6) % 7 // → Monday=0
-          case 'U' => weekNum = num(2); weekMode = 0; ok = weekNum >= 0
-          case 'u' => weekNum = num(2); weekMode = 1; ok = weekNum >= 0
-          case 'V' => weekNum = num(2); weekMode = 2; ok = weekNum >= 0
-          case 'v' => weekNum = num(2); weekMode = 3; ok = weekNum >= 0
+          case 'U' => weekNum = num(2); weekMode = 0; weekTok = 'U'; ok = weekNum >= 0
+          case 'u' => weekNum = num(2); weekMode = 1; weekTok = 'u'; ok = weekNum >= 0
+          case 'V' => weekNum = num(2); weekMode = 2; weekTok = 'V'; ok = weekNum >= 0
+          case 'v' => weekNum = num(2); weekMode = 3; weekTok = 'v'; ok = weekNum >= 0
           case 'X' | 'x' =>
+            yearTok = fmt(fi + 1)
             year = num(4); sawDate = true; ok = year >= 0
           case 'r' =>
             hour = num(2); lit(':'); minute = num(2); lit(':'); sec = num(2)
@@ -378,6 +386,16 @@ object MoFunctions {
       }
     }
     if (!ok) return null
+    // MySQL pairs week tokens with SPECIFIC year tokens: %U/%u with %Y,
+    // %V with %X, %v with %x — a mismatched pair is NULL
+    if (weekTok != 0 && yearTok != 0) {
+      val want = weekTok match {
+        case 'U' | 'u' => 'Y'
+        case 'V' => 'X'
+        case _ => 'x'
+      }
+      if (yearTok != want) return null
+    }
     // week-number + weekday + year resolve to a concrete date
     // (str_to_date('200442 Monday','%X%V %W') → 2004-10-18)
     if (weekNum >= 0 && weekdayNo >= 0 && year >= 0 && month < 0) {

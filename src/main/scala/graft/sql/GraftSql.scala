@@ -118,6 +118,18 @@ object GraftSql {
       "CREATE ")
     if (q0.trim.isEmpty || q0.trim.startsWith("--"))
       return spark.emptyDataFrame
+    // inline table-remap hint `/*+ {json} */ select ...` (hint/ BVT
+    // category); other /*+ hints are optimizer advice and drop
+    var hintBody: Option[String] = None
+    if (q0.trim.startsWith("/*+")) {
+      val t = q0.trim
+      val close = t.indexOf("*/")
+      if (close > 0) {
+        val body = t.substring(3, close).trim
+        q0 = t.substring(close + 2).trim
+        if (body.startsWith("{")) hintBody = Some(body)
+      }
+    }
     // leading plain block comments (`/* comment */ replace into ...`,
     // dml/replace): strip — versioned /*!...*/ already executed above
     while (q0.trim.startsWith("/*")) {
@@ -126,6 +138,24 @@ object GraftSql {
       if (close < 0) return spark.emptyDataFrame
       q0 = t.substring(close + 2).trim
       if (q0.isEmpty) return spark.emptyDataFrame
+    }
+    if (!Remap.applying &&
+      sysVarValue(spark, "session", "enable_remap_hint") == "1") {
+      val sess = remapRulesCache.getOrElseUpdate(
+        sysVarValue(spark, "session", "remap_rewrites"),
+        Remap.parse(spark, unquoteLit(
+          sysVarValue(spark, "session", "remap_rewrites"))))
+      // an invalid inline hint is an ERROR unless session rules exist
+      // (remap_errors: the same bad hint is silently ignored once
+      // remap_rewrites is set)
+      val hintRules = hintBody.map { b =>
+        try Remap.parse(spark, b)
+        catch { case e: Exception => if (sess.isEmpty) throw e else Remap.Empty }
+      }.getOrElse(Remap.Empty)
+      // inline hint rules first (their bodies still see the session
+      // rules), then the session rules cover the remaining relations
+      q0 = Remap.applyText(spark, q0, hintRules, sess)
+      q0 = Remap.applyText(spark, q0, sess)
     }
     sysVarSetRewrite(spark, q0).getOrElse {
     val q0m = sysVarSubst(spark, q0)
@@ -197,6 +227,10 @@ object GraftSql {
           MoCatalog.dropDb(spark, m.group(1))
           return spark.emptyDataFrame
         }
+      // ALTER DATABASE attributes (mysql_compatibility_mode etc.) are
+      // metadata with no Spark analog — accepted no-ops
+      if ("""(?is)^alter\s+database\b""".r.findFirstIn(q).isDefined)
+        return spark.emptyDataFrame
       rbacRewrite(spark, q).foreach(return _)
       noDbGuard(spark, q)
       val qMo =
@@ -291,6 +325,19 @@ object GraftSql {
     "gtid_purged" -> ("''", "''"),
     "character_set_client" -> ("'utf8mb4'", "'utf8mb4'"),
     "cte_max_memory_bytes" -> ("0", "0"),
+    // table-remap hints (`pkg/frontend/` remap hint gate)
+    "enable_remap_hint" -> ("0", "0"),
+    "remap_rewrites" -> ("''", "''"),
+    // MySQL-compatible connection/session knobs the system_variable BVT
+    // reads (values: pkg/frontend/variables.go defaults)
+    "lower_case_table_names" -> ("1", "1"),
+    "max_connections" -> ("151", "151"),
+    "net_write_timeout" -> ("60", "60"),
+    "wait_timeout" -> ("86400", "86400"),
+    "interactive_timeout" -> ("86400", "86400"),
+    "sql_select_limit" -> ("18446744073709551615", "18446744073709551615"),
+    "max_allowed_packet" -> ("67108864", "67108864"),
+    "tx_isolation" -> ("'REPEATABLE-READ'", "'REPEATABLE-READ'"),
     "experimental_ivf_index" -> ("0", "0"),
     "experimental_ivfpq_index" -> ("0", "0"),
     "experimental_cagra_index" -> ("0", "0"),
@@ -310,8 +357,13 @@ object GraftSql {
   private val sysVars = TrieMap[String, String]()
 
   private def sysVarValue(spark: SparkSession, scope: String, name: String): String =
-    sysVars.getOrElse(s"${sessKey(spark, scope)}#${name.toLowerCase}",
-      sysVarDefaults.get(name.toLowerCase).map(d =>
+    sysVars.get(s"${sessKey(spark, scope)}#${name.toLowerCase}")
+      // a session read of a var only set globally sees the global value
+      // (global-scoped vars like lower_case_table_names read through)
+      .orElse(if (scope == "session")
+        sysVars.get(s"${sessKey(spark, "global")}#${name.toLowerCase}")
+      else None)
+      .getOrElse(sysVarDefaults.get(name.toLowerCase).map(d =>
         if (scope == "global") d._1 else d._2).getOrElse("NULL"))
 
   /** `SET [GLOBAL|SESSION] name = v` / `SET @@[scope.]name = v` (both
@@ -347,6 +399,10 @@ object GraftSql {
       // empty here, so the suffix IS the value (mysql_ddl_1.result:47-50)
       if (name == "gtid_purged")
         raw = raw.replaceFirst("""^'\+'\s*""", "").replaceFirst("^'\\+", "'")
+      // tx_isolation accepts the MySQL enum ordinal
+      if (name == "tx_isolation" && raw.matches("[0-3]"))
+        raw = Seq("'READ-UNCOMMITTED'", "'READ-COMMITTED'",
+          "'REPEATABLE-READ'", "'SERIALIZABLE'")(raw.toInt)
       val lit =
         if (raw.matches("(?i)^(on|true)$")) "1"
         else if (raw.matches("(?i)^(off|false)$")) "0"
@@ -356,10 +412,31 @@ object GraftSql {
         else try sqlLit(sql(spark, s"SELECT ${sysVarSubst(spark, raw)}")
           .collect().head.get(0))
         catch { case _: Exception => sqlLit(raw) }
+      // remap_rewrites is session-only and validated at SET time; an
+      // invalid value throws and keeps the previous one (hint/ BVT)
+      if (name == "remap_rewrites") {
+        if (scope == "global")
+          throw new IllegalStateException(
+            "internal error: the system variable is session")
+        Remap.parse(spark, unquoteLit(lit))
+      }
       sysVars.put(s"${sessKey(spark, scope)}#$name", lit)
     }
     Some(spark.emptyDataFrame)
   }
+
+  /** Strip one level of outer SQL quotes from a stored literal. */
+  private def unquoteLit(s0: String): String = {
+    val s = s0.trim
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+        .replace("\\" + s.head, s.head.toString)
+        .replace("" + s.head + s.head, s.head.toString)
+        .replace("\\\\", "\\")
+    else s
+  }
+
+  private val remapRulesCache = TrieMap[String, Remap.Rules]()
 
   /** Replace known `@@[scope.]name` references (outside literals) with
     * their stored/default SQL literal.
@@ -667,7 +744,16 @@ object GraftSql {
         }
       }.toSeq: _*)
 
-    var anchor = anchors.map(a => sql(spark, a._2.trim))
+    // Spark's Union constraint rewrite (UnionBase.rewriteConstraints)
+    // throws "key not found" when multi-anchor branches share scan
+    // attributes under aliases (recursive_cte.result's two-anchor +
+    // recursive shape) — run the whole recursion with constraint
+    // propagation off; the iteration plans are tiny either way
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.get(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+    var anchor = anchors.map(a => sql(spark, a._2.trim).localCheckpoint())
       .reduce((x, y) => x.union(align(y, x)))
     colList.foreach(cs => anchor = anchor.toDF(cs: _*))
     if (anchors.exists(_._1 == "distinct") || distinctRec)
@@ -692,6 +778,7 @@ object GraftSql {
       throw new IllegalStateException("recursive level out of range")
     acc.createOrReplaceTempView(vname)
     Some(sql(spark, refRe.replaceAllIn(main, vname)))
+    } finally spark.conf.set(cpKey, cpPrev)
   }
 
   // ------------------------------------------------------------------
