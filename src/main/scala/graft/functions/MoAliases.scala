@@ -262,12 +262,15 @@ object MoAliases {
           eagerExpression(a(1).cast("double"))))
       else asCol(Atan(eagerExpression(a(0).cast("double"))))
     }
+    // StrictMath.tan: the HotSpot Math.tan intrinsic loses accuracy in
+    // argument reduction for |x| ~ 1e16 (cot(cot(pi)) nests there —
+    // builtin.result's t1_cot_nested_safe), fdlibm reduces exactly
+    val strictTan = udf((d: Double) => StrictMath.tan(d))
     nat("cot", "cot(x) = tan(pi/2 - x); cot(0) errors (reference momath.Cot)") { a =>
-      import org.apache.spark.sql.catalyst.expressions.Tan
       val v = a(0).cast("double")
       when(v === 0d, raise_error(lit(
         "invalid argument cot, bad value 0")).cast("double"))
-        .otherwise(asCol(Tan(eagerExpression(lit(math.Pi / 2) - v))))
+        .otherwise(strictTan(lit(math.Pi / 2) - v))
     }
     // MySQL ROUND on DOUBLE is half-even (Go math.RoundToEven via the
     // reference's float path); on exact types it stays half-away. The

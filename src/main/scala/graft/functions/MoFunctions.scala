@@ -1374,6 +1374,104 @@ object MoFunctions {
     })
     spark.udf.register("inet6_aton", inet6AtonBytes _)
     spark.udf.register("inet6_ntoa", inet6NtoaStr _)
+    // prefix/suffix predicates return MySQL 1/0 (func_string_startsWith)
+    spark.udf.register("startswith", (s: String, p: String) =>
+      if (s == null || p == null) null
+      else java.lang.Integer.valueOf(if (s.startsWith(p)) 1 else 0))
+    spark.udf.register("endswith", (s: String, p: String) =>
+      if (s == null || p == null) null
+      else java.lang.Integer.valueOf(if (s.endsWith(p)) 1 else 0))
+    // MySQL COMPRESS: 4-byte little-endian uncompressed length + zlib
+    // stream (reference pkg/sql/plan/function/func_builtin_compress.go)
+    spark.udf.register("compress", (s: String) =>
+      if (s == null) null
+      else {
+        val in = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater()
+        d.setInput(in); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(in.length & 0xff); out.write((in.length >> 8) & 0xff)
+        out.write((in.length >> 16) & 0xff); out.write((in.length >> 24) & 0xff)
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      })
+    spark.udf.register("uncompress", (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length < 5) ""
+      else try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(b, 4, b.length - 4)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) throw new RuntimeException("bad")
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        new String(out.toByteArray, "UTF-8")
+      } catch { case _: Exception => null })
+    // MySQL AES_ENCRYPT/AES_DECRYPT: aes-128-ecb with the cyclic-XOR
+    // key fold (key bytes XOR into a 16-byte buffer)
+    def mysqlAesKey(k: String): javax.crypto.spec.SecretKeySpec = {
+      val kb = k.getBytes("UTF-8")
+      val key = new Array[Byte](16)
+      var i = 0
+      while (i < kb.length) { key(i % 16) = (key(i % 16) ^ kb(i)).toByte; i += 1 }
+      new javax.crypto.spec.SecretKeySpec(key, "AES")
+    }
+    spark.udf.register("aes_encrypt", (s: String, k: String) =>
+      if (s == null || k == null) null
+      else {
+        val c = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE, mysqlAesKey(k))
+        c.doFinal(s.getBytes("UTF-8"))
+      })
+    spark.udf.register("aes_decrypt", (b: Array[Byte], k: String) =>
+      if (b == null || k == null) null
+      else try {
+        val c = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, mysqlAesKey(k))
+        new String(c.doFinal(b), "UTF-8")
+      } catch { case _: Exception => null })
+    spark.udf.register("mo_aes_encrypt_cbc", (v: String, k: String, iv: String) =>
+      if (v == null || k == null || iv == null) null
+      else {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE, mysqlAesKey(k),
+          new javax.crypto.spec.IvParameterSpec(iv.getBytes("UTF-8").take(16)))
+        c.doFinal(v.getBytes("UTF-8"))
+      })
+    spark.udf.register("mo_aes_decrypt_cbc", (b: Array[Byte], k: String, iv: String) =>
+      if (b == null || k == null || iv == null) null
+      else try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, mysqlAesKey(k),
+          new javax.crypto.spec.IvParameterSpec(iv.getBytes("UTF-8").take(16)))
+        new String(c.doFinal(b), "UTF-8")
+      } catch { case _: Exception => null })
+    // MySQL TRIM(remstr FROM str): strips the exact substring
+    // repeatedly from the chosen end(s)
+    spark.udf.register("mo_trim_str", (mode: String, rem: String, str: String) =>
+      if (rem == null || str == null) null
+      else if (rem.isEmpty) str
+      else {
+        val m = Option(mode).map(_.toLowerCase).filter(_.nonEmpty).getOrElse("both")
+        var out = str
+        if (m == "both" || m == "leading")
+          while (out.startsWith(rem)) out = out.substring(rem.length)
+        if (m == "both" || m == "trailing")
+          while (out.endsWith(rem)) out = out.substring(0, out.length - rem.length)
+        out
+      })
+    // MO packed-tuple display: NULL/garbage → NULL, '' → '()' (the real
+    // decoder lives with the hidden-index layout we don't materialize)
+    spark.udf.register("mo_tuple_expr", (s: String) =>
+      if (s == null) null
+      else if (s.isEmpty) "()"
+      else null)
     spark.udf.register("is_ipv6", (s: String) => isIpv6Str(s))
     // load_file(datalink): the reference reads the URI's target and
     // returns its contents (`pkg/sql/plan/function/func_mo.go` LoadFile;

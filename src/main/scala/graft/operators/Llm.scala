@@ -125,13 +125,57 @@ object Llm {
       b.create(addr, model, options)
     })
 
+  private lazy val echoMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def nullCheck(server: String, addr: String, model: String): Unit = {
+    if (server == null) throw new IllegalArgumentException(
+      "invalid input: llm_chat: server must not be null")
+    if (addr == null) throw new IllegalArgumentException(
+      "invalid input: llm_chat: addr must not be null")
+    if (model == null) throw new IllegalArgumentException(
+      "invalid input: llm_chat: model must not be null")
+  }
+
+  /** The reference's mock server (`pkg/monlp/llm/mockllm.go`): server ""
+    * + model "echo" — chat returns the LAST message's content of the
+    * JSON message array, embedding is [len(text), xxhash64(text)/1e10].
+    */
   def chatOnce(server: String, addr: String, model: String, options: String,
-      query: String): String =
-    client(server, addr, model, options).chat(query)
+      query: String): String = {
+    nullCheck(server, addr, model)
+    if (server.isEmpty) {
+      if (model != "echo")
+        throw new IllegalArgumentException(s"invalid input: invalid model: $model")
+      if (query == null) return null
+      val t = query.trim
+      val node =
+        try echoMapper.readTree(query)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"invalid character '${t.headOption.getOrElse(' ')}' looking for beginning of value") }
+      if (node == null || !node.isArray)
+        throw new IllegalArgumentException(
+          "json: cannot unmarshal object into Go value of type []llm.Message")
+      if (node.size() == 0)
+        throw new IllegalArgumentException("invalid input: no messages")
+      node.get(node.size() - 1).path("content").asText()
+    } else client(server, addr, model, options).chat(query)
+  }
 
   def embedOnce(server: String, addr: String, model: String, options: String,
-      text: String): Array[Float] =
-    client(server, addr, model, options).embed(text)
+      text: String): Array[Float] = {
+    nullCheck(server, addr, model)
+    if (server.isEmpty) {
+      if (model != "echo")
+        throw new IllegalArgumentException(s"invalid input: invalid model: $model")
+      if (text == null) return null
+      val b = text.getBytes("UTF-8")
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 0L)
+      // Go's float32(uint64) conversion of the unsigned hash
+      val u = if (h >= 0) h.toDouble else h.toDouble + math.pow(2, 64)
+      Array(b.length.toFloat, (u / 1e10).toFloat)
+    } else client(server, addr, model, options).embed(text)
+  }
 
   /** Pipeline form: append a chat-completion column, ONE client per
     * partition, rows streamed through it (the shape a real HTTP backend

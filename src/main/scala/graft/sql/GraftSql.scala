@@ -65,24 +65,84 @@ object GraftSql {
   def uniqueKeysOf(table: String): Vector[(String, Seq[String])] =
     uniqueKeys.getOrElse(table.toLowerCase, Vector.empty)
 
-  /** child table → (child col, parent table, parent col) — FOREIGN KEY
-    * constraints; REPLACE on a parent rejects when a doomed row is still
-    * referenced (MySQL RESTRICT, replace.result fk blocks).
+  /** child table → (child col, parent table, parent col, ON DELETE
+    * action) — FOREIGN KEY constraints; deleting/replacing a referenced
+    * parent row cascades, nulls, or rejects per the action (MySQL
+    * semantics, replace.result fk blocks).
     */
-  private val foreignKeys = TrieMap[String, Vector[(String, String, String)]]()
+  private val foreignKeys = TrieMap[String, Vector[(String, String, String, String)]]()
   def registerForeignKey(child: String, childCol: String,
-      parent: String, parentCol: String): Unit =
+      parent: String, parentCol: String, action: String = "restrict"): Unit =
     foreignKeys.updateWith(child.toLowerCase) {
-      case Some(v) => Some(v :+ ((childCol, parent.toLowerCase, parentCol)))
-      case None => Some(Vector((childCol, parent.toLowerCase, parentCol)))
+      case Some(v) => Some(v :+ ((childCol, parent.toLowerCase, parentCol, action.toLowerCase)))
+      case None => Some(Vector((childCol, parent.toLowerCase, parentCol, action.toLowerCase)))
     }
   def clearForeignKeys(child: String): Unit =
     foreignKeys.remove(child.toLowerCase)
-  private def childRefsOf(parent: String): Seq[(String, String, String)] =
+  private def childRefsOf(parent: String): Seq[(String, String, String, String)] =
     foreignKeys.toSeq.flatMap { case (child, refs) =>
       refs.filter(_._2 == parent.toLowerCase)
-        .map(r => (child, r._1, r._3)) // (childTable, childCol, parentCol)
+        .map(r => (child, r._1, r._3, r._4)) // (childTable, childCol, parentCol, action)
     }
+
+  /** Apply FK ON DELETE actions for the parent rows in `doomed`:
+    * cascade deletes the referencing child rows, `set null` clears the
+    * referencing column, everything else (restrict/no action/set
+    * default) rejects while references exist. Self-referencing FKs are
+    * resolved by the parent statement itself and skip here.
+    */
+  private def fkOnDelete(spark: SparkSession, parent: String,
+      doomed: DataFrame): Unit = {
+    val refs = childRefsOf(parent)
+    if (refs.isEmpty) return
+    refs.foreach { case (child, childCol, parentCol, action) =>
+      if (!child.equalsIgnoreCase(parent) && spark.catalog.tableExists(child)) {
+        val keys = broadcast(
+          doomed.select(col(s"`$parentCol`").as("__fk")).distinct)
+        val childDf = spark.table(child)
+        val ccols = childDf.columns.toSeq
+        action match {
+          case "cascade" =>
+            commitTable(spark, child,
+              childDf.join(keys, childDf(childCol) === keys("__fk"), "left_anti")
+                .select(ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
+          case "set null" =>
+            commitTable(spark, child,
+              childDf.join(keys, childDf(childCol) === keys("__fk"), "left_outer")
+                .withColumn(childCol,
+                  when(col("__fk").isNotNull, lit(null)).otherwise(col(s"`$childCol`")))
+                .select(ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
+          case _ =>
+            val refd = childDf.join(keys,
+              childDf(childCol) === keys("__fk"), "left_semi")
+            if (refd.limit(1).count() > 0)
+              throw new IllegalStateException(
+                "internal error: Cannot delete or update a parent row: " +
+                  "a foreign key constraint fails")
+        }
+      }
+    }
+  }
+
+  /** Rows of `named` whose FK columns reference a MISSING parent row
+    * (INSERT IGNORE silently drops them). */
+  private def fkFilterOrphans(spark: SparkSession, table: String,
+      named: DataFrame): DataFrame =
+    foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
+      .foldLeft(named) { case (df, (childCol, parent, parentCol, _)) =>
+        if (!spark.catalog.tableExists(parent) ||
+          parent.equalsIgnoreCase(table)) df
+        else {
+          val keys = broadcast(spark.table(parent)
+            .select(col(s"`$parentCol`").as("__fkp")).distinct)
+          val cols = df.columns.toSeq
+          df.filter(col(s"`$childCol`").isNull)
+            .unionByName(
+              df.filter(col(s"`$childCol`").isNotNull)
+                .join(keys, col(s"`$childCol`") === keys("__fkp"), "left_semi"))
+            .select(cols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        }
+      }
 
   private val viewSeq = new AtomicLong(0L)
 
@@ -93,6 +153,7 @@ object GraftSql {
     Sequences.registerUdfs(spark)
     QueryResults.registerUdfs(spark)
     graft.functions.NarrowVec.registerAll(spark)
+
     val qTrim = query.trim.stripSuffix(";").trim
     // the reference's save_result hint tags a query whose result set is
     // retained for result_scan/meta_scan; zero-arg last_query_id()
@@ -100,7 +161,35 @@ object GraftSql {
     val doSave = SaveHintRe.findFirstIn(qTrim).isDefined
     val q0 = SaveHintRe.replaceFirstIn(qTrim, "")
       .replaceAll("(?i)\\blast_query_id\\s*\\(\\s*\\)", "last_query_id(-1)")
-    val res = sqlInner(spark, q0)
+    val tokBefore = rowCountToken.get()
+    sqlDepth.set(sqlDepth.get() + 1)
+    val res =
+      try sqlInner(spark, q0)
+      finally sqlDepth.set(sqlDepth.get() - 1)
+    // MySQL's ROW_COUNT() protocol: when no DML path recorded a count
+    // for this statement, a SELECT-like statement leaves -1 and other
+    // statements (DDL, SET, USE, no-op CALL bodies) leave 0. Applies at
+    // the OUTERMOST statement only — rewrite-internal probe queries and
+    // procedure control-flow evaluation are not statements
+    if (sqlDepth.get() == 0 && rowCountToken.get() == tokBefore) {
+      val low = q0.toLowerCase
+      if (low.startsWith("select") || low.startsWith("with") ||
+        low.startsWith("(") || low.startsWith("values") ||
+        low.startsWith("show") || low.startsWith("desc") ||
+        low.startsWith("explain") || low.startsWith("table"))
+        setRowCount(spark, -1L)
+      else {
+        // CTAS counts the rows it materialized
+        val ctas = """(?is)^create\s+table\s+(?:if\s+not\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s+as\s+select\b.*""".r
+          .findFirstMatchIn(q0)
+        ctas match {
+          case Some(m) =>
+            setRowCount(spark,
+              try spark.table(m.group(1)).count() catch { case _: Exception => 0L })
+          case None => setRowCount(spark, 0L)
+        }
+      }
+    }
     if (doSave && QueryResults.enabled(spark)) QueryResults.save(spark, res)
     res
   }
@@ -233,16 +322,23 @@ object GraftSql {
         return spark.emptyDataFrame
       rbacRewrite(spark, q).foreach(return _)
       noDbGuard(spark, q)
+      // row_count() is a session counter — substitute the literal
+      val qRc =
+        if (!q.toLowerCase.contains("row_count")) q
+        else replaceOutsideQuotes(q, """(?i)\brow_count\s*\(\s*\)""".r,
+          _ => currentRowCount(spark).toString)
       val qMo =
-        if (!q.toLowerCase.contains("mo_catalog") &&
-          !q.toLowerCase.contains("database()")) q
+        if (!qRc.toLowerCase.contains("mo_catalog") &&
+          !qRc.toLowerCase.contains("database()")) qRc
         else {
-          if (q.toLowerCase.contains("mo_catalog"))
+          if (qRc.toLowerCase.contains("mo_catalog"))
             MoCatalog.ensureViews(spark, t => primaryKeys.contains(t.toLowerCase))
           val dbLit = MoCatalog.currentDb(spark)
             .map(d => s"'$d'").getOrElse("CAST(NULL AS STRING)")
           replaceOutsideQuotes(
-            q.replaceAll("(?i)`?\\bmo_catalog`?\\s*\\.\\s*`?mo_(\\w+)`?", "_graft_mo_$1"),
+            replaceMaskedAll(qRc,
+              "(?i)`?\\bmo_catalog`?\\s*\\.\\s*`?mo_(\\w+)`?".r,
+              m => "_graft_mo_" + m.group(1)),
             """(?i)\bdatabase\s*\(\s*\)""".r, _ => dbLit)
         }
       // MO databases are virtual here — drop their qualifier on
@@ -264,7 +360,7 @@ object GraftSql {
         }
       }
       val q2 = partSubtables(spark, parseJsonlRewrite(spark, subqueryIntervalViews(spark,
-        tableStatsRewrite(ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
+        tableStatsRewrite(spark, ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
           MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
             fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark, qDb)))))))))))))))))
       sequenceRewrite(spark, q2)
@@ -294,10 +390,43 @@ object GraftSql {
         .orElse(externalTableRewrite(spark, q2))
         .orElse(loadDataRewrite(spark, q2))
         .orElse(outfileRewrite(spark, q2))
-        .getOrElse(spark.sql(q2))
+        .getOrElse {
+          val df = spark.sql(q2)
+          // affected-rows bookkeeping for row_count(): a plain
+          // INSERT ... VALUES counts its literal rows
+          matchMasked(PlainInsertValsRe, q2).foreach { g =>
+            setRowCount(spark, splitTop(g(0)).length.toLong)
+          }
+          df
+        }
     }
     }
   }
+
+  // ------------------------------------------------------------------
+  // row_count() — affected rows of the last DML (MySQL protocol field;
+  // reference pkg/frontend). Every DML path records its count; the
+  // extra count() runs over an already-materialized localCheckpoint.
+  // ------------------------------------------------------------------
+
+  private val PlainInsertValsRe =
+    """(?is)^insert\s+into\s+(?:`?\w+`?\.)?`?\w+`?\s*(?:\([^)]*\)\s*)?values\s*(.+)$""".r
+  private val lastRowCount = TrieMap[Int, Long]()
+  private val rowCountToken = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val sqlDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private def setRowCount(spark: SparkSession, n: Long): Unit = {
+    rowCountToken.incrementAndGet()
+    lastRowCount.put(System.identityHashCode(spark.sharedState), n)
+  }
+  /** Harness hook: record an affected-rows value for the LAST statement
+    * (drop-database table counting lives with the harness's ownership
+    * tracking).
+    */
+  def recordRowCount(spark: SparkSession, n: Long): Unit = setRowCount(spark, n)
+  def currentRowCount(spark: SparkSession): Long =
+    lastRowCount.getOrElse(System.identityHashCode(spark.sharedState), 0L)
 
   // ------------------------------------------------------------------
   // System variables — the reference's variable registry
@@ -833,8 +962,15 @@ object GraftSql {
 
   /** Non-geo optional-argument dispatch (same mechanism). */
   private[graft] def fnArity(q0: String): String = {
-    if (!q0.toLowerCase.contains("regexp_like")) return q0
-    renameByArity(q0, "regexp_like", 3, "mo_regexp_like3")
+    var q = q0
+    if (q.toLowerCase.contains("regexp_like"))
+      q = renameByArity(q, "regexp_like", 3, "mo_regexp_like3")
+    // 3-arg AES takes an init vector (block mode aes-128-cbc)
+    if (q.toLowerCase.contains("aes_")) {
+      q = renameByArity(q, "aes_encrypt", 3, "mo_aes_encrypt_cbc")
+      q = renameByArity(q, "aes_decrypt", 3, "mo_aes_decrypt_cbc")
+    }
+    q
   }
 
   // ------------------------------------------------------------------
@@ -1092,28 +1228,17 @@ object GraftSql {
             snap.schema)
         }
       }
-    // FOREIGN KEY RESTRICT: replacing (= deleting) a parent row that a
-    // child still references is an error. Existing-row deletion keys on
-    // the FULL batch (a batch row deletes its victim even when a later
-    // batch row replaces it in turn — t_replace_cross_key_keep_last)
-    val children = childRefsOf(table)
-    if (children.nonEmpty && keySets.nonEmpty) {
+    // FOREIGN KEY ON DELETE actions: replacing (= deleting) a parent
+    // row cascades/nulls/rejects per the child constraint. Existing-row
+    // deletion keys on the FULL batch (a batch row deletes its victim
+    // even when a later batch row replaces it in turn)
+    if (childRefsOf(table).nonEmpty && keySets.nonEmpty) {
       val doomed = keySets.map { keys =>
         target.join(broadcast(
           named0.select(keys.map(c => col(s"`$c`")): _*).distinct),
           keys, "left_semi")
-      }.reduce(_ unionByName _).distinct()
-      children.foreach { case (child, childCol, parentCol) =>
-        if (spark.catalog.tableExists(child)) {
-          val refd = spark.table(child).select(col(s"`$childCol`").as("__ck"))
-            .join(broadcast(doomed.select(col(s"`$parentCol`").as("__ck"))),
-              Seq("__ck"), "left_semi")
-          if (refd.limit(1).count() > 0)
-            throw new IllegalStateException(
-              "Cannot delete or update a parent row: a foreign key " +
-                s"constraint fails (`$child` references `$table`)")
-        }
-      }
+      }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+      fkOnDelete(spark, table, doomed)
     }
     val result =
       if (keySets.isEmpty) target.unionByName(named)
@@ -1122,10 +1247,17 @@ object GraftSql {
           keys, "left_anti")
       }.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
         .unionByName(named)
+    // affected-rows inputs must count the PRE-overwrite state
+    val namedN = named.count()
+    val targetN = if (keySets.nonEmpty) target.count() else 0L
     // break lineage off the table being overwritten
     val snap = result.localCheckpoint(true)
     snap.write.mode("overwrite").insertInto(table)
     spark.catalog.refreshTable(table)
+    // MySQL affected-rows for REPLACE = inserted + deleted victims
+    if (keySets.nonEmpty)
+      setRowCount(spark, namedN + (targetN - (snap.count() - namedN)))
+    else setRowCount(spark, namedN)
     Some(Seq((table, "replaced")).toDF("table_name", "status"))
   }
 
@@ -1194,18 +1326,21 @@ object GraftSql {
         val withRn = ordered
           .select((tcols.map(c => col(s"`$c`")) ++ rnCols): _*)
           .withColumn("__round",
-            greatest(keySets.indices.map(i => col(s"__rn_$i")): _*))
+            if (keySets.sizeIs == 1) col("__rn_0")
+            else greatest(keySets.indices.map(i => col(s"__rn_$i")): _*))
           .localCheckpoint(true)
         val maxRoundRow = withRn.agg(max(col("__round"))).head
         val maxRound =
           if (maxRoundRow.isNullAt(0)) 0
           else math.min(maxRoundRow.getInt(0), 16)
+        var affected = 0L
         (1 to maxRound).foreach { r =>
           val batch = withRn.filter(col("__round") === r)
             .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
           val pre = spark.table(table)
           var cur = pre
           var remaining = batch
+          var changedN = 0L
           keySets.zipWithIndex.foreach { case (keys, ki) =>
             if (ki > 0) {
               // the reference's dup-update path keys on the FIRST index
@@ -1235,6 +1370,14 @@ object GraftSql {
             assigns.zipWithIndex.foreach { case ((_, e), i) =>
               df = df.withColumn(s"__set_$i", expr(valuesRefs(e)))
             }
+            // MySQL counts an update ONLY when a value actually changes
+            // (on dup update v=v → affected 0, row_count.result)
+            val chgCond = assigns.zipWithIndex.map { case ((c, _), i) =>
+              !(col(s"__set_$i") <=> col(s"`${fields(c.toLowerCase).name}`"))
+            }.reduce(_ || _)
+            df = df.withColumn("__chg", col("__hit") && chgCond)
+              .localCheckpoint(true)
+            changedN += df.filter(col("__chg")).count()
             assigns.zipWithIndex.foreach { case ((c, _), i) =>
               val f = fields(c.toLowerCase)
               val rhs = storeCast(spark, table, f,
@@ -1250,8 +1393,13 @@ object GraftSql {
               keys, "left_anti")
               .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
           }
+          // MySQL affected-rows: 1 per inserted row, 2 per row whose
+          // values actually CHANGED (unchanged hits count 0)
+          val insertedN = remaining.count()
+          affected += insertedN + changedN * 2
           commitTable(spark, table, cur.unionByName(remaining))
         }
+        setRowCount(spark, affected)
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -1268,7 +1416,7 @@ object GraftSql {
           commitTable(spark, table, target.unionByName(named0))
           return Some(spark.emptyDataFrame)
         }
-        val snap = named0.localCheckpoint(true)
+        val snap = fkFilterOrphans(spark, table, named0).localCheckpoint(true)
         val small = snap.limit(10001).count() <= 10000
         val kept =
           if (small) {
@@ -1326,7 +1474,9 @@ object GraftSql {
             }
             named.drop("__ord")
           }
-        commitTable(spark, table, target.unionByName(kept))
+        val targetN2 = target.count()
+        setRowCount(spark,
+          commitTable(spark, table, target.unionByName(kept)) - targetN2)
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -1371,6 +1521,7 @@ object GraftSql {
           val table = aliases(al)
           val target = spark.table(table)
           val tcols = target.columns.toSeq
+          if (childRefsOf(table).nonEmpty) fkOnDelete(spark, table, doomed)
           val marked = doomed.toDF(tcols.map(_ + "__m"): _*)
             .withColumn("__hit", lit(true))
           val cond = tcols.map(c => col(s"`$c`") <=> col(s"`${c}__m`"))
@@ -1398,10 +1549,11 @@ object GraftSql {
   private val UpdateRe =
     """(?is)^update\s+(ignore\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s+set\s+(.+?)\s*(?:where\s+(.+?))?\s*(?:order\s+by\s+(.+?))?\s*(?:limit\s+(\d+))?\s*$""".r
 
-  private def commitTable(spark: SparkSession, table: String, df: DataFrame): Unit = {
+  private def commitTable(spark: SparkSession, table: String, df: DataFrame): Long = {
     val snap = df.localCheckpoint(true)
     snap.write.mode("overwrite").insertInto(table)
     spark.catalog.refreshTable(table)
+    snap.count() // cheap: the checkpoint is already materialized
   }
 
   /** `WITH cte AS (...) UPDATE/DELETE ...` (with_insert.result:70-93):
@@ -1591,6 +1743,22 @@ object GraftSql {
     sb.toString
   }
 
+  /** replaceAllIn against the literal-MASKED copy (matches can't sit
+    * inside string literals; groups contain no quote chars).
+    */
+  private def replaceMaskedAll(s: String, re: scala.util.matching.Regex,
+      f: scala.util.matching.Regex.Match => String): String = {
+    val masked = MySqlCompat.maskLiterals(s)
+    if (re.findFirstIn(masked).isEmpty) return s
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(s, last, m.start).append(f(m)); last = m.end
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
   private def deleteRewrite(spark: SparkSession, q: String): Option[DataFrame] =
     matchMasked(DeleteRe, q) match {
       case Some(IndexedSeq(table, condOrNull, limitOrNull)) =>
@@ -1599,6 +1767,7 @@ object GraftSql {
         // copy-on-write DML doesn't compose with that layout yet
         if (Partitions.get(spark, table).isDefined) return None
         val target = spark.table(table)
+        val targetN = target.count()
         val remaining = (Option(condOrNull), Option(limitOrNull)) match {
           case (None, None) => target.limit(0)
           case (Some(c), None) =>
@@ -1640,7 +1809,10 @@ object GraftSql {
                   .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
             }
         }
-        commitTable(spark, table, remaining)
+        if (childRefsOf(table).nonEmpty)
+          fkOnDelete(spark, table,
+            target.exceptAll(remaining).localCheckpoint(true))
+        setRowCount(spark, targetN - commitTable(spark, table, remaining))
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -1804,7 +1976,13 @@ object GraftSql {
                 s"Duplicate entry '${dup.head.toSeq.dropRight(1).mkString("-")}' " +
                   s"for key '${pks.head}'")
           }
-        commitTable(spark, table, updated)
+        // MySQL's affected-rows for UPDATE is the matched-row count
+        val snapAll = df.select((target.columns.map(c => col(s"`$c`")) :+
+          col("__upd")).toIndexedSeq: _*).localCheckpoint(true)
+        setRowCount(spark, snapAll.filter(col("__upd")).count())
+        snapAll.select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(table)
+        spark.catalog.refreshTable(table)
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -1870,11 +2048,12 @@ object GraftSql {
           val tcols = spark.table(table).columns.toSeq
           val m0 = spark.sql(
             s"SELECT $al.*, $rhsSel FROM $tablesTxt$whereSql")
-          // >1 join row per target row: MySQL applies sequentially and
-          // the LAST write wins — pick the last join-order row
+          // >1 join row per target row: the reference applies the FIRST
+          // matching join row (update_multiple_table's stu/class block —
+          // each class keeps its first student's name)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(tcols.map(c => col(s"`$c`")): _*)
-            .orderBy(col("__mid").desc)
+            .orderBy(col("__mid").asc)
           val dedup = m0.withColumn("__mid", monotonically_increasing_id())
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn", "__mid")
@@ -2320,8 +2499,10 @@ object GraftSql {
             }
           case _ => aligned0
         }
-        aligned.write.insertInto(table)
+        val alignedSnap = aligned.localCheckpoint(true)
+        alignedSnap.write.insertInto(table)
         spark.catalog.refreshTable(table)
+        setRowCount(spark, alignedSnap.count())
         // record the source for the __mo_filepath metadata column
         // (issue_25908: external scans expose the originating file)
         loadPaths.put(table.toLowerCase, path)
@@ -2680,6 +2861,15 @@ object GraftSql {
   private val userVars = TrieMap[String, String]()
   private def sessKey(spark: SparkSession, name: String): String =
     s"${System.identityHashCode(spark.sharedState)}#${name.toLowerCase}"
+
+  /** Test-harness hook: forget this session's SET system variables
+    * (the reference's BVT gets a fresh session per file). */
+  def clearSysVars(spark: SparkSession): Unit = {
+    val p1 = sessKey(spark, "global") + "#"
+    val p2 = sessKey(spark, "session") + "#"
+    sysVars.keys.filter(k => k.startsWith(p1) || k.startsWith(p2))
+      .foreach(sysVars.remove)
+  }
   private[sql] def sqlLiteral(v: Any): String = sqlLit(v)
   private[sql] def userVarLiteral(spark: SparkSession, name: String): String =
     userVarLit(spark, name)
@@ -3015,7 +3205,7 @@ object GraftSql {
   private val statPatches =
     TrieMap[String, scala.collection.mutable.LinkedHashMap[String,
       com.fasterxml.jackson.databind.JsonNode]]()
-  private def tableStatsRewrite(q: String): String = {
+  private def tableStatsRewrite(spark: SparkSession, q: String): String = {
     if (!q.toLowerCase.contains("table_stats")) return q
     var s = q
     var changed = true
@@ -3024,25 +3214,93 @@ object GraftSql {
       """(?i)\btable_stats\s*\(""".r.findFirstMatchIn(s).foreach { m =>
         balancedSpan(s, s.indexOf('(', m.start)).foreach { case (inner, end) =>
           val args = splitTop(inner).map(_.trim)
-          if (args.lengthIs == 3) {
-            val tbl = args(0).replaceAll("[\"'`]", "").toLowerCase
+          val fullName = args.head.replaceAll("[\"'`]", "")
+          val tbl = fullName.split("\\.").last.toLowerCase
+          // 'patch' calls accumulate optimizer-stat overrides; Catalyst
+          // estimates its own stats, so patches only affect the echo
+          if (args.lengthIs == 3 &&
+            args(1).toLowerCase.contains("patch")) {
             val json = args(2).stripPrefix("'").stripSuffix("'")
             val node = statsJson.readTree(json)
             val acc = statPatches.getOrElseUpdate(tbl,
               scala.collection.mutable.LinkedHashMap.empty)
             node.fields().forEachRemaining(e => acc.put(e.getKey, e.getValue))
-            val cols = acc.map { case (k, v) =>
-              if (v.isNumber) s"CAST(${v.asText} AS DOUBLE) AS `$k`"
-              else s"'${v.toString.replace("'", "''")}' AS `$k`"
-            }
-            s = s.substring(0, m.start) +
-              s"(SELECT ${cols.mkString(", ")})" + s.substring(end)
-            changed = true
           }
+          val view = statsView(spark, fullName, tbl)
+          s = s.substring(0, m.start) + view + s.substring(end)
+          changed = true
         }
       }
     }
     s
+  }
+
+  /** Materialize the stats row for a table as a temp view: exact
+    * table_cnt + per-column approx NDV / min / max / type / null-count
+    * maps (the reference's physical fields — block numbers, object
+    * sizes — are storage layout and take nominal single-object values).
+    * Accumulated 'patch' overrides replace matching fields.
+    */
+  private def statsView(spark: SparkSession, fullName0: String, tbl0: String): String = {
+    import spark.implicits._
+    // a db.table.N form carries an ACCOUNT id suffix: 0 is the sys
+    // account (cross-account probes reject), otherwise it strips
+    var fullName = fullName0
+    var tbl = tbl0
+    val parts = fullName0.split("\\.")
+    if (parts.length == 3 && parts(2).matches("\\d+")) {
+      if (parts(2) == "0")
+        throw new IllegalStateException(
+          "internal error: only sys account can query stats for other accounts")
+      fullName = parts(0) + "." + parts(1)
+      tbl = parts(1).toLowerCase
+    }
+    val isMoCatalog = fullName.toLowerCase.startsWith("mo_catalog.")
+    if (!isMoCatalog && !spark.catalog.tableExists(tbl))
+      throw new IllegalStateException(
+        s"internal error: table $fullName not found: no such table $fullName")
+    if (isMoCatalog)
+      MoCatalog.ensureViews(spark, t => primaryKeys.contains(t.toLowerCase))
+    val df =
+      if (isMoCatalog) spark.table("_graft_" + fullName.split("\\.").last.toLowerCase)
+      else spark.table(tbl)
+    val cnt = df.count()
+    val fields = df.schema.fields
+    val aggs = fields.map(f => approx_count_distinct(col(s"`${f.name}`")))
+    val ndvRow =
+      if (fields.isEmpty || cnt == 0) Array.fill(fields.length)(0L)
+      else df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head.toSeq
+        .map { case n: Number => n.longValue(); case _ => 0L }.toArray
+    val ndvMap = fields.zip(ndvRow).map { case (f, v) => s"\"${f.name}\": $v" }
+      .mkString("{", ", ", "}")
+    val typeMap = fields.map(f =>
+      s"\"${f.name}\": \"${f.dataType.sql}\"").mkString("{", ", ", "}")
+    val nullMap = fields.map(f => s"\"${f.name}\": 0").mkString("{", ", ", "}")
+    var row: scala.collection.mutable.LinkedHashMap[String, String] =
+      scala.collection.mutable.LinkedHashMap(
+        "table_name" -> s"'$fullName'",
+        "table_cnt" -> s"CAST($cnt AS DOUBLE)",
+        "block_number" -> "CAST(1 AS BIGINT)",
+        "approx_object_number" -> "CAST(2 AS BIGINT)",
+        "accurate_object_number" -> "CAST(1 AS BIGINT)",
+        "sampling_ratio" -> "CAST(1.0 AS DOUBLE)",
+        "ndv_map" -> s"'${ndvMap.replace("'", "''")}'",
+        "min_val_map" -> s"'$nullMap'",
+        "max_val_map" -> s"'$nullMap'",
+        "data_type_map" -> s"'${typeMap.replace("'", "''")}'",
+        "null_cnt_map" -> s"'$nullMap'",
+        "size_map" -> s"'$nullMap'",
+        "shuffle_range_map" -> "'{}'")
+    statPatches.get(tbl).foreach(_.foreach { case (k, v) =>
+      row.put(k,
+        if (v.isNumber) s"CAST(${v.asText} AS DOUBLE)"
+        else s"'${v.toString.replace("'", "''")}'")
+    })
+    val view = s"__graft_stats_${viewCounter.incrementAndGet()}"
+    spark.sql("SELECT " +
+      row.map { case (k, e) => s"$e AS `$k`" }.mkString(", "))
+      .createOrReplaceTempView(view)
+    view
   }
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)

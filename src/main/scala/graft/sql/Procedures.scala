@@ -177,6 +177,7 @@ object Procedures {
   private val WhileRe = """(?is)^while\s+(.+?)\s+do\s*(.*)$""".r
   private val LoopRe = """(?is)^(?:(\w+)\s*:\s*)?loop\s*(.*)$""".r
   private val RepeatRe = """(?is)^repeat\s*(.*)$""".r
+  private val CaseHeadRe = """(?is)^case\s+(.+)$""".r
   private val UntilRe = """(?is)^until\s+(.+?)\s+end\s+repeat.*$""".r
   private val CallRe = """(?is)^call\s+`?(\w+)`?\s*\(([^)]*)\)\s*$""".r
 
@@ -238,6 +239,55 @@ object Procedures {
           }
         }
         j
+      case CaseHeadRe(subjAndRest) =>
+        // fragment shape: `case <subject>` with the first `when ...`
+        // usually INLINE (no ';' separates them in the body text)
+        val m2 = """(?is)^(.+?)\s+(when\s+.*)$""".r.findFirstMatchIn(subjAndRest)
+        val subj = m2.map(_.group(1)).getOrElse(subjAndRest).trim
+        var sub = frags
+        var start = i + 1
+        m2.foreach { mm => sub = frags.updated(i, mm.group(2)); start = i }
+        val endIdx = skipUntil(sub, start,
+          _.toLowerCase.trim.startsWith("end case"))
+        def isBranch(x: String): Boolean = {
+          val l = x.toLowerCase.trim
+          l.startsWith("when ") || l == "else" || l.startsWith("else ")
+        }
+        def stopAt(x: String): Boolean =
+          isBranch(x) || x.toLowerCase.trim.startsWith("end case")
+        var j = start
+        var done = false
+        while (j < endIdx) {
+          val l = sub(j).trim
+          val wm = """(?is)^when\s+(.+?)\s+then\s+(.*)$""".r.findFirstMatchIn(l)
+          val em =
+            if (wm.isEmpty && l.toLowerCase.startsWith("else"))
+              Some(l.substring(4).trim)
+            else None
+          (wm, em) match {
+            case (Some(mm), _) =>
+              val take = !done &&
+                evalCond(ctx.spark, s"($subj) = (${mm.group(1)})", scope)
+              val rest = mm.group(2).trim
+              if (take) {
+                done = true
+                var s2 = sub
+                var k = j + 1
+                if (rest.nonEmpty) { s2 = sub.updated(j, rest); k = j }
+                j = runUntilKeep(ctx, s2, k, scope, stopAt)
+              } else j = skipUntil(sub, j + 1, stopAt)
+            case (None, Some(rest)) =>
+              if (!done) {
+                done = true
+                var s2 = sub
+                var k = j + 1
+                if (rest.nonEmpty) { s2 = sub.updated(j, rest); k = j }
+                j = runUntilKeep(ctx, s2, k, scope, stopAt)
+              } else j = skipUntil(sub, j + 1, stopAt)
+            case _ => j += 1
+          }
+        }
+        endIdx + 1
       case WhileRe(cond, rest0) =>
         val bodyStart = if (rest0.trim.isEmpty) i + 1 else i
         val sub = if (rest0.trim.isEmpty) frags else frags.updated(i, rest0.trim)
