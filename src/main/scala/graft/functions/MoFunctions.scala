@@ -1374,11 +1374,16 @@ object MoFunctions {
     })
     spark.udf.register("inet6_aton", inet6AtonBytes _)
     spark.udf.register("inet6_ntoa", inet6NtoaStr _)
-    // prefix/suffix predicates return MySQL 1/0 (func_string_startsWith)
-    spark.udf.register("startswith", (s: String, p: String) =>
+    // prefix/suffix predicates return MySQL 1/0 (func_string_startsWith).
+    // Registered under mo_-prefixed names ONLY: a session UDF named
+    // "startswith" shadows Spark 4.1's boolean builtin for every
+    // Column.startsWith call site (the Column API resolves by name
+    // through the function registry). The MySQL-facing spelling is
+    // rewritten to these names by the conformance shim.
+    spark.udf.register("mo_startswith", (s: String, p: String) =>
       if (s == null || p == null) null
       else java.lang.Integer.valueOf(if (s.startsWith(p)) 1 else 0))
-    spark.udf.register("endswith", (s: String, p: String) =>
+    spark.udf.register("mo_endswith", (s: String, p: String) =>
       if (s == null || p == null) null
       else java.lang.Integer.valueOf(if (s.endsWith(p)) 1 else 0))
     // MySQL COMPRESS: 4-byte little-endian uncompressed length + zlib

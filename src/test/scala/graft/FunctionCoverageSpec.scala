@@ -24,6 +24,25 @@ class FunctionCoverageSpec extends AnyFunSuite {
     assert(one("split_part('a,b,c', ',', 2)") == "b")
   }
 
+  test("Column.startsWith/endsWith stay boolean builtins after init") {
+    // Spark 4.1's Column API resolves startsWith/endsWith/contains BY
+    // NAME through the function registry: a session UDF registered under
+    // the same name silently shadows the builtin at every internal call
+    // site (Bm25 prefix joins, serialExtract). Guard the types.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BooleanType
+    val df = spark.range(1).select(
+      lit("abc").startsWith(lit("a")).as("sw"),
+      lit("abc").endsWith(lit("c")).as("ew"),
+      lit("abc").contains(lit("b")).as("ct"))
+    assert(df.schema.fields.forall(_.dataType == BooleanType),
+      s"shadowed builtin: ${df.schema.simpleString}")
+    assert(df.head == org.apache.spark.sql.Row(true, true, true))
+    // the MySQL 1/0 conformance spelling lives under mo_-prefixed names
+    assert(one("mo_startswith('abc', 'a')") == 1)
+    assert(one("mo_endswith('abc', 'b')") == 0)
+  }
+
   test("crypto builtins: aes round trip, sha1, md5") {
     assert(one("CAST(aes_decrypt(aes_encrypt('secret', '0000111122223333'), " +
       "'0000111122223333') AS STRING)") == "secret")
