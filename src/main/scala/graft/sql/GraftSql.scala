@@ -1330,9 +1330,11 @@ object GraftSql {
             else greatest(keySets.indices.map(i => col(s"__rn_$i")): _*))
           .localCheckpoint(true)
         val maxRoundRow = withRn.agg(max(col("__round"))).head
+        // every round must run — truncating would silently drop rows
+        // whose key repeats more often than the cap; each round is one
+        // Spark job, so a deep batch is slow but never lossy
         val maxRound =
-          if (maxRoundRow.isNullAt(0)) 0
-          else math.min(maxRoundRow.getInt(0), 16)
+          if (maxRoundRow.isNullAt(0)) 0 else maxRoundRow.getInt(0)
         var affected = 0L
         (1 to maxRound).foreach { r =>
           val batch = withRn.filter(col("__round") === r)
@@ -1702,11 +1704,21 @@ object GraftSql {
     val cur = MoCatalog.currentDb(spark)
     val masked = MySqlCompat.maskLiterals(q)
     if (cur.exists(d => MoCatalog.SystemDbs.contains(d.toLowerCase))) {
-      // writes against predefined system tables are privilege errors
+      // writes that RESOLVE into a predefined system db are privilege
+      // errors; a statement fully qualified to a user database is fine
+      // even while a system db is current (`use mo_catalog; insert into
+      // mydb.t ...` succeeds in the reference)
       if ("""(?is)^(truncate|insert|update|delete|drop\s+table)\b""".r
-        .findFirstIn(masked.trim).isDefined)
-        throw new IllegalStateException(
-          "internal error: do not have privilege to execute the statement")
+        .findFirstIn(masked.trim).isDefined) {
+        val tgt = NoDbTableRes.view.flatMap(_.findFirstMatchIn(masked.trim))
+          .headOption.map(_.group(1).replace("`", ""))
+        val userDbTarget = tgt.exists(t => t.contains(".") &&
+          !MoCatalog.SystemDbs.contains(
+            t.substring(0, t.indexOf('.')).toLowerCase))
+        if (!userDbTarget)
+          throw new IllegalStateException(
+            "internal error: do not have privilege to execute the statement")
+      }
       return
     }
     if (cur.nonEmpty || !MoCatalog.dbEverSelected(spark)) return
@@ -1746,7 +1758,7 @@ object GraftSql {
   /** replaceAllIn against the literal-MASKED copy (matches can't sit
     * inside string literals; groups contain no quote chars).
     */
-  private def replaceMaskedAll(s: String, re: scala.util.matching.Regex,
+  private[sql] def replaceMaskedAll(s: String, re: scala.util.matching.Regex,
       f: scala.util.matching.Regex.Match => String): String = {
     val masked = MySqlCompat.maskLiterals(s)
     if (re.findFirstIn(masked).isEmpty) return s

@@ -149,21 +149,50 @@ object Procedures {
     if (i < frags.length) i + 1 else i
   }
 
+  /** Opener/closer tokens anywhere in a fragment. Constructs may start
+    * INLINE after `then`/`else` (`when c then case when ...`), so the
+    * scan walks every token, not just the fragment head. A balanced
+    * CASE EXPRESSION (`case when a then b end` inside one statement)
+    * nets zero; `if`/`repeat` followed by `(` are the SQL functions.
+    */
+  private val DepthTokRe =
+    ("""(?i)(?<![\w$`])(end\s+(?:if|case|while|loop|repeat)|end|begin|case|""" +
+      """if(?!\s*\()|while|repeat(?!\s*\()|loop)(?![\w$`(])""").r
+
+  private def netDepth(frag: String): Int = {
+    val l = MySqlCompat.maskLiterals(frag).toLowerCase
+    var d = 0
+    DepthTokRe.findAllMatchIn(l).foreach { m =>
+      val t = m.group(1)
+      if (t.startsWith("end")) d -= 1
+      else if (t == "if") {
+        // procedural IF has a THEN in the same fragment; `drop table
+        // if exists` / `create ... if not exists` do not
+        if ("""(?i)(?<![\w$`])then(?![\w$`])""".r
+            .findFirstMatchIn(l.substring(m.end)).isDefined) d += 1
+      } else d += 1
+    }
+    d
+  }
+
   private def skipUntil(frags: Vector[String], i0: Int,
+      stop: String => Boolean): Int =
+    skipUntilDepth(frags, i0, 0, stop)
+
+  /** Structural skip balancing nested openers so an inner `end if`
+    * doesn't close the outer construct. `d0` seeds the depth with
+    * openers already consumed from a partially-processed fragment
+    * (an untaken `when c then case when ...` branch leaves its inline
+    * nested CASE open when the scan resumes at the NEXT fragment).
+    */
+  private def skipUntilDepth(frags: Vector[String], i0: Int, d0: Int,
       stop: String => Boolean): Int = {
-    // structural skip: balance nested openers so an inner `end if`
-    // doesn't close the outer construct
     var i = i0
-    var depth = 0
+    var depth = d0
     while (i < frags.length) {
-      val l = frags(i).toLowerCase
       if (depth == 0 && stop(frags(i))) return i
-      if ("""(?s)^(begin\b|if\b.*\bthen\b|while\b|repeat\b|\w+\s*:\s*loop\b|loop\b).*""".r
-          .matches(l)) depth += 1
-      if ("""^end\b.*""".r.matches(l) ||
-        """^until\b.*\bend\s+repeat.*""".r.matches(l)) {
-        if (depth > 0) depth -= 1
-      }
+      depth += netDepth(frags(i))
+      if (depth < 0) depth = 0
       i += 1
     }
     i
@@ -241,12 +270,20 @@ object Procedures {
         j
       case CaseHeadRe(subjAndRest) =>
         // fragment shape: `case <subject>` with the first `when ...`
-        // usually INLINE (no ';' separates them in the body text)
-        val m2 = """(?is)^(.+?)\s+(when\s+.*)$""".r.findFirstMatchIn(subjAndRest)
-        val subj = m2.map(_.group(1)).getOrElse(subjAndRest).trim
+        // usually INLINE (no ';' separates them in the body text).
+        // The SEARCHED form (`case when cond then ...`) has no subject:
+        // each WHEN carries a full boolean condition of its own.
+        val searched = subjAndRest.trim.toLowerCase.startsWith("when")
+        val m2 =
+          if (searched) None
+          else """(?is)^(.+?)\s+(when\s+.*)$""".r.findFirstMatchIn(subjAndRest)
+        val subjOpt =
+          if (searched) None
+          else Some(m2.map(_.group(1)).getOrElse(subjAndRest).trim)
         var sub = frags
         var start = i + 1
-        m2.foreach { mm => sub = frags.updated(i, mm.group(2)); start = i }
+        if (searched) { sub = frags.updated(i, subjAndRest.trim); start = i }
+        else m2.foreach { mm => sub = frags.updated(i, mm.group(2)); start = i }
         val endIdx = skipUntil(sub, start,
           _.toLowerCase.trim.startsWith("end case"))
         def isBranch(x: String): Boolean = {
@@ -266,8 +303,11 @@ object Procedures {
             else None
           (wm, em) match {
             case (Some(mm), _) =>
-              val take = !done &&
-                evalCond(ctx.spark, s"($subj) = (${mm.group(1)})", scope)
+              val take = !done && (subjOpt match {
+                case Some(subj) =>
+                  evalCond(ctx.spark, s"($subj) = (${mm.group(1)})", scope)
+                case None => evalCond(ctx.spark, mm.group(1), scope)
+              })
               val rest = mm.group(2).trim
               if (take) {
                 done = true
@@ -275,7 +315,7 @@ object Procedures {
                 var k = j + 1
                 if (rest.nonEmpty) { s2 = sub.updated(j, rest); k = j }
                 j = runUntilKeep(ctx, s2, k, scope, stopAt)
-              } else j = skipUntil(sub, j + 1, stopAt)
+              } else j = skipUntilDepth(sub, j + 1, netDepth(rest), stopAt)
             case (None, Some(rest)) =>
               if (!done) {
                 done = true
@@ -283,7 +323,7 @@ object Procedures {
                 var k = j + 1
                 if (rest.nonEmpty) { s2 = sub.updated(j, rest); k = j }
                 j = runUntilKeep(ctx, s2, k, scope, stopAt)
-              } else j = skipUntil(sub, j + 1, stopAt)
+              } else j = skipUntilDepth(sub, j + 1, netDepth(rest), stopAt)
             case _ => j += 1
           }
         }

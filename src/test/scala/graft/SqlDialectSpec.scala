@@ -19,6 +19,66 @@ class SqlDialectSpec extends AnyFunSuite {
       Seq("a", "max(b, c)", "'x,y'", "d as e"))
   }
 
+  test("stored procedure: searched CASE (no subject) takes the right branch") {
+    def run(s: String) = GraftSql.sql(spark, s)
+    run("drop table if exists case_t")
+    run("create table case_t (v int)")
+    run("drop procedure if exists p_case")
+    run(
+      "create procedure p_case(in x int) 'begin " +
+        "CASE WHEN x < 0 THEN insert into case_t values (-1); " +
+        "WHEN x = 0 THEN insert into case_t values (0); " +
+        "ELSE insert into case_t values (1); END CASE; end'")
+    run("call p_case(-5)")
+    run("call p_case(0)")
+    run("call p_case(7)")
+    assert(run("select v from case_t order by v")
+      .collect().map(_.getInt(0)).toSeq == Seq(-1, 0, 1))
+    // nested CASE: `end case` must close the INNER construct only
+    run("drop procedure if exists p_case2")
+    run(
+      "create procedure p_case2(in x int) 'begin " +
+        "CASE WHEN x > 0 THEN " +
+        "CASE WHEN x > 10 THEN insert into case_t values (100); " +
+        "ELSE insert into case_t values (10); END CASE; " +
+        "ELSE insert into case_t values (-100); END CASE; end'")
+    run("delete from case_t")
+    run("call p_case2(20)")
+    run("call p_case2(5)")
+    run("call p_case2(-1)")
+    assert(run("select v from case_t order by v")
+      .collect().map(_.getInt(0)).toSeq == Seq(-100, 10, 100))
+    run("drop table case_t")
+  }
+
+  test("remapdb substitution never touches string-literal data") {
+    GraftSql.sql(spark, "set enable_remap_hint = 1")
+    GraftSql.sql(spark,
+      """set remap_rewrites = '{"remapdb": {"testdb": "proddb"}}'""")
+    try {
+      // 'c@testdb.com' contains `testdb.` INSIDE a literal — the remap
+      // must match against the masked copy and leave the data alone
+      val v = GraftSql.sql(spark, "select 'c@testdb.com' as e").head.getString(0)
+      assert(v == "c@testdb.com")
+    } finally {
+      GraftSql.sql(spark, "set remap_rewrites = ''")
+      GraftSql.sql(spark, "set enable_remap_hint = 0")
+    }
+  }
+
+  test("ON DUPLICATE KEY batch deeper than 16 rounds applies every row") {
+    GraftSql.sql(spark, "drop table if exists updeep_t")
+    GraftSql.sql(spark, "create table updeep_t (k int, v int)")
+    GraftSql.registerPrimaryKey("updeep_t", "k")
+    // 20 occurrences of the same key: row 1 inserts, 19 sequential
+    // updates chain (+1 each) — a silent round cap would lose rows
+    val vals = Seq.fill(20)("(1, 0)").mkString(", ")
+    GraftSql.sql(spark,
+      s"insert into updeep_t values $vals on duplicate key update v = v + 1")
+    assert(GraftSql.sql(spark, "select v from updeep_t").head.getInt(0) == 19)
+    GraftSql.sql(spark, "drop table updeep_t")
+  }
+
   // ---------------------------------------------------------- interval
   private def tsTable(): Unit =
     Seq(
