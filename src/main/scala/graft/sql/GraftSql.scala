@@ -65,24 +65,24 @@ object GraftSql {
   def uniqueKeysOf(table: String): Vector[(String, Seq[String])] =
     uniqueKeys.getOrElse(table.toLowerCase, Vector.empty)
 
-  /** child table → (child col, parent table, parent col, ON DELETE
-    * action) — FOREIGN KEY constraints; deleting/replacing a referenced
-    * parent row cascades, nulls, or rejects per the action (MySQL
-    * semantics, replace.result fk blocks).
+  /** child table → (child cols, parent table, parent cols, ON DELETE
+    * action) — FOREIGN KEY constraints, composite keys included;
+    * deleting/replacing a referenced parent row cascades, nulls, or
+    * rejects per the action (MySQL semantics, replace.result fk blocks).
     */
-  private val foreignKeys = TrieMap[String, Vector[(String, String, String, String)]]()
-  def registerForeignKey(child: String, childCol: String,
-      parent: String, parentCol: String, action: String = "restrict"): Unit =
+  private val foreignKeys = TrieMap[String, Vector[(Seq[String], String, Seq[String], String)]]()
+  def registerForeignKey(child: String, childCols: Seq[String],
+      parent: String, parentCols: Seq[String], action: String): Unit =
     foreignKeys.updateWith(child.toLowerCase) {
-      case Some(v) => Some(v :+ ((childCol, parent.toLowerCase, parentCol, action.toLowerCase)))
-      case None => Some(Vector((childCol, parent.toLowerCase, parentCol, action.toLowerCase)))
+      case Some(v) => Some(v :+ ((childCols, parent.toLowerCase, parentCols, action.toLowerCase)))
+      case None => Some(Vector((childCols, parent.toLowerCase, parentCols, action.toLowerCase)))
     }
   def clearForeignKeys(child: String): Unit =
     foreignKeys.remove(child.toLowerCase)
-  private def childRefsOf(parent: String): Seq[(String, String, String, String)] =
+  private def childRefsOf(parent: String): Seq[(String, Seq[String], Seq[String], String)] =
     foreignKeys.toSeq.flatMap { case (child, refs) =>
       refs.filter(_._2 == parent.toLowerCase)
-        .map(r => (child, r._1, r._3, r._4)) // (childTable, childCol, parentCol, action)
+        .map(r => (child, r._1, r._3, r._4)) // (childTable, childCols, parentCols, action)
     }
 
   /** Apply FK ON DELETE actions for the parent rows in `doomed`:
@@ -95,26 +95,31 @@ object GraftSql {
       doomed: DataFrame): Unit = {
     val refs = childRefsOf(parent)
     if (refs.isEmpty) return
-    refs.foreach { case (child, childCol, parentCol, action) =>
+    refs.foreach { case (child, childCols, parentCols, action) =>
       if (!child.equalsIgnoreCase(parent) && spark.catalog.tableExists(child)) {
         val keys = broadcast(
-          doomed.select(col(s"`$parentCol`").as("__fk")).distinct)
+          doomed.select(parentCols.zipWithIndex.map { case (p, i) =>
+            col(s"`$p`").as(s"__fk$i") }: _*).distinct
+            .withColumn("__fkhit", lit(true)))
         val childDf = spark.table(child)
         val ccols = childDf.columns.toSeq
+        // composite MATCH SIMPLE: a NULL in any child col never matches
+        val cond = childCols.zipWithIndex.map { case (c, i) =>
+          childDf(s"`$c`") === keys(s"__fk$i") }.reduce(_ && _)
         action match {
           case "cascade" =>
             commitTable(spark, child,
-              childDf.join(keys, childDf(childCol) === keys("__fk"), "left_anti")
+              childDf.join(keys, cond, "left_anti")
                 .select(ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
           case "set null" =>
+            val joined = childDf.join(keys, cond, "left_outer")
             commitTable(spark, child,
-              childDf.join(keys, childDf(childCol) === keys("__fk"), "left_outer")
-                .withColumn(childCol,
-                  when(col("__fk").isNotNull, lit(null)).otherwise(col(s"`$childCol`")))
-                .select(ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
+              childCols.foldLeft(joined) { (df, c) =>
+                df.withColumn(c,
+                  when(col("__fkhit"), lit(null)).otherwise(col(s"`$c`")))
+              }.select(ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
           case _ =>
-            val refd = childDf.join(keys,
-              childDf(childCol) === keys("__fk"), "left_semi")
+            val refd = childDf.join(keys, cond, "left_semi")
             if (refd.limit(1).count() > 0)
               throw new IllegalStateException(
                 "internal error: Cannot delete or update a parent row: " +
@@ -129,17 +134,21 @@ object GraftSql {
   private def fkFilterOrphans(spark: SparkSession, table: String,
       named: DataFrame): DataFrame =
     foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
-      .foldLeft(named) { case (df, (childCol, parent, parentCol, _)) =>
+      .foldLeft(named) { case (df, (childCols, parent, parentCols, _)) =>
         if (!spark.catalog.tableExists(parent) ||
           parent.equalsIgnoreCase(table)) df
         else {
           val keys = broadcast(spark.table(parent)
-            .select(col(s"`$parentCol`").as("__fkp")).distinct)
+            .select(parentCols.zipWithIndex.map { case (p, i) =>
+              col(s"`$p`").as(s"__fkp$i") }: _*).distinct)
           val cols = df.columns.toSeq
-          df.filter(col(s"`$childCol`").isNull)
-            .unionByName(
-              df.filter(col(s"`$childCol`").isNotNull)
-                .join(keys, col(s"`$childCol`") === keys("__fkp"), "left_semi"))
+          val anyNull = childCols.map(c => col(s"`$c`").isNull).reduce(_ || _)
+          val allSet = childCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
+          val nn = df.filter(allSet)
+          val cond = childCols.zipWithIndex.map { case (c, i) =>
+            nn(s"`$c`") === keys(s"__fkp$i") }.reduce(_ && _)
+          df.filter(anyNull)
+            .unionByName(nn.join(keys, cond, "left_semi"))
             .select(cols.map(c => col(s"`$c`")).toIndexedSeq: _*)
         }
       }
@@ -1232,20 +1241,107 @@ object GraftSql {
     // row cascades/nulls/rejects per the child constraint. Existing-row
     // deletion keys on the FULL batch (a batch row deletes its victim
     // even when a later batch row replaces it in turn)
-    if (childRefsOf(table).nonEmpty && keySets.nonEmpty) {
-      val doomed = keySets.map { keys =>
-        target.join(broadcast(
-          named0.select(keys.map(c => col(s"`$c`")): _*).distinct),
-          keys, "left_semi")
-      }.reduce(_ unionByName _).distinct().localCheckpoint(true)
-      fkOnDelete(spark, table, doomed)
+    // REPLACE is an INSERT for the table's OWN foreign keys: each batch
+    // row's FK columns must reference an existing parent row (a NULL in
+    // any column exempts the row — MATCH SIMPLE). A self-referencing FK
+    // checks against the post-statement state (existing ∪ incoming).
+    foreignKeys.getOrElse(table.toLowerCase, Vector.empty).foreach {
+      case (childCols, parent, parentCols, _) =>
+        if (spark.catalog.tableExists(parent) &&
+          childCols.forall(c => tcols.exists(_.equalsIgnoreCase(c)))) {
+          val parentRows =
+            if (parent.equalsIgnoreCase(table))
+              spark.table(parent)
+                .select(tcols.map(c => col(s"`$c`")): _*).unionByName(named)
+            else spark.table(parent)
+          val keys = broadcast(parentRows
+            .select(parentCols.zipWithIndex.map { case (p, i) =>
+              col(s"`$p`").as(s"__fkp$i") }: _*).distinct)
+          val nn = named.filter(
+            childCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+          val cond = childCols.zipWithIndex.map { case (c, i) =>
+            nn(s"`$c`") === keys(s"__fkp$i") }.reduce(_ && _)
+          if (nn.join(keys, cond, "left_anti").limit(1).count() > 0)
+            throw new IllegalStateException(
+              "internal error: Cannot add or update a child row: " +
+                "a foreign key constraint fails")
+        }
     }
-    val result =
-      if (keySets.isEmpty) target.unionByName(named)
+    val selfRefs = foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(_._2 == table.toLowerCase)
+    val doomedOpt =
+      if ((childRefsOf(table).nonEmpty || selfRefs.nonEmpty) && keySets.nonEmpty) {
+        Some(keySets.map { keys =>
+          target.join(broadcast(
+            named0.select(keys.map(c => col(s"`$c`")): _*).distinct),
+            keys, "left_semi")
+        }.reduce(_ unionByName _).distinct().localCheckpoint(true))
+      } else None
+    doomedOpt.foreach(fkOnDelete(spark, table, _))
+    // transitive ON DELETE CASCADE through a SELF-referencing FK: the
+    // whole victim subtree goes (driver fixpoint — victim sets are
+    // batch-sized, each round one broadcast semi-join; cycles converge
+    // because the set only grows within the fixed table)
+    val cascadeDoomed: Option[DataFrame] = doomedOpt.flatMap { doomed0 =>
+      val cascades = selfRefs.filter(_._4 == "cascade")
+      if (cascades.isEmpty) None
+      else {
+        var all = doomed0
+        var n = all.count()
+        var grew = n > 0
+        while (grew) {
+          val next = cascades.map { case (childCols, _, parentCols, _) =>
+            val keys = broadcast(all.select(parentCols.zipWithIndex.map {
+              case (p, i) => col(s"`$p`").as(s"__fk$i") }: _*).distinct)
+            val cond = childCols.zipWithIndex.map { case (c, i) =>
+              target(s"`$c`") === keys(s"__fk$i") }.reduce(_ && _)
+            target.join(keys, cond, "left_semi")
+              .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          }.reduce(_ unionByName _)
+          val grown = all.unionByName(next).distinct().localCheckpoint(true)
+          val n2 = grown.count()
+          grew = n2 > n
+          all = grown; n = n2
+        }
+        Some(all)
+      }
+    }
+    val baseSurvivors =
+      if (keySets.isEmpty) target
       else keySets.foldLeft(target) { (t, keys) =>
         t.join(named0.select(keys.map(c => col(s"`$c`")): _*).distinct,
           keys, "left_anti")
-      }.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      }
+    val survivors0 = cascadeDoomed match {
+      case Some(all) if keySets.nonEmpty =>
+        val pk = keySets.head
+        baseSurvivors.join(broadcast(
+          all.select(pk.map(c => col(s"`$c`")): _*).distinct), pk, "left_anti")
+      case _ => baseSurvivors
+    }
+    // self-referencing ON DELETE SET NULL: surviving rows pointing at a
+    // replaced victim get their FK columns cleared
+    val survivors = selfRefs.filter(_._4 == "set null")
+      .foldLeft(survivors0.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)) {
+        case (df, (childCols, _, parentCols, _)) =>
+          doomedOpt match {
+            case Some(doomed0) =>
+              val keys = broadcast(doomed0.select(parentCols.zipWithIndex.map {
+                case (p, i) => col(s"`$p`").as(s"__fk$i") }: _*).distinct
+                .withColumn("__fkhit", lit(true)))
+              val cond = childCols.zipWithIndex.map { case (c, i) =>
+                df(s"`$c`") === keys(s"__fk$i") }.reduce(_ && _)
+              childCols.foldLeft(df.join(keys, cond, "left_outer")) { (d, c) =>
+                d.withColumn(c,
+                  when(col("__fkhit"), lit(null)).otherwise(col(s"`$c`")))
+              }.select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            case None => df
+          }
+      }
+    val result =
+      if (keySets.isEmpty) target.unionByName(named)
+      else survivors
+        .select(tcols.map(c => col(s"`$c`")).toIndexedSeq: _*)
         .unionByName(named)
     // affected-rows inputs must count the PRE-overwrite state
     val namedN = named.count()

@@ -993,13 +993,16 @@ class BvtSpec extends AnyFunSuite {
           "UNIQUE", "", Seq(m.group(1).toLowerCase), Seq.empty)
       }
     graft.sql.GraftSql.clearForeignKeys(tbl)
-    """(?is)foreign\s+key\s*(?:`?\w*`?\s*)?\(\s*`?(\w+)`?\s*\)\s*references\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)(\s+on\s+delete\s+(?:restrict|cascade|set\s+null|set\s+default|no\s+action))?""".r
+    """(?is)foreign\s+key\s*(?:`?\w*`?\s*)?\(([^)]*)\)\s*references\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\(([^)]*)\)(\s+on\s+delete\s+(?:restrict|cascade|set\s+null|set\s+default|no\s+action))?""".r
       .findAllMatchIn(stmt).foreach { m =>
         val action = Option(m.group(4)).map(_.trim.toLowerCase
           .replaceFirst("^on\\s+delete\\s+", "").replaceAll("\\s+", " "))
           .getOrElse("restrict")
-        graft.sql.GraftSql.registerForeignKey(
-          tbl, m.group(1), m.group(2), m.group(3), action)
+        val childCols = colsOf(m.group(1))
+        val parentCols = colsOf(m.group(3))
+        if (childCols.nonEmpty && childCols.length == parentCols.length)
+          graft.sql.GraftSql.registerForeignKey(
+            tbl, childCols, m.group(2), parentCols, action)
       }
   }
 
