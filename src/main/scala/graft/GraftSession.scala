@@ -27,6 +27,10 @@ object GraftSession {
       // 100 levels (recursive_cte.sql runs to 150+); depth is bounded by
       // the data, not the plan, so a high ceiling is safe
       .config("spark.sql.cteRecursionLevelLimit", "10000")
+      // ... and past the default 1M-row cap (recursive_cte_memory.sql
+      // generates ~4M rows); rows are bounded by the query, the cap is
+      // only a runaway guard
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       // lets legacy TIMESTAMP(NANOS) parquet read as a long instead of
       // erroring; Tables.load branches on the read schema, so data written
       // with micros timestamps (the current testdata) is unaffected

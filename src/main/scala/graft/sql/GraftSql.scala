@@ -255,7 +255,7 @@ object GraftSql {
       q0 = Remap.applyText(spark, q0, hintRules, sess)
       q0 = Remap.applyText(spark, q0, sess)
     }
-    sysVarSetRewrite(spark, q0).getOrElse {
+    sysVarSetRewrite(spark, q0).orElse(showVariablesRewrite(spark, q0)).getOrElse {
     val q0m = sysVarSubst(spark, q0)
     // under sql_mode ANSI_QUOTES double quotes delimit IDENTIFIERS
     // (ddl/table_partition.test:191-192) — convert to backticks so the
@@ -462,7 +462,9 @@ object GraftSql {
     "time_zone" -> ("'SYSTEM'", "'SYSTEM'"),
     "gtid_purged" -> ("''", "''"),
     "character_set_client" -> ("'utf8mb4'", "'utf8mb4'"),
-    "cte_max_memory_bytes" -> ("0", "0"),
+    // recursive-CTE circuit breakers (`pkg/frontend/variables.go:1720`)
+    "cte_max_memory_bytes" -> ("1073741824", "1073741824"),
+    "cte_max_recursion_depth" -> ("1000", "1000"),
     // table-remap hints (`pkg/frontend/` remap hint gate)
     "enable_remap_hint" -> ("0", "0"),
     "remap_rewrites" -> ("''", "''"),
@@ -514,6 +516,26 @@ object GraftSql {
   private val BareSysSetRe = """(?is)^set\s+(\w+\s*=.*)$""".r
   private val SysAssignRe =
     """(?is)^(?:@@)?(?:(global|session)(?:\s+|\.))?(\w+)\s*=\s*(.+)$""".r
+
+  /** `SHOW [GLOBAL|SESSION] VARIABLES [LIKE 'pat']` over the variable
+    * registry (defaults overlaid with this session's SET values).
+    */
+  private val ShowVarsRe =
+    """(?is)^show\s+(?:(global|session)\s+)?variables(?:\s+like\s+'([^']*)')?\s*$""".r
+  private def showVariablesRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    val m = ShowVarsRe.findFirstMatchIn(q.trim).getOrElse(return None)
+    val scope = Option(m.group(1)).map(_.toLowerCase).getOrElse("session")
+    val patRe = Option(m.group(2)).map(p =>
+      ("(?i)^" + java.util.regex.Pattern.quote(p)
+        .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
+    import spark.implicits._
+    val rows = sysVarDefaults.keys.toSeq
+      .filter(n => patRe.forall(_.findFirstIn(n).isDefined))
+      .sorted
+      .map(n => (n, sysVarValue(spark, scope, n)
+        .stripPrefix("'").stripSuffix("'")))
+    Some(rows.toDF("Variable_name", "Value"))
+  }
 
   private def sysVarSetRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     val assignsTxt = q.trim match {
@@ -864,7 +886,18 @@ object GraftSql {
       case (it, i) if it.matches("^'[^']*'$") => i -> (it.length - 2)
     }.toMap
 
-    if (branches.sizeIs <= 2 && !distinctRec && litWidths.isEmpty)
+    // session circuit breakers (`pkg/frontend/variables.go:1720-1740`):
+    // when either is explicitly tightened the DRIVER loop runs the
+    // recursion so the quota errors carry the reference's texts
+    val memLimit =
+      try sysVarValue(spark, "session", "cte_max_memory_bytes").toLong
+      catch { case _: Exception => 1073741824L }
+    val depthLimit =
+      try sysVarValue(spark, "session", "cte_max_recursion_depth").toLong
+      catch { case _: Exception => 1000L }
+    val breakers = memLimit != 1073741824L || depthLimit != 1000L
+
+    if (branches.sizeIs <= 2 && !distinctRec && litWidths.isEmpty && !breakers)
       return None // native recursion handles this shape
 
     val vname = s"_graft_rcte_${viewSeq.incrementAndGet()}"
@@ -901,18 +934,32 @@ object GraftSql {
     var acc = anchor.localCheckpoint()
     var frontier = acc
     var iter = 0
-    val maxIter = 10000
+    val maxIter = math.min(depthLimit, 10000L)
+    // approximate retained-batch accounting, the reference's per-CN OOM
+    // circuit breaker (zero disables); only metered when a breaker var
+    // was tightened — the count() per iteration isn't free
+    val rowSize = math.max(1,
+      anchor.schema.map(_.dataType.defaultSize).sum)
+    var retained = if (breakers && memLimit > 0) acc.count() * rowSize else 0L
     while (iter < maxIter && !frontier.isEmpty) {
       frontier.createOrReplaceTempView(vname)
       val next = truncate(
         recSqls.map(s => align(sql(spark, s), acc)).reduce(_ union _))
       val delta =
         (if (distinctRec) next.distinct().except(acc) else next).localCheckpoint()
+      if (breakers && memLimit > 0) {
+        retained += delta.count() * rowSize
+        if (retained > memLimit)
+          throw new IllegalStateException(
+            s"recursive CTE memory quota exceeded on this CN: projected " +
+              s"$retained bytes, query limit $memLimit bytes; increase " +
+              "@@cte_max_memory_bytes or rewrite the query to converge")
+      }
       if (!delta.isEmpty) acc = acc.union(delta).localCheckpoint()
       frontier = delta
       iter += 1
     }
-    if (iter >= maxIter)
+    if (iter >= maxIter && !frontier.isEmpty)
       throw new IllegalStateException("recursive level out of range")
     acc.createOrReplaceTempView(vname)
     Some(sql(spark, refRe.replaceAllIn(main, vname)))

@@ -34,7 +34,7 @@ class BvtSpec extends AnyFunSuite {
   private val QueryStart =
     """(?is)^(?:/\*\s*save_result\s*\*/\s*|/\*\+[\s\S]*?\*/\s*)?(select|with|call|\().*""".r
   private val ErrorMarker =
-    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column|will be supported|not yet implemented|already exists|more than 1 row|should contain|not found|no configure|unexpected end of|unexpected token|missing query|not defined|expected |want indent|data truncation|division by zero|no database selected|do not have privilege|not a valid)""".r
+    """(?i)(error|not exist|invalid|not supported|unknown|can't|cannot|duplicate|syntax|no such|must have|does not match|not allowed|out of range|exceeds|different column|will be supported|not yet implemented|already exists|more than 1 row|should contain|not found|no configure|unexpected end of|unexpected token|missing query|not defined|expected |want indent|data truncation|division by zero|no database selected|do not have privilege|not a valid|quota exceeded)""".r
 
   private def normStmt(s: String): String =
     s.toLowerCase.replaceAll("\\s+", " ")
