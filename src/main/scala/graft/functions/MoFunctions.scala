@@ -1405,6 +1405,9 @@ object MoFunctions {
     spark.udf.register("uncompress", (b: Array[Byte]) =>
       if (b == null) null
       else if (b.length < 5) ""
+      // declared length 0: an empty deflate stream (JDK's Inflater
+      // reports needsInput on it instead of finishing — skip inflating)
+      else if ((b(0) | b(1) | b(2) | b(3)) == 0) ""
       else try {
         val inf = new java.util.zip.Inflater()
         inf.setInput(b, 4, b.length - 4)
@@ -1420,13 +1423,15 @@ object MoFunctions {
       } catch { case _: Exception => null })
     // MySQL AES_ENCRYPT/AES_DECRYPT: aes-128-ecb with the cyclic-XOR
     // key fold (key bytes XOR into a 16-byte buffer)
-    def mysqlAesKey(k: String): javax.crypto.spec.SecretKeySpec = {
+    def mysqlAesKeyN(k: String, n: Int): javax.crypto.spec.SecretKeySpec = {
       val kb = k.getBytes("UTF-8")
-      val key = new Array[Byte](16)
+      val key = new Array[Byte](n)
       var i = 0
-      while (i < kb.length) { key(i % 16) = (key(i % 16) ^ kb(i)).toByte; i += 1 }
+      while (i < kb.length) { key(i % n) = (key(i % n) ^ kb(i)).toByte; i += 1 }
       new javax.crypto.spec.SecretKeySpec(key, "AES")
     }
+    def mysqlAesKey(k: String): javax.crypto.spec.SecretKeySpec =
+      mysqlAesKeyN(k, 16)
     spark.udf.register("aes_encrypt", (s: String, k: String) =>
       if (s == null || k == null) null
       else {
@@ -1441,11 +1446,14 @@ object MoFunctions {
         c.init(javax.crypto.Cipher.DECRYPT_MODE, mysqlAesKey(k))
         new String(c.doFinal(b), "UTF-8")
       } catch { case _: Exception => null })
+    // the reference's 3-arg (IV) form is its aes-256-cbc mode: the key
+    // XOR-folds into 32 bytes (func_binary.go generateAESKey), first 16
+    // IV bytes seed CBC, PKCS7 padding
     spark.udf.register("mo_aes_encrypt_cbc", (v: String, k: String, iv: String) =>
       if (v == null || k == null || iv == null) null
       else {
         val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-        c.init(javax.crypto.Cipher.ENCRYPT_MODE, mysqlAesKey(k),
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE, mysqlAesKeyN(k, 32),
           new javax.crypto.spec.IvParameterSpec(iv.getBytes("UTF-8").take(16)))
         c.doFinal(v.getBytes("UTF-8"))
       })
@@ -1453,7 +1461,7 @@ object MoFunctions {
       if (b == null || k == null || iv == null) null
       else try {
         val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE, mysqlAesKey(k),
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, mysqlAesKeyN(k, 32),
           new javax.crypto.spec.IvParameterSpec(iv.getBytes("UTF-8").take(16)))
         new String(c.doFinal(b), "UTF-8")
       } catch { case _: Exception => null })

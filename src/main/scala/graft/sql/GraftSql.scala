@@ -465,6 +465,8 @@ object GraftSql {
     // recursive-CTE circuit breakers (`pkg/frontend/variables.go:1720`)
     "cte_max_memory_bytes" -> ("1073741824", "1073741824"),
     "cte_max_recursion_depth" -> ("1000", "1000"),
+    // AES mode for AES_ENCRYPT/AES_DECRYPT (func_binary.go getAESMode)
+    "block_encryption_mode" -> ("'aes-128-ecb'", "'aes-128-ecb'"),
     // table-remap hints (`pkg/frontend/` remap hint gate)
     "enable_remap_hint" -> ("0", "0"),
     "remap_rewrites" -> ("''", "''"),
@@ -3371,12 +3373,32 @@ object GraftSql {
           val args = splitTop(inner).map(_.trim)
           val fullName = args.head.replaceAll("[\"'`]", "")
           val tbl = fullName.split("\\.").last.toLowerCase
+          val cmd = args.lift(1)
+            .map(_.replaceAll("[\"']", "").trim.toLowerCase)
+          cmd.foreach {
+            case "get" | "refresh" | "patch" => ()
+            case other => throw new IllegalStateException(
+              s"internal error: unknown command: $other")
+          }
+          if (cmd.contains("refresh") && args.lengthIs == 3) {
+            val mode = args(2).replaceAll("[\"']", "").trim.toLowerCase
+            if (mode != "auto" && mode != "full")
+              throw new IllegalStateException(
+                s"internal error: invalid refresh mode: $mode")
+          }
           // 'patch' calls accumulate optimizer-stat overrides; Catalyst
           // estimates its own stats, so patches only affect the echo
-          if (args.lengthIs == 3 &&
-            args(1).toLowerCase.contains("patch")) {
+          if (cmd.contains("patch")) {
+            if (args.lengthIs < 3)
+              throw new IllegalStateException(
+                "internal error: patch command requires args")
             val json = args(2).stripPrefix("'").stripSuffix("'")
-            val node = statsJson.readTree(json)
+            val node =
+              try statsJson.readTree(json)
+              catch { case _: Exception => null }
+            if (node == null || !node.isObject)
+              throw new IllegalStateException(
+                s"internal error: invalid patch args: $json")
             val acc = statPatches.getOrElseUpdate(tbl,
               scala.collection.mutable.LinkedHashMap.empty)
             node.fields().forEachRemaining(e => acc.put(e.getKey, e.getValue))

@@ -394,6 +394,11 @@ object Procedures {
             .replaceAll("(?i)\\s+NOT\\s+NULL\\b", "")
         }
         val df = GraftSql.sql(ctx.spark, sqlTxt)
+        // a SELECT statement inside a procedure RESETS row_count() to 0
+        // (row_count.result: after a CALL whose last statement selects,
+        // the session counter reads 0; top-level SELECTs read -1)
+        if (low.startsWith("select"))
+          GraftSql.recordRowCount(ctx.spark, 0L)
         if (ctx.firstResult.isEmpty && df.schema.nonEmpty &&
           low.startsWith("select") || ctx.firstResult.isEmpty &&
           (low.startsWith("execute") && df.schema.nonEmpty)) {

@@ -1700,6 +1700,15 @@ class BvtSpec extends AnyFunSuite {
     * fine but where one block's golden is unmatchable by construction.
     * Keyed by (file, block index).
     */
+  /** Blocks run for their SIDE EFFECT with output verification skipped
+    * (the golden's rendering of the block is unparseable, but later
+    * verified blocks depend on the statement having executed).
+    */
+  private val execOnlyBlocks: Map[String, Set[Int]] = Map(
+    // stats patch echoing a multi-line JSON map; block 34 reads the
+    // patched table_cnt back and verifies it
+    "function/table_func_table_stats.result" -> Set(33))
+
   private val skipBlocks: Map[String, Set[Int]] = Map(
     // rows whose expected values embed the reference author's WALL-CLOCK
     // (current_timestamp defaults rendered as literal datetimes) —
@@ -1727,11 +1736,13 @@ class BvtSpec extends AnyFunSuite {
     "dml/update/update_multiple_table.result" -> Set(33),
     // raw zlib byte dumps: the golden's rendering of the binary stream
     // is not byte-comparable (roundtrip blocks verify the semantics)
-    "function/func_string_compress.result" -> Set(1, 3),
     // select * over table_stats: the reference row embeds physical
     // storage fields (__mo_fake_pk_col ndv, object sizes); the
     // column-projected blocks verify the computable stats
-    "function/table_func_table_stats.result" -> Set(19, 25, 33, 39),
+    "function/table_func_table_stats.result" -> Set(19, 25, 39),
+    // raw zlib byte dumps: the golden's rendering of the binary stream
+    // is not byte-comparable (roundtrip blocks verify the semantics)
+    "function/func_string_compress.result" -> Set(1, 3, 13, 20),
     // block 68: cot at the tan pole — Go's and fdlibm's argument
     // reduction differ by an ulp at |x|~1.6e16 and the nested cot
     // amplifies it chaotically; 226-231 pending exact MySQL trim-str;
@@ -2097,10 +2108,17 @@ class BvtSpec extends AnyFunSuite {
       // plain /*...*/ comments (NOT /*! versioned or save_result hints)
       // are noise to every downstream statement classifier — drop them
       // up front (`/*comments*/create table /*comments*/ t(a int)`)
-      val b =
+      val b1 =
         if (!b0.stmt.contains("/*") || b0.stmt.contains("/*!") ||
           """(?i)/\*\s*save_result\s*\*/""".r.findFirstIn(b0.stmt).isDefined) b0
         else b0.copy(stmt = stripPlainComments(b0.stmt))
+      // exec-only: run for the SIDE EFFECT, skip output verification
+      // (e.g. a stats 'patch' whose echo renders unparseable multi-line
+      // JSON but whose override later reads must observe)
+      val b =
+        if (execOnlyBlocks.get(rel).exists(_.contains(bi)))
+          b1.copy(expected = None, error = false)
+        else b1
       val lowStmt = b.stmt.toLowerCase.trim
       // a database created inside a skipped statement (other-account
       // session blocks) must still exist for later `use` at top level
