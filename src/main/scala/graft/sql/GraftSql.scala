@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.fulltext.Bm25
 import graft.operators.TimeWindow
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.util.concurrent.atomic.AtomicLong
@@ -70,20 +70,399 @@ object GraftSql {
     * deleting/replacing a referenced parent row cascades, nulls, or
     * rejects per the action (MySQL semantics, replace.result fk blocks).
     */
-  private val foreignKeys = TrieMap[String, Vector[(Seq[String], String, Seq[String], String)]]()
+  /** One FOREIGN KEY constraint on a child table. `onDelete`/`onUpdate`
+    * hold the normalized action ("no action" when unspecified);
+    * `delExplicit`/`updExplicit` remember whether the DDL spelled the
+    * action out (mo_foreign_keys' ACTION_ORIGIN_* column).
+    */
+  final case class FkRef(name: String, childCols: Seq[String],
+    parent: String, parentCols: Seq[String],
+    onDelete: String, onUpdate: String,
+    delExplicit: Boolean, updExplicit: Boolean, db: String)
+
+  private val foreignKeys = TrieMap[String, Vector[FkRef]]()
+  private val fkNameSeq = new AtomicLong(0L)
+
   def registerForeignKey(child: String, childCols: Seq[String],
       parent: String, parentCols: Seq[String], action: String): Unit =
+    registerForeignKeyFull(null, child, null, childCols, parent, parentCols,
+      action, "no action", updExplicit = false)
+
+  def registerForeignKeyFull(spark: SparkSession, child: String,
+      name0: String, childCols: Seq[String], parent: String,
+      parentCols: Seq[String], onDelete0: String, onUpdate0: String,
+      updExplicit: Boolean): Unit = {
+    val onDelete = Option(onDelete0).map(_.toLowerCase.trim)
+      .filter(_.nonEmpty)
+    val onUpdate = Option(onUpdate0).map(_.toLowerCase.trim)
+      .filter(_.nonEmpty)
+    val name = Option(name0).filter(_.nonEmpty)
+      .getOrElse(s"__fk_${child.toLowerCase}_${fkNameSeq.incrementAndGet()}")
+    val db = Option(spark)
+      .flatMap(s => MoCatalog.currentDb(s)).getOrElse("default")
+    val ref = FkRef(name, childCols, parent.toLowerCase, parentCols,
+      onDelete.getOrElse("no action"), onUpdate.getOrElse("no action"),
+      delExplicit = onDelete.isDefined, updExplicit = onUpdate.isDefined,
+      db = db.toLowerCase)
     foreignKeys.updateWith(child.toLowerCase) {
-      case Some(v) => Some(v :+ ((childCols, parent.toLowerCase, parentCols, action.toLowerCase)))
-      case None => Some(Vector((childCols, parent.toLowerCase, parentCols, action.toLowerCase)))
+      case Some(v) => Some(v.filterNot(_.name.equalsIgnoreCase(name)) :+ ref)
+      case None => Some(Vector(ref))
     }
+  }
+
+  def dropForeignKey(child: String, name: String): Unit =
+    foreignKeys.updateWith(child.toLowerCase)(
+      _.map(_.filterNot(_.name.equalsIgnoreCase(name))))
   def clearForeignKeys(child: String): Unit =
     foreignKeys.remove(child.toLowerCase)
+  def foreignKeyRefs: Seq[(String, FkRef)] =
+    foreignKeys.toSeq.flatMap { case (child, refs) => refs.map(child -> _) }
   private def childRefsOf(parent: String): Seq[(String, Seq[String], Seq[String], String)] =
     foreignKeys.toSeq.flatMap { case (child, refs) =>
-      refs.filter(_._2 == parent.toLowerCase)
-        .map(r => (child, r._1, r._3, r._4)) // (childTable, childCols, parentCols, action)
+      refs.filter(_.parent == parent.toLowerCase)
+        .map(r => (child, r.childCols, r.parentCols, r.onDelete))
     }
+  /** Child references on `parent` carrying the ON UPDATE action. */
+  private def childUpdateRefsOf(parent: String): Seq[(String, Seq[String], Seq[String], String)] =
+    foreignKeys.toSeq.flatMap { case (child, refs) =>
+      refs.filter(_.parent == parent.toLowerCase)
+        .map(r => (child, r.childCols, r.parentCols, r.onUpdate))
+    }
+
+  private def fkChecksOn(spark: SparkSession): Boolean =
+    sysVarValue(spark, "session", "foreign_key_checks").trim != "0"
+
+  /** Per-column FK introspection rows for information_schema.
+    * key_column_usage / referential_constraints and mo_foreign_keys:
+    * (constraintName, db, child, childCol, ordinal, parent, parentCol,
+    * deleteRule, updateRule, referencedIndexName, delOrigin, updOrigin).
+    */
+  def fkIntrospection: Seq[(String, String, String, String, Int, String,
+      String, String, String, String, String, String)] =
+    foreignKeyRefs.flatMap { case (child, r) =>
+      val want = r.parentCols.map(_.toLowerCase)
+      val refIdx =
+        if (primaryKeys.get(r.parent)
+            .map(_.split(",").map(_.trim.toLowerCase).toSeq).contains(want))
+          "PRIMARY"
+        else uniqueKeysOf(r.parent)
+          .find(_._2.map(_.toLowerCase) == want).map(_._1)
+          .getOrElse("PRIMARY")
+      def rule(a: String, exp: Boolean) =
+        if (!exp) "NO ACTION" else a.toUpperCase
+      def origin(exp: Boolean) =
+        if (exp) "ACTION_ORIGIN_EXPLICIT" else "ACTION_ORIGIN_DEFAULT"
+      r.childCols.zip(r.parentCols).zipWithIndex.map { case ((cc, pc), i) =>
+        (r.name, r.db, child, cc, i + 1, r.parent, pc,
+          rule(r.onDelete, r.delExplicit), rule(r.onUpdate, r.updExplicit),
+          refIdx, origin(r.delExplicit), origin(r.updExplicit))
+      }
+    }
+
+  /** Parent-side index names every FK depends on — dropping one is
+    * rejected ("needed in a foreign key constraint").
+    */
+  def fkNeededIndexNames(parent: String): Set[String] =
+    foreignKeyRefs.filter(_._2.parent == parent.toLowerCase).map { case (_, r) =>
+      val want = r.parentCols.map(_.toLowerCase)
+      if (primaryKeys.get(r.parent)
+          .map(_.split(",").map(_.trim.toLowerCase).toSeq).contains(want))
+        "PRIMARY"
+      else uniqueKeysOf(r.parent)
+        .find(_._2.map(_.toLowerCase) == want).map(_._1).getOrElse("PRIMARY")
+    }.toSet
+
+  /** Apply FK ON UPDATE actions after `table`'s key columns changed.
+    * `oldNewAll` carries one row per updated row with `old_<c>` /
+    * `new_<c>` for every column. Cascades recurse (a cascaded child is
+    * itself a parent update — update_modern_fk's second-level cascade);
+    * `visited` breaks reference cycles. Restrict/no-action reject while
+    * any child still references a CHANGED old key. Each step is one
+    * broadcast join of the (batch-sized) changed-key mapping against the
+    * child — the same distributed shape as fkOnDelete.
+    */
+  private def fkAfterUpdate(spark: SparkSession, table: String,
+      oldNewAll: DataFrame, visited: Set[String],
+      restrictOnly: Boolean = false): Unit = {
+    if (!fkChecksOn(spark)) return
+    foreignKeyRefs.filter(_._2.parent == table.toLowerCase).foreach {
+      case (child, ref) =>
+        val selfRef = child.equalsIgnoreCase(table)
+        if (!visited.contains(child.toLowerCase) && !selfRef &&
+          (try spark.catalog.tableExists(child)
+          catch { case _: Exception => false })) {
+          val n = ref.parentCols.length
+          val mapping0 = oldNewAll.select(
+            (ref.parentCols.zipWithIndex.map { case (p, i) =>
+              col(s"`old_$p`").as(s"__old$i") } ++
+              ref.parentCols.zipWithIndex.map { case (p, i) =>
+                col(s"`new_$p`").as(s"__new$i") }).toIndexedSeq: _*)
+            .filter((0 until n).map(i =>
+              !(col(s"__old$i") <=> col(s"__new$i"))).reduce(_ || _))
+            .distinct().localCheckpoint(true)
+          if (mapping0.limit(1).count() > 0) {
+            val mapping = broadcast(mapping0.withColumn("__fkhit", lit(true)))
+            val childDf = spark.table(child)
+            val ccols = childDf.columns.toSeq
+            val cond = ref.childCols.zipWithIndex.map { case (c, i) =>
+              childDf(s"`$c`") === mapping(s"__old$i") }.reduce(_ && _)
+            def newVal(i: Int, c: String): Column = ref.onUpdate match {
+              case "cascade" => col(s"__new$i")
+                .cast(childDf.schema(childDf.columns.indexWhere(_.equalsIgnoreCase(c))).dataType)
+              case _ => lit(null)
+            }
+            ref.onUpdate match {
+              case "cascade" | "set null" =>
+                if (!restrictOnly) {
+                  // a SECOND FK on the same child columns can veto the
+                  // cascade: the reference leaves the child untouched
+                  // when the cascaded value is absent from the other
+                  // parent (update_modern_fk's dual-FK block)
+                  val vetoed = ref.onUpdate == "cascade" &&
+                    foreignKeys.getOrElse(child.toLowerCase, Vector.empty)
+                      .exists { other =>
+                        !other.name.equalsIgnoreCase(ref.name) &&
+                        other.childCols.map(_.toLowerCase) ==
+                          ref.childCols.map(_.toLowerCase) &&
+                        (try spark.catalog.tableExists(other.parent)
+                        catch { case _: Exception => false }) && {
+                          val pk = broadcast(spark.table(other.parent)
+                            .select(other.parentCols.zipWithIndex.map {
+                              case (p, i) => col(s"`$p`").as(s"__op$i")
+                            }.toIndexedSeq: _*).distinct)
+                          val c2 = (0 until n).map(i =>
+                            mapping0(s"__new$i") === pk(s"__op$i"))
+                            .reduce(_ && _)
+                          mapping0.join(pk, c2, "left_anti")
+                            .limit(1).count() > 0
+                        }
+                      }
+                  if (!vetoed) {
+                    val joined = childDf.join(mapping, cond, "left_outer")
+                    val updatedChild = ref.childCols.zipWithIndex
+                      .foldLeft(joined) { case (d, (c, i)) =>
+                        d.withColumn(c,
+                          when(col("__fkhit"), newVal(i, c))
+                            .otherwise(col(s"`$c`")))
+                      }
+                    // the child's own children see this as a key update
+                    // too: capture old/new BEFORE committing
+                    val childOldNew = joined.filter(col("__fkhit"))
+                      .select((ccols.map(c => col(s"`$c`").as(s"old_$c")) ++
+                        ccols.map { c =>
+                          ref.childCols.zipWithIndex
+                            .find(_._1.equalsIgnoreCase(c)) match {
+                            case Some((_, i)) => newVal(i, c).as(s"new_$c")
+                            case None => col(s"`$c`").as(s"new_$c")
+                          }
+                        }).toIndexedSeq: _*).localCheckpoint(true)
+                    commitTable(spark, child,
+                      updatedChild.select(
+                        ccols.map(c => col(s"`$c`")).toIndexedSeq: _*))
+                    fkAfterUpdate(spark, child, childOldNew,
+                      visited + table.toLowerCase)
+                  }
+                }
+              case _ =>
+                if (childDf.join(mapping, cond, "left_semi").limit(1).count() > 0)
+                  throw new IllegalStateException(
+                    "Cannot delete or update a parent row: " +
+                      "a foreign key constraint fails")
+            }
+          }
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // FOREIGN KEY DDL — validation shared by CREATE TABLE (via the
+  // conformance harness) and ALTER TABLE ADD FOREIGN KEY below.
+  // Reference: pkg/sql/plan/build_constraint_util.go checks, error
+  // texts from fk_base.result.
+  // ------------------------------------------------------------------
+
+  /** Validate one FK definition against live schemas: the referenced
+    * columns must exist, be covered by the parent's PRIMARY KEY or one
+    * UNIQUE KEY exactly, and type-match the child columns.
+    */
+  def validateForeignKeyDdl(spark: SparkSession, child: String,
+      childCols: Seq[String], parent: String,
+      parentCols: Seq[String]): Unit = {
+    if (!(try spark.catalog.tableExists(parent)
+    catch { case _: Exception => false })) return // forward/self refs
+    val pSchema = spark.table(parent).schema
+    parentCols.foreach { p =>
+      if (!pSchema.exists(_.name.equalsIgnoreCase(p)))
+        throw new IllegalStateException(
+          s"internal error: column '$p' no exists in table '$parent'")
+    }
+    val pkCols = primaryKeys.get(parent.toLowerCase)
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq).getOrElse(Seq.empty)
+    val want = parentCols.map(_.toLowerCase)
+    val covered = pkCols == want ||
+      uniqueKeysOf(parent).exists(_._2.map(_.toLowerCase) == want)
+    if (!covered)
+      throw new IllegalStateException(
+        "internal error: failed to add the foreign key constraint")
+    if ((try spark.catalog.tableExists(child)
+    catch { case _: Exception => false }) &&
+      !child.equalsIgnoreCase(parent)) {
+      val cSchema = spark.table(child).schema
+      childCols.zip(parentCols).foreach { case (c, p) =>
+        (cSchema.find(_.name.equalsIgnoreCase(c)),
+          pSchema.find(_.name.equalsIgnoreCase(p))) match {
+          case (Some(cf), Some(pf)) if cf.dataType != pf.dataType =>
+            throw new IllegalStateException(
+              s"internal error: type of reference column '$p' is not " +
+                s"match for column '$c'")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  private val AlterAddFkRe =
+    """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+(add\s+(?:constraint\s.+|foreign\s+key\s.+))$""".r
+  private val AlterDropFkRe =
+    """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?\s+drop\s+foreign\s+key\s+`?(\w+)`?\s*$""".r
+  private val AddFkItemRe =
+    """(?is)^add\s+(?:constraint\s+`?(\w+)`?\s+)?foreign\s+key\s*(?:`?(\w*)`?\s*)?\(([^)]*)\)\s*references\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\(([^)]*)\)\s*((?:on\s+(?:delete|update)\s+(?:restrict|cascade|set\s+null|set\s+default|no\s+action)\s*)*)$""".r
+
+  private[graft] def parseFkActions(txt: String): (Option[String], Option[String]) = {
+    var del: Option[String] = None
+    var upd: Option[String] = None
+    """(?i)on\s+(delete|update)\s+(restrict|cascade|set\s+null|set\s+default|no\s+action)""".r
+      .findAllMatchIn(Option(txt).getOrElse("")).foreach { m =>
+        val a = m.group(2).toLowerCase.replaceAll("\\s+", " ")
+        if (m.group(1).equalsIgnoreCase("delete")) del = Some(a)
+        else upd = Some(a)
+      }
+    (del, upd)
+  }
+
+  /** ALTER TABLE ... ADD [CONSTRAINT x] FOREIGN KEY / DROP FOREIGN KEY —
+    * pure metadata here (the physical layout doesn't change); ADD
+    * validates the DDL and the EXISTING rows.
+    */
+  private def alterFkRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    matchMasked(AlterDropFkRe, q).foreach { g =>
+      dropForeignKey(g(0), g(1))
+      return Some(spark.emptyDataFrame)
+    }
+    val g = matchMasked(AlterAddFkRe, q).getOrElse(return None)
+    val table = g(0)
+    val items = splitTop(g(1)).map(_.trim)
+    if (!items.forall(i => AddFkItemRe.findFirstMatchIn(i).isDefined))
+      return None // other ALTER ADD forms (columns, plain indexes)
+    val parsed = items.map { i =>
+      val m = AddFkItemRe.findFirstMatchIn(i).get
+      val name = Option(m.group(1)).filter(_.nonEmpty)
+        .orElse(Option(m.group(2)).filter(_.nonEmpty)).orNull
+      val childCols = m.group(3).split(",").map(
+        _.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      val parentCols = m.group(5).split(",").map(
+        _.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      (name, childCols, m.group(4), parentCols, m.group(6))
+    }
+    // same-statement duplicate constraint names reject atomically
+    val dup = parsed.flatMap(p => Option(p._1)).groupBy(_.toLowerCase)
+      .collectFirst { case (_, v) if v.length > 1 => v.head }
+    dup.foreach(d => throw new IllegalStateException(
+      s"Duplicate foreign key constraint name '$d'"))
+    parsed.foreach { case (name, childCols, parent, parentCols, acts) =>
+      validateForeignKeyDdl(spark, table, childCols, parent, parentCols)
+      // existing rows must already satisfy the new constraint
+      if (fkChecksOn(spark) && (try spark.catalog.tableExists(table)
+      catch { case _: Exception => false })) {
+        val t = spark.table(table)
+        fkCheckIncomingRowsFor(spark, table, t.columns.toSeq, t,
+          childCols, parent, parentCols)
+      }
+      val (del, upd) = parseFkActions(acts)
+      registerForeignKeyFull(spark, table, name, childCols, parent,
+        parentCols, del.orNull, upd.orNull, upd.isDefined)
+    }
+    Some(spark.emptyDataFrame)
+  }
+
+  private val PlainInsertHeadRe =
+    """(?is)^insert\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*(?:\(([^)]*)\))?\s*((?:values|select|with|table)\b[\s\S]*)$""".r
+
+  /** Referential check for the PLAIN INSERT path (REPLACE / ON
+    * DUPLICATE / IGNORE have their own): evaluate the source rows once
+    * and anti-join against each parent. Bails silently when the source
+    * can't be shaped (the engine's own error then lands as usual).
+    */
+  private def fkCheckPlainInsert(spark: SparkSession, q: String): Unit = {
+    if (!fkChecksOn(spark)) return
+    val g = matchMasked(PlainInsertHeadRe, q).getOrElse(return)
+    val table = g(0)
+    if (!foreignKeys.contains(table.toLowerCase)) return
+    if (!(try spark.catalog.tableExists(table)
+    catch { case _: Exception => false })) return
+    try {
+      val target = spark.table(table)
+      val listed = Option(g(1))
+        .map(splitTop(_).map(_.trim.stripPrefix("`").stripSuffix("`")))
+        .getOrElse(target.columns.toSeq)
+      val body = g(2).trim
+      val src = spark.sql(
+        if (body.toLowerCase.startsWith("values")) s"SELECT * FROM ($body)"
+        else body)
+      if (src.columns.length != listed.length) return
+      var full = src.toDF(listed: _*)
+      target.schema.fields.foreach { f =>
+        if (!listed.exists(_.equalsIgnoreCase(f.name)))
+          full = full.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      full = full.select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      fkCheckIncomingRows(spark, table, target.columns.toSeq, full)
+    } catch {
+      case e: IllegalStateException => throw e
+      case _: Exception => // unshapeable source: let the engine decide
+    }
+  }
+
+  /** INSERT-side referential check: every incoming row's FK columns
+    * must reference an existing parent row (a NULL in any column exempts
+    * the row — MATCH SIMPLE). A self-referencing FK checks against the
+    * post-statement state (existing ∪ incoming). One broadcast anti-join
+    * per constraint — distributed, no driver materialization.
+    */
+  private def fkCheckIncomingRows(spark: SparkSession, table: String,
+      tcols: Seq[String], named: DataFrame): Unit = {
+    if (!fkChecksOn(spark)) return
+    foreignKeys.getOrElse(table.toLowerCase, Vector.empty).foreach {
+      case FkRef(_, childCols, parent, parentCols, _, _, _, _, _) =>
+        fkCheckIncomingRowsFor(spark, table, tcols, named,
+          childCols, parent, parentCols)
+    }
+  }
+
+  /** One constraint's insert-side check over `named` rows. */
+  private def fkCheckIncomingRowsFor(spark: SparkSession, table: String,
+      tcols: Seq[String], named: DataFrame, childCols: Seq[String],
+      parent: String, parentCols: Seq[String]): Unit = {
+    if (spark.catalog.tableExists(parent) &&
+      childCols.forall(c => tcols.exists(_.equalsIgnoreCase(c)))) {
+      val parentRows =
+        if (parent.equalsIgnoreCase(table))
+          spark.table(parent)
+            .select(tcols.map(c => col(s"`$c`")): _*).unionByName(named)
+        else spark.table(parent)
+      val keys = broadcast(parentRows
+        .select(parentCols.zipWithIndex.map { case (p, i) =>
+          col(s"`$p`").as(s"__fkp$i") }: _*).distinct)
+      val nn = named.filter(
+        childCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+      val cond = childCols.zipWithIndex.map { case (c, i) =>
+        nn(s"`$c`") === keys(s"__fkp$i") }.reduce(_ && _)
+      if (nn.join(keys, cond, "left_anti").limit(1).count() > 0)
+        throw new IllegalStateException(
+          "internal error: Cannot add or update a child row: " +
+            "a foreign key constraint fails")
+    }
+  }
 
   /** Apply FK ON DELETE actions for the parent rows in `doomed`:
     * cascade deletes the referencing child rows, `set null` clears the
@@ -93,6 +472,7 @@ object GraftSql {
     */
   private def fkOnDelete(spark: SparkSession, parent: String,
       doomed: DataFrame): Unit = {
+    if (!fkChecksOn(spark)) return
     val refs = childRefsOf(parent)
     if (refs.isEmpty) return
     refs.foreach { case (child, childCols, parentCols, action) =>
@@ -134,7 +514,7 @@ object GraftSql {
   private def fkFilterOrphans(spark: SparkSession, table: String,
       named: DataFrame): DataFrame =
     foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
-      .foldLeft(named) { case (df, (childCols, parent, parentCols, _)) =>
+      .foldLeft(named) { case (df, FkRef(_, childCols, parent, parentCols, _, _, _, _, _)) =>
         if (!spark.catalog.tableExists(parent) ||
           parent.equalsIgnoreCase(table)) df
         else {
@@ -267,12 +647,33 @@ object GraftSql {
     prepareRewrite(spark, q0s).getOrElse {
       // user variables resolve to their SET-time literals everywhere else
       val q = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
+      // TRUNCATE of a referenced parent is rejected like DROP (MySQL/
+      // reference: the bulk delete can't fire referential actions)
+      """(?is)^truncate\s+(?:table\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(q).foreach { m =>
+          if (fkChecksOn(spark) && childRefsOf(m.group(1))
+              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
+                (try spark.catalog.tableExists(r._1)
+                catch { case _: Exception => false })))
+            throw new IllegalStateException(
+              s"internal error: can not truncate table '${m.group(1)}' " +
+                "referenced by some foreign key constraint")
+        }
       // dropping a table forgets its fulltext indexes (a recreated
       // table starts with none — fulltext.sql:438-440 recreates and
       // re-registers the same index name)
       """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
         .findFirstMatchIn(q)
         .foreach { m =>
+          // a parent still referenced by ANOTHER table's FK cannot drop
+          // (the child's own self-reference never blocks)
+          if (fkChecksOn(spark) && childRefsOf(m.group(1))
+              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
+                (try spark.catalog.tableExists(r._1)
+                catch { case _: Exception => false })))
+            throw new IllegalStateException(
+              s"internal error: can not drop table '${m.group(1)}' " +
+                "referenced by some foreign key constraint")
           ftIndexCols.remove(ftKey(spark, m.group(1)))
           vecCols.remove(m.group(1).toLowerCase)
           autoIncCols.remove(m.group(1).toLowerCase)
@@ -432,6 +833,7 @@ object GraftSql {
         .orElse(multiUpdateRewrite(spark, q2))
         .orElse(deleteRewrite(spark, q2))
         .orElse(partitionRewrite(spark, q2))
+        .orElse(alterFkRewrite(spark, q2))
         .orElse(alterAddColRewrite(spark, q2))
         .orElse(recursiveCteRewrite(spark, q2))
         .orElse(intervalRewrite(spark, q2))
@@ -444,6 +846,7 @@ object GraftSql {
         .orElse(loadDataRewrite(spark, q2))
         .orElse(outfileRewrite(spark, q2))
         .getOrElse {
+          fkCheckPlainInsert(spark, q2)
           val df = spark.sql(q2)
           // affected-rows bookkeeping for row_count(): a plain
           // INSERT ... VALUES counts its literal rows
@@ -535,7 +938,10 @@ object GraftSql {
     "enable_vector_auto_mode_by_default" -> ("0", "0"),
     "transaction_isolation" -> ("'REPEATABLE-READ'", "'REPEATABLE-READ'"),
     "experimental_fulltext_index" -> ("0", "0"),
-    "max_prepared_stmt_count" -> ("100000", "100000"))
+    "max_prepared_stmt_count" -> ("100000", "100000"),
+    // FK enforcement toggle (MySQL semantics: 0 skips every referential
+    // check; re-enabling does NOT revalidate existing rows)
+    "foreign_key_checks" -> ("1", "1"))
 
   def knownSysVar(name: String): Boolean =
     sysVarDefaults.contains(name.toLowerCase)
@@ -1350,30 +1756,10 @@ object GraftSql {
     // row's FK columns must reference an existing parent row (a NULL in
     // any column exempts the row — MATCH SIMPLE). A self-referencing FK
     // checks against the post-statement state (existing ∪ incoming).
-    foreignKeys.getOrElse(table.toLowerCase, Vector.empty).foreach {
-      case (childCols, parent, parentCols, _) =>
-        if (spark.catalog.tableExists(parent) &&
-          childCols.forall(c => tcols.exists(_.equalsIgnoreCase(c)))) {
-          val parentRows =
-            if (parent.equalsIgnoreCase(table))
-              spark.table(parent)
-                .select(tcols.map(c => col(s"`$c`")): _*).unionByName(named)
-            else spark.table(parent)
-          val keys = broadcast(parentRows
-            .select(parentCols.zipWithIndex.map { case (p, i) =>
-              col(s"`$p`").as(s"__fkp$i") }: _*).distinct)
-          val nn = named.filter(
-            childCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
-          val cond = childCols.zipWithIndex.map { case (c, i) =>
-            nn(s"`$c`") === keys(s"__fkp$i") }.reduce(_ && _)
-          if (nn.join(keys, cond, "left_anti").limit(1).count() > 0)
-            throw new IllegalStateException(
-              "internal error: Cannot add or update a child row: " +
-                "a foreign key constraint fails")
-        }
-    }
+    fkCheckIncomingRows(spark, table, tcols, named)
     val selfRefs = foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
-      .filter(_._2 == table.toLowerCase)
+      .filter(_.parent == table.toLowerCase)
+      .map(r => (r.childCols, r.parent, r.parentCols, r.onDelete))
     val doomedOpt =
       if ((childRefsOf(table).nonEmpty || selfRefs.nonEmpty) && keySets.nonEmpty) {
         Some(keySets.map { keys =>
@@ -2022,10 +2408,33 @@ object GraftSql {
                   .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
             }
         }
+        // SELF-referencing ON DELETE SET NULL: surviving rows that
+        // referenced a deleted key lose the reference (fk_issue_22736:
+        // deleting the middle of a chain nulls the tail's pointer)
+        val selfSetNull = foreignKeys.getOrElse(table.toLowerCase, Vector.empty)
+          .filter(r => r.parent == table.toLowerCase && r.onDelete == "set null")
+        var remainingFinal = remaining
+        if (fkChecksOn(spark) && selfSetNull.nonEmpty) {
+          val doomed = target.exceptAll(remaining).localCheckpoint(true)
+          selfSetNull.foreach { r =>
+            val keys = broadcast(doomed
+              .select(r.parentCols.zipWithIndex.map { case (p, i) =>
+                col(s"`$p`").as(s"__sn$i") }.toIndexedSeq: _*)
+              .distinct.withColumn("__snhit", lit(true)))
+            val cond = r.childCols.zipWithIndex.map { case (c, i) =>
+              remainingFinal(s"`$c`") === keys(s"__sn$i") }.reduce(_ && _)
+            val cols = target.columns.toSeq
+            remainingFinal = r.childCols.foldLeft(
+              remainingFinal.join(keys, cond, "left_outer")) { (d, c) =>
+                d.withColumn(c,
+                  when(col("__snhit"), lit(null)).otherwise(col(s"`$c`")))
+              }.select(cols.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          }
+        }
         if (childRefsOf(table).nonEmpty)
           fkOnDelete(spark, table,
             target.exceptAll(remaining).localCheckpoint(true))
-        setRowCount(spark, targetN - commitTable(spark, table, remaining))
+        setRowCount(spark, targetN - commitTable(spark, table, remainingFinal))
         Some(spark.emptyDataFrame)
       case _ => None
     }
@@ -2166,6 +2575,54 @@ object GraftSql {
             }
           }
         }
+        // FOREIGN KEY checks: the updated table as CHILD (new FK values
+        // must reference a parent row) and as PARENT (ON UPDATE actions
+        // fire for changed keys)
+        var fkDeferredActions: Option[() => Unit] = None
+        if (fkChecksOn(spark)) {
+          val setIdx = assigns.zipWithIndex
+            .map { case ((c, _), i) => c.toLowerCase -> i }.toMap
+          def newC(c: String): Column = setIdx.get(c.toLowerCase)
+            .map(i => col(s"__set_$i").cast(fields(c.toLowerCase).dataType))
+            .getOrElse(col(s"`$c`"))
+          foreignKeys.getOrElse(table.toLowerCase, Vector.empty).foreach { ref =>
+            if (ref.childCols.exists(c => setIdx.contains(c.toLowerCase)) &&
+              (try spark.catalog.tableExists(ref.parent)
+              catch { case _: Exception => false })) {
+              val nn = df.filter(col("__upd"))
+                .filter(ref.childCols.map(c => newC(c).isNotNull).reduce(_ && _))
+                .select(ref.childCols.zipWithIndex.map { case (c, i) =>
+                  newC(c).as(s"__fkc$i") }.toIndexedSeq: _*)
+              val keys = broadcast(spark.table(ref.parent)
+                .select(ref.parentCols.zipWithIndex.map { case (p, i) =>
+                  col(s"`$p`").as(s"__fkp$i") }.toIndexedSeq: _*).distinct)
+              val cond = ref.childCols.indices.map(i =>
+                nn(s"__fkc$i") === keys(s"__fkp$i")).reduce(_ && _)
+              if (nn.join(keys, cond, "left_anti").limit(1).count() > 0)
+                throw new IllegalStateException(
+                  "Cannot add or update a child row: " +
+                    "a foreign key constraint fails")
+            }
+          }
+          val parentRefs = foreignKeyRefs
+            .filter(_._2.parent == table.toLowerCase)
+            .filter(_._2.parentCols.exists(p => setIdx.contains(p.toLowerCase)))
+          if (parentRefs.nonEmpty) {
+            val cols = target.columns.toSeq
+            val oldNewAll = df.filter(col("__upd"))
+              .select((cols.map(c => col(s"`$c`").as(s"old_$c")) ++
+                cols.map(c => newC(c).as(s"new_$c"))).toIndexedSeq: _*)
+              .localCheckpoint(true)
+            // restrict checks run NOW (before any mutation); cascades /
+            // set-nulls are deferred until the statement is known to
+            // succeed (a later duplicate-key reject must not leave the
+            // children mutated — fk_base.result:84-86)
+            fkAfterUpdate(spark, table, oldNewAll, Set.empty,
+              restrictOnly = true)
+            fkDeferredActions =
+              Some(() => fkAfterUpdate(spark, table, oldNewAll, Set.empty))
+          }
+        }
         assigns.zipWithIndex.foreach { case ((c, _), i) =>
           val f = fields(c.toLowerCase)
           val rhs = storeCast(spark, table, f,
@@ -2189,6 +2646,8 @@ object GraftSql {
                 s"Duplicate entry '${dup.head.toSeq.dropRight(1).mkString("-")}' " +
                   s"for key '${pks.head}'")
           }
+        // every check passed: fire the deferred ON UPDATE actions
+        fkDeferredActions.foreach(_.apply())
         // MySQL's affected-rows for UPDATE is the matched-row count
         val snapAll = df.select((target.columns.map(c => col(s"`$c`")) :+
           col("__upd")).toIndexedSeq: _*).localCheckpoint(true)
@@ -4144,10 +4603,18 @@ object GraftSql {
           else Option(constrOrNull).getOrElse("")
         Some(registerPlain(spark, nm, table, kindOrNull, usingOrNull, colsTxt))
       case AlterDropIndexRe(table, name) =>
+        if (fkNeededIndexNames(table).exists(_.equalsIgnoreCase(name)))
+          throw new IllegalStateException(
+            s"Cannot drop index '$name': needed in a foreign key constraint")
         MoCatalog.dropIndex(spark, name, table)
         dropUniqueKey(table, name)
         Some(Seq((name, "dropped")).toDF("index_name", "status"))
       case DropIndexRe(name, tableOrNull) =>
+        Option(tableOrNull).foreach { t =>
+          if (fkNeededIndexNames(t).exists(_.equalsIgnoreCase(name)))
+            throw new IllegalStateException(
+              s"Cannot drop index '$name': needed in a foreign key constraint")
+        }
         val table = Option(tableOrNull)
         val prefix = table.map(t => s"$name-$t-").getOrElse(s"$name-")
         val dropped =

@@ -457,16 +457,40 @@ object MoCatalog {
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "data_type", "column_type", "is_nullable")
       .createOrReplaceTempView("_graft_is_columns")
-    // FK introspection: empty relations with the MySQL column contract
-    // (the goldens join them over a db that doesn't exist)
-    Seq.empty[(String, String, String, String, String, String, String)]
+    // FK introspection from the live registry (MySQL column contract)
+    val fkRows = graft.sql.GraftSql.fkIntrospection
+    fkRows.map { case (name, fdb, child, _, _, parent, _, delRule,
+        updRule, refIdx, _, _) =>
+      ("def", fdb, name, "def", fdb, refIdx, "NONE", updRule, delRule,
+        child, parent)
+    }.distinct
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
-        "unique_constraint_schema", "unique_constraint_name", "table_name",
-        "referenced_table_name")
+        "unique_constraint_catalog", "unique_constraint_schema",
+        "unique_constraint_name", "match_option", "update_rule",
+        "delete_rule", "table_name", "referenced_table_name")
       .createOrReplaceTempView("_graft_is_referential_constraints")
-    Seq.empty[(String, String, String, String, String, Int, String)]
+    val fkKcu = fkRows.map { case (name, fdb, child, cc, i, parent, pc,
+        _, _, _, _, _) =>
+      ("def", fdb, name, "def", fdb, child, cc, i, i,
+        fdb, parent, pc)
+    }
+    // PRIMARY/unique index columns appear too (referenced_* NULL)
+    val idxKcu = statRows.toSeq.filter(_._1._1 == k).flatMap {
+      case ((_, db, table), idxs) =>
+        idxs.filter(_.nonUnique == 0).flatMap { ix =>
+          ix.cols.zipWithIndex.map { case ((c, _), i) =>
+            ("def", db, ix.index, "def", db, table, c, i + 1, i + 1,
+              null.asInstanceOf[String], null.asInstanceOf[String],
+              null.asInstanceOf[String])
+          }
+        }
+    }
+    (fkKcu ++ idxKcu)
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
-        "table_name", "column_name", "ordinal_position", "table_schema")
+        "table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "position_in_unique_constraint",
+        "referenced_table_schema", "referenced_table_name",
+        "referenced_column_name")
       .createOrReplaceTempView("_graft_is_key_column_usage")
   }
 
@@ -571,6 +595,18 @@ object MoCatalog {
       .map { case (r, i) => (i + 1, r, 0, 0, "") }
       .toDF("role_id", "role_name", "creator", "owner", "comments")
       .createOrReplaceTempView("_graft_mo_role")
+    // FK metadata (fk_information_schema_metadata reads
+    // mo_catalog.mo_foreign_keys)
+    graft.sql.GraftSql.fkIntrospection.map {
+      case (name, fdb, child, cc, i, parent, pc, delRule, updRule,
+          refIdx, delOrigin, updOrigin) =>
+        (name, i, fdb, child, cc, fdb, parent, pc,
+          delRule, updRule, refIdx, delOrigin, updOrigin)
+    }.toDF("constraint_name", "constraint_id", "db_name", "table_name",
+      "column_name", "refer_db_name", "refer_table_name",
+      "refer_column_name", "on_delete", "on_update",
+      "referenced_index_name", "on_delete_origin", "on_update_origin")
+      .createOrReplaceTempView("_graft_mo_foreign_keys")
     // the one live session (func_datetime_now reads `... from
     // mo_catalog.mo_sessions limit 1`)
     Seq((1L, "sys", "dump", "moadmin", currentDb(spark).getOrElse("")))
