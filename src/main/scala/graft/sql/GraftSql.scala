@@ -1101,6 +1101,11 @@ object GraftSql {
       if (name == "time_zone") {
         val tz = unquoteLit(lit) match {
           case "SYSTEM" | "system" => "UTC"
+          // a bare zero offset means UTC, but Spark's pre-Gregorian
+          // timestamp REBASE keys on named zones — ZoneOffset(+00:00)
+          // shifts year-1 dates where ZoneId("UTC") doesn't
+          // (dtype/mysql_compat_temporal_zero sets '+00:00' up front)
+          case "+00:00" | "-00:00" | "+0:00" | "GMT" => "UTC"
           case z => z
         }
         try spark.conf.set("spark.sql.session.timeZone", tz)
