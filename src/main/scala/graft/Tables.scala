@@ -34,13 +34,28 @@ object Tables {
     * static testdata. The cached value is a logical plan (immutable);
     * data files under testdata never change within a JVM.
     */
-  private val planCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+  // weak-keyed on the sharedState OBJECT (identityHashCode is not
+  // unique: a collected session's hash can collide with a new one and
+  // serve a plan bound to a dead SparkContext); entries die with their
+  // session. Clear with [[clearPlanCache]] if testdata is regenerated
+  // inside one JVM.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.getOrElseUpdate(
-      (System.identityHashCode(spark.sharedState), dir, name),
-      loadUncached(spark, dir, name))
+  def clearPlanCache(): Unit = planCache.clear()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = planCache.synchronized {
+      var m = planCache.get(spark.sharedState)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+        planCache.put(spark.sharedState, m)
+      }
+      m
+    }
+    per.getOrElseUpdate((dir, name), loadUncached(spark, dir, name))
+  }
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -316,12 +316,20 @@ object MoAliases {
     // uuid codecs: kernel UDFs in MoFunctions; the optional swap flag
     // arrives as text so MO's numeric-text boolean coercion can error on
     // non-numeric spellings (func_string_uuid2)
+    // a BOOL-typed flag (literal true/false) coerces numerically first —
+    // the reference's makeBoolParamGetter accepts T_bool and numerics
+    // directly; only genuinely textual flags take the string-error path
+    def swapFlag(c: Column): Column =
+      when(c.cast("boolean").isNotNull && upper(c.cast("string"))
+          .isin("TRUE", "FALSE"),
+        c.cast("boolean").cast("int").cast("string"))
+        .otherwise(c.cast("string"))
     nat("uuid_to_bin", "uuid_to_bin(s[, swap])")(a =>
       call_udf("mo_uuid_to_bin", a(0),
-        (if (a.length > 1) a(1) else lit(0)).cast("string")))
+        if (a.length > 1) swapFlag(a(1)) else lit("0")))
     nat("bin_to_uuid", "bin_to_uuid(b[, swap])")(a =>
       call_udf("mo_bin_to_uuid", a(0),
-        (if (a.length > 1) a(1) else lit(0)).cast("string")))
+        if (a.length > 1) swapFlag(a(1)) else lit("0")))
     // MySQL SYSDATE() reads the clock PER CALL (now() is statement-
     // constant): two sysdate() around a sleep(2) must differ by 2s
     // (func_datetime_now.result) — a nondeterministic UDF keeps the

@@ -39,13 +39,27 @@ object RecursiveCte {
     var n = acc.count()
     var frontier = acc
     var i = 0
+    // frontiers stay persisted only until the accumulator has been
+    // localCheckpointed past them — then their blocks are dead weight
+    // (a deep recursion would otherwise hold maxIterations cached
+    // DataFrames for the application lifetime)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](acc)
     while (i < maxIterations && n > 0) {
       frontier = step(frontier).persist()
+      pinned += frontier
       n = frontier.count()
       if (n > 0) acc = acc.union(frontier)
       i += 1
-      if (i % 8 == 0) acc = acc.localCheckpoint()
+      if (i % 8 == 0) {
+        acc = acc.localCheckpoint()
+        // the checkpoint materialized every pinned level into acc's
+        // blocks; the current frontier alone feeds the next step
+        pinned.dropRight(1).foreach(_.unpersist(false))
+        pinned.dropRightInPlace(pinned.length - 1)
+      }
     }
+    // the ≤8-level tail stays pinned — the returned plan still reads
+    // those blocks; they are bounded and die with the DataFrames
     acc
   }
 }

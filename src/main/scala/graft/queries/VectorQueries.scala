@@ -186,21 +186,34 @@ object VectorQueries extends QueryModule {
 
   // ------------------------------------------- v7 embedding near-dup LSH
   /** Hyperplane-LSH near-dup pairs at cosine ≥ 0.9 with exact
-    * verification. This corpus has no such pairs (max pair cosine < 0.8),
-    * so the oracle (brute force) and LSH must both return empty — a
-    * no-false-positives check; recall is covered by KnnSpec's planted
-    * duplicates.
+    * verification. The raw corpus has no such pairs (max pair cosine
+    * < 0.8) — a vacuous 0 = 0 oracle — so both engines run over the SAME
+    * augmented relation: copies of vec_id 0/1 re-keyed at 1000000+
+    * (cosine exactly 1 with their originals, representation-independent),
+    * making the oracle row exercise candidate generation, exact verify
+    * AND the no-false-positives property at once. LSH recall on true
+    * near- (not exact-) duplicates stays covered by KnnSpec's planted
+    * perturbations.
     */
-  private def v7(s: SparkSession, d: String): DataFrame =
-    Knn.cosineLshPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.9)
+  private def v7(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    Knn.cosineLshPairs(emb.unionByName(planted), "vec_id", "embedding", 0.9)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
       .orderBy(col("a_id"), col("b_id"))
+  }
 
   private val v7Sql =
-    s"""WITH p AS (
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 2),
+       |p AS (
        |  SELECT a.vec_id AS a_id, q.vec_id AS b_id,
        |         $DOT / (${norm("a")} * ${norm("q")}) AS cos
-       |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id)
+       |  FROM e a JOIN e q ON a.vec_id < q.vec_id)
        |SELECT a_id, b_id, round(cos, 6) AS score FROM p WHERE cos >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 

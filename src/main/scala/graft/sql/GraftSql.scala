@@ -188,6 +188,68 @@ object GraftSql {
     foreignKeyRefs.filter(_._2.parent == table.toLowerCase).foreach {
       case (child, ref) =>
         val selfRef = child.equalsIgnoreCase(table)
+        // SELF-referencing RESTRICT/NO ACTION: check the POST-update
+        // state — old keys leave the key set, new keys join it, and
+        // updated rows carry their NEW reference values. Runs in the
+        // pre-mutation (restrictOnly) pass only; self-ref CASCADE /
+        // SET NULL stays out of scope (MySQL itself rejects most
+        // self-referential ON UPDATE CASCADE definitions).
+        if (selfRef && restrictOnly && !visited.contains(child.toLowerCase) &&
+          ref.onUpdate != "cascade" && ref.onUpdate != "set null" &&
+          (try spark.catalog.tableExists(child)
+          catch { case _: Exception => false })) {
+          val n = ref.parentCols.length
+          val changed = oldNewAll.select(
+            (ref.parentCols.zipWithIndex.map { case (p, i) =>
+              col(s"`old_$p`").as(s"__old$i") } ++
+              ref.parentCols.zipWithIndex.map { case (p, i) =>
+                col(s"`new_$p`").as(s"__new$i") }).toIndexedSeq: _*)
+            .filter((0 until n).map(i =>
+              !(col(s"__old$i") <=> col(s"__new$i"))).reduce(_ || _))
+            .distinct().localCheckpoint(true)
+          if (changed.limit(1).count() > 0) {
+            val childDf = spark.table(child)
+            // every updated row's pre-update key (key-unique table) —
+            // identifies the non-updated remainder
+            val updKeys = broadcast(oldNewAll.select(
+              ref.parentCols.zipWithIndex.map { case (p, i) =>
+                col(s"`old_$p`").as(s"__uok$i") }.toIndexedSeq: _*).distinct)
+            val nonUpdRefs = childDf.join(updKeys,
+                ref.parentCols.zipWithIndex.map { case (p, i) =>
+                  childDf(s"`$p`") <=> updKeys(s"__uok$i") }.reduce(_ && _),
+                "left_anti")
+              .select(ref.childCols.zipWithIndex.map { case (c, i) =>
+                col(s"`$c`").as(s"__ref$i") }.toIndexedSeq: _*)
+            val updRefs = oldNewAll.select(
+              ref.childCols.zipWithIndex.map { case (c, i) =>
+                col(s"`new_$c`").cast(childDf.schema(childDf.columns
+                  .indexWhere(_.equalsIgnoreCase(c))).dataType)
+                  .as(s"__ref$i") }.toIndexedSeq: _*)
+            val postRefs = nonUpdRefs.unionByName(updRefs)
+              .filter((0 until n).map(i =>
+                col(s"__ref$i").isNotNull).reduce(_ && _))
+            val preKeys = childDf.select(
+              ref.parentCols.zipWithIndex.map { case (p, i) =>
+                col(s"`$p`").as(s"__key$i") }.toIndexedSeq: _*)
+            val postKeys = preKeys.join(updKeys,
+                (0 until n).map(i =>
+                  preKeys(s"__key$i") <=> updKeys(s"__uok$i")).reduce(_ && _),
+                "left_anti")
+              .unionByName(oldNewAll.select(
+                ref.parentCols.zipWithIndex.map { case (p, i) =>
+                  col(s"`new_$p`").cast(childDf.schema(childDf.columns
+                    .indexWhere(_.equalsIgnoreCase(p))).dataType)
+                    .as(s"__key$i") }.toIndexedSeq: _*))
+            if (postRefs.join(postKeys,
+                (0 until n).map(i =>
+                  postRefs(s"__ref$i") === postKeys(s"__key$i"))
+                  .reduce(_ && _),
+                "left_anti").limit(1).count() > 0)
+              throw new IllegalStateException(
+                "Cannot delete or update a parent row: " +
+                  "a foreign key constraint fails")
+          }
+        }
         if (!visited.contains(child.toLowerCase) && !selfRef &&
           (try spark.catalog.tableExists(child)
           catch { case _: Exception => false })) {
@@ -706,7 +768,22 @@ object GraftSql {
       else q0m
     prepareRewrite(spark, q0s).getOrElse {
       // user variables resolve to their SET-time literals everywhere else
-      val q = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
+      val qUv = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
+      // auto-increment id fill + allocator hooks (pkg/incrservice):
+      // counters commit via aiDone only when the statement succeeds
+      val (q, aiDone) = autoIncStmtRewrite(spark, qUv)
+      // `ALTER TABLE t AUTO_INCREMENT = N` is pure allocator metadata
+      // (already applied above) — MySQL accepts it on any existing table
+      AiAlterRe.findFirstMatchIn(q).foreach { m =>
+        val exists = Partitions.get(spark, m.group(1)).isDefined ||
+          (try spark.catalog.tableExists(m.group(1))
+          catch { case _: Exception => false })
+        if (!exists) throw new IllegalArgumentException(
+          s"no such table ${m.group(1)}")
+        return spark.emptyDataFrame
+      }
+      try {
+      val df0 = {
       // TRUNCATE of a referenced parent is rejected like DROP (MySQL/
       // reference: the bulk delete can't fire referential actions)
       """(?is)^truncate\s+(?:table\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
@@ -916,6 +993,12 @@ object GraftSql {
           }
           df
         }
+      }
+      aiDone(None)
+      df0
+      } catch {
+        case scala.util.control.NonFatal(e) => aiDone(Some(e)); throw e
+      }
     }
     }
   }
@@ -2659,9 +2742,19 @@ object GraftSql {
                 .filter(ref.childCols.map(c => newC(c).isNotNull).reduce(_ && _))
                 .select(ref.childCols.zipWithIndex.map { case (c, i) =>
                   newC(c).as(s"__fkc$i") }.toIndexedSeq: _*)
-              val keys = broadcast(spark.table(ref.parent)
-                .select(ref.parentCols.zipWithIndex.map { case (p, i) =>
-                  col(s"`$p`").as(s"__fkp$i") }.toIndexedSeq: _*).distinct)
+              // a SELF-referencing FK validates against the POST-update
+              // key set (the same statement may move the referenced key
+              // along with the reference — MySQL accepts that)
+              val keys = broadcast((
+                if (ref.parent.equalsIgnoreCase(table))
+                  df.select(ref.parentCols.zipWithIndex.map { case (p, i) =>
+                    when(col("__upd"), newC(p)).otherwise(col(s"`$p`"))
+                      .as(s"__fkp$i")
+                  }.toIndexedSeq: _*)
+                else spark.table(ref.parent)
+                  .select(ref.parentCols.zipWithIndex.map { case (p, i) =>
+                    col(s"`$p`").as(s"__fkp$i") }.toIndexedSeq: _*)
+                ).distinct)
               val cond = ref.childCols.indices.map(i =>
                 nn(s"__fkc$i") === keys(s"__fkp$i")).reduce(_ && _)
               if (nn.join(keys, cond, "left_anti").limit(1).count() > 0)
@@ -2885,6 +2978,10 @@ object GraftSql {
             throw new IllegalArgumentException(s"table $to already exists")
           spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
           Partitions.rename(spark, from, to)
+          // the allocator travels with the table (auto_increment BVT:
+          // a renamed table keeps counting where it left off)
+          autoIncCols.remove(from.toLowerCase)
+            .foreach(autoIncCols.put(to.toLowerCase, _))
         }
         Some(spark.emptyDataFrame)
       case _ => None
@@ -3889,11 +3986,16 @@ object GraftSql {
     vecCols.clear(); autoIncCols.clear(); statPatches.clear()
   }
 
+  // column name, a type token with optional (args), then no comma or
+  // paren before AUTO_INCREMENT — the paren guard keeps `PRIMARY KEY
+  // (id)) ... AUTO_INCREMENT=100` (a table OPTION) from minting a
+  // phantom column while `int(11) unsigned AUTO_INCREMENT` still matches
   private val AutoIncColDefRe =
-    """(?i)[(,]\s*`?(\w+)`?\s+[^,()]*?\bauto_increment\b""".r
+    """(?i)[(,]\s*`?(\w+)`?\s+\w+\s*(?:\([^()]*\))?[^,()]*?\bauto_increment\b""".r
 
   /** Record + strip AUTO_INCREMENT from CREATE TABLE (Spark has no
-    * engine counter; LOAD fills NULL ids from the recorded one).
+    * engine counter; INSERT/LOAD fill NULL ids from the recorded one).
+    * A `) AUTO_INCREMENT = N` table option moves the allocator start.
     */
   private def autoIncDdl(q: String): String = {
     if (!q.toLowerCase.contains("auto_increment")) return q
@@ -3901,10 +4003,247 @@ object GraftSql {
       case CreateTableNameRe(table) =>
         val acs = AutoIncColDefRe.findAllMatchIn(q)
           .map(m => (m.group(1), 0L)).toVector
-        if (acs.nonEmpty) autoIncCols.put(table.toLowerCase, acs)
-        q.replaceAll("(?i)\\s+AUTO_INCREMENT", "")
+        if (acs.nonEmpty) {
+          val start = """(?i)\bauto_increment\s*=\s*(\d+)""".r
+            .findFirstMatchIn(q).map(_.group(1).toLong - 1).getOrElse(0L)
+          autoIncCols.put(table.toLowerCase,
+            acs.map { case (c, _) => (c, start) })
+        }
+        q.replaceAll("(?i)\\s+AUTO_INCREMENT\\s*=\\s*\\d+", "")
+          .replaceAll("(?i)\\s+AUTO_INCREMENT", "")
       case _ => q
     }
+  }
+
+  // ------------------------------------------------------------------
+  // AUTO_INCREMENT fill for INSERT/REPLACE (reference `pkg/incrservice`
+  // fill semantics): NULL/0 cells allocate the next id, explicit
+  // POSITIVE values advance the counter to max(counter, value),
+  // negatives store without advancing, and failed statements do not
+  // consume ids — the counter advance commits only on success. DELETE
+  // never resets the counter; TRUNCATE and re-CREATE do.
+  // ------------------------------------------------------------------
+
+  private val AiInsertColsRe =
+    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*\(([^)]*)\)\s*values\s*(.+)$""".r
+  private val AiInsertValsRe =
+    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*values\s*(.+)$""".r
+  private val AiInsertSelRe =
+    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*\(([^)]*)\)\s*(select\b.+)$""".r
+  private val AiUpdateRe =
+    """(?is)^update\s+(?:ignore\s+)?`?(\w+)`?\s+set\s+(.+?)(?:\s+where\b.*)?$""".r
+  private val AiAlterRe =
+    """(?is)^alter\s+table\s+`?(\w+)`?\s+auto_increment\s*=\s*(\d+)\s*$""".r
+  private val AiTruncRe =
+    """(?is)^truncate\s+(?:table\s+)?`?(\w+)`?\s*$""".r
+
+  private def aiCommitCtrs(key: String, ctrs: Vector[Long]): Unit =
+    autoIncCols.get(key).foreach { v =>
+      autoIncCols.put(key, v.zip(ctrs).map { case ((c, _), n) => (c, n) })
+    }
+
+  /** Splice allocated ids into a VALUES row list. `posIdx` maps the row
+    * item position to the auto-column index in the registry entry.
+    */
+  private def aiXformRows(key: String, posIdx: Seq[(Int, Int)],
+      rows: Seq[String]): (Seq[String], Vector[Long]) = {
+    val ctrs = autoIncCols(key).map(_._2).toArray
+    val out = rows.map { r =>
+      val inner = r.trim.stripPrefix("(").stripSuffix(")")
+      var items = splitTop(inner).map(_.trim)
+      posIdx.foreach { case (pos, ai) =>
+        if (pos < items.length) {
+          val raw = items(pos).replaceAll("^'|'$", "").trim
+          val isAuto = raw.equalsIgnoreCase("null") ||
+            raw.matches("-?0+(\\.0*)?")
+          if (isAuto) {
+            ctrs(ai) += 1
+            items = items.updated(pos, ctrs(ai).toString)
+          } else try {
+            // out-of-Long values pass through for the engine to reject
+            val n = raw.toDouble
+            if (n > ctrs(ai) && n <= Long.MaxValue.toDouble) ctrs(ai) = n.toLong
+          } catch { case _: NumberFormatException => }
+        }
+      }
+      s"(${items.mkString(", ")})"
+    }
+    (out, ctrs.toVector)
+  }
+
+  /** Rewrite one INSERT/REPLACE against an auto-increment table so every
+    * auto column carries explicit ids, returning the new text plus the
+    * counter commit to run on success. Any rewrite surprise degrades to
+    * the original statement — the engine's own error then surfaces in
+    * the normal path.
+    */
+  private def autoIncInsertFill(spark: SparkSession,
+      sql0: String): (String, () => Unit) =
+    try autoIncInsertFill0(spark, sql0)
+    catch { case _: Exception => (sql0, () => ()) }
+
+  private def autoIncInsertFill0(spark: SparkSession,
+      sql0: String): (String, () => Unit) = {
+    // an ON DUPLICATE KEY tail is not VALUES text — split it off so the
+    // row transform never sees it, reattach verbatim
+    val dupAt = """(?i)\son\s+duplicate\s+key\s+update\s""".r
+      .findFirstMatchIn(MySqlCompat.maskLiterals(sql0)).map(_.start)
+    val (head, dupTail) = dupAt
+      .map(i => (sql0.substring(0, i), sql0.substring(i)))
+      .getOrElse((sql0, ""))
+    head match {
+      case AiInsertColsRe(pre, t, cols, valuesTxt)
+          if autoIncCols.contains(t.toLowerCase) =>
+        val key = t.toLowerCase
+        val acols = autoIncCols(key)
+        val listed = cols.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+        val present = acols.zipWithIndex.flatMap { case ((c, _), ai) =>
+          val p = listed.indexWhere(_.equalsIgnoreCase(c))
+          if (p >= 0) Some((p, ai)) else None
+        }
+        val missing = acols.zipWithIndex
+          .filter { case ((c, _), _) => !listed.exists(_.equalsIgnoreCase(c)) }
+        val rows0 = splitTop(valuesTxt)
+        val (rows1, ctrs1) = aiXformRows(key, present, rows0)
+        val ctrs = ctrs1.toArray
+        // MISSING auto columns prepend, each running its own counter
+        val rows2 = rows1.zipWithIndex.map { case (r, k) =>
+          val inner = r.trim.stripPrefix("(").stripSuffix(")")
+          val ids = missing.map { case (_, ai) => (ctrs(ai) + k + 1).toString }
+          s"(${(ids :+ inner).mkString(", ")})"
+        }
+        missing.foreach { case (_, ai) => ctrs(ai) += rows0.length }
+        val missNames = missing.map(_._1._1)
+        (s"$pre $t (${(missNames ++ listed).mkString(", ")}) VALUES ${rows2.mkString(", ")}$dupTail",
+          () => aiCommitCtrs(key, ctrs.toVector))
+      case AiInsertSelRe(pre, t, cols, selTxt)
+          if autoIncCols.contains(t.toLowerCase) &&
+            autoIncCols(t.toLowerCase).exists { case (c, _) =>
+              !cols.split(",").exists(_.trim.stripPrefix("`").stripSuffix("`")
+                .equalsIgnoreCase(c)) } =>
+        // SELECT-sourced insert omitting auto column(s): allocate with a
+        // row_number over the source (sequential by definition — the
+        // reference's allocator is too); counters commit from the
+        // table's max after success
+        val key = t.toLowerCase
+        val listed = cols.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+        val missing = autoIncCols(key).filter { case (c, _) =>
+          !listed.exists(_.equalsIgnoreCase(c)) }
+        val ids = missing.map { case (_, base) => s"$base + __rn" }
+        val missNames = missing.map(_._1)
+        // the subquery alias column list renames the source columns to
+        // the insert's target names so the outer select can project them
+        (s"$pre $t (${(missNames ++ listed).mkString(", ")}) " +
+          s"SELECT ${ids.mkString(", ")}, ${listed.mkString(", ")} FROM " +
+          s"(SELECT __s0.*, row_number() OVER (ORDER BY __mono) AS __rn FROM " +
+          s"(SELECT __sq.*, monotonically_increasing_id() AS __mono FROM " +
+          s"($selTxt) AS __sq(${listed.mkString(", ")})) __s0) __src$dupTail",
+          () => {
+            val ctrs = autoIncCols(key).map { case (c, base) =>
+              if (!missing.exists(_._1 == c)) base
+              else {
+                val mx = spark.sql(s"SELECT max(`$c`) FROM `$t`").head.get(0)
+                mx match {
+                  case n: Number => math.max(base, n.longValue())
+                  case _ => base
+                }
+              }
+            }
+            aiCommitCtrs(key, ctrs)
+          })
+      case AiInsertValsRe(pre, t, valuesTxt)
+          if autoIncCols.contains(t.toLowerCase) =>
+        val key = t.toLowerCase
+        val tblCols = try spark.table(t).columns.toSeq
+          catch { case _: Exception => Seq.empty[String] }
+        val posIdx = autoIncCols(key).zipWithIndex.flatMap { case ((c, _), ai) =>
+          val p = tblCols.indexWhere(_.equalsIgnoreCase(c))
+          if (p >= 0) Some((p, ai)) else None
+        }
+        if (posIdx.isEmpty) (sql0, () => ())
+        else {
+          val (rows, ctrs) = aiXformRows(key, posIdx, splitTop(valuesTxt))
+          (s"$pre $t VALUES ${rows.mkString(", ")}$dupTail",
+            () => aiCommitCtrs(key, ctrs))
+        }
+      case _ => (sql0, () => ())
+    }
+  }
+
+  /** Statement-level allocator hooks: rewrites the text (id fill) and
+    * returns the completion callback [[sql]] runs with the statement's
+    * outcome. ALTER ... AUTO_INCREMENT moves the start immediately;
+    * TRUNCATE resets on success; an UPDATE storing an explicit value
+    * into an auto column advances the allocator on success AND on an FK
+    * RESTRICT reject (the value binds before the check —
+    * foreign_key.result:336-363), while value-level rejects advance
+    * nothing.
+    */
+  private def autoIncStmtRewrite(spark: SparkSession,
+      sql0: String): (String, Option[Throwable] => Unit) = {
+    // a FAILED re-CREATE must not clobber the live table's allocator
+    // (autoIncDdl registers from text before execution) — snapshot the
+    // entry here and restore it if the statement errors
+    val createSnap: Option[(String, Option[Vector[(String, Long)]])] =
+      if (!sql0.toLowerCase.contains("auto_increment")) None
+      else sql0 match {
+        case CreateTableNameRe(t) =>
+          Some((t.toLowerCase, autoIncCols.get(t.toLowerCase)))
+        case _ => None
+      }
+    if (createSnap.nonEmpty)
+      return (sql0, {
+        case None => ()
+        case Some(_) => createSnap.foreach { case (k, old) =>
+          old match {
+            case Some(v) => autoIncCols.put(k, v)
+            case None => autoIncCols.remove(k)
+          }
+        }
+      })
+    if (autoIncCols.isEmpty) return (sql0, _ => ())
+    AiAlterRe.findFirstMatchIn(sql0).foreach { m =>
+      val k = m.group(1).toLowerCase
+      autoIncCols.get(k).foreach { v =>
+        autoIncCols.put(k, v.map { case (c, cur) =>
+          (c, math.max(cur, m.group(2).toLong - 1)) })
+      }
+    }
+    val updAdvance: Option[() => Unit] =
+      AiUpdateRe.findFirstMatchIn(sql0).flatMap { um =>
+        val k = um.group(1).toLowerCase
+        if (!autoIncCols.contains(k)) None
+        else Some(() => autoIncCols.get(k).foreach { v =>
+          autoIncCols.put(k, v.map { case (c, cur) =>
+            val nv = ("(?i)\\b" + java.util.regex.Pattern.quote(c) +
+              "\\s*=\\s*'?(-?\\d+)'?").r
+              .findFirstMatchIn(um.group(2)).map(_.group(1).toLong)
+            (c, nv.filter(_ > cur).getOrElse(cur))
+          })
+        })
+      }
+    val (filled, commit) = autoIncInsertFill(spark, sql0)
+    val onDone: Option[Throwable] => Unit = {
+      case None =>
+        commit()
+        updAdvance.foreach(_())
+        AiTruncRe.findFirstMatchIn(sql0).foreach { m =>
+          val k = m.group(1).toLowerCase
+          autoIncCols.get(k).foreach { v =>
+            autoIncCols.put(k, v.map { case (c, _) => (c, 0L) })
+          }
+        }
+      case Some(e) =>
+        val msg = Option(e.getMessage).getOrElse("")
+        // a partition-routing reject happens AFTER id binding — the
+        // reference's allocator advanced (hash_key_partition)
+        if (msg.contains("no partition for value")) commit()
+        if (msg.contains("foreign key constraint fails"))
+          updAdvance.foreach(_())
+    }
+    (filled, onDone)
   }
 
   private val NarrowVecTypeRe =

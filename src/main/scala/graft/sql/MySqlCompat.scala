@@ -993,12 +993,25 @@ object MySqlCompat {
   // utc_time`) — Spark only knows the bare forms for current_date/
   // current_timestamp. `AS utc_time` aliases stay aliases.
   private val BareUtcKwRe =
-    """(?i)(?<!\bas\s)(?<![.`@\w'"])(utc_date|utc_time|utc_timestamp|localtimestamp|localtime)\b(?!\s*\()""".r
+    """(?i)(?<!\bas\s{1,8})(?<![.`@\w'"])(utc_date|utc_time|utc_timestamp|localtimestamp|localtime)\b(?!\s*\()""".r
   private[graft] def stripFsp(q: String): String = {
     val q1 = FspArgRe.replaceAllIn(q, m => s"${m.group(1)}()")
     val low = q1.toLowerCase
     if (!low.contains("utc_") && !low.contains("localtime")) q1
-    else BareUtcKwRe.replaceAllIn(q1, m => s"${m.group(1)}()")
+    else {
+      // match against the literal-MASKED copy so a keyword INSIDE a
+      // string ('at utc_time now') is never rewritten; masked and
+      // original are the same length, so offsets line up
+      val masked = maskLiterals(q1)
+      val sb = new StringBuilder
+      var at = 0
+      BareUtcKwRe.findAllMatchIn(masked).foreach { m =>
+        sb.append(q1, at, m.end).append("()")
+        at = m.end
+      }
+      sb.append(q1, at, q1.length)
+      sb.toString
+    }
   }
 
   // ------------------------------------------------------------------

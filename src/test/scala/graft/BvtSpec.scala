@@ -937,9 +937,21 @@ class BvtSpec extends AnyFunSuite {
     // trailing table options after the column list (`) CHARACTER SET
     // utf8mb4`, `) ENGINE=...` — charset_collation_errors.sql:35) are
     // storage metadata with no Spark analog
-    s = s.replaceAll(
-      "(?is)\\)\\s*((?:default\\s+)?(?:character\\s+set|charset|collate|engine|auto_increment|comment|row_format)\\s*=?\\s*\\S+\\s*)+$",
-      ")")
+    locally {
+      // an AUTO_INCREMENT = N start inside the stripped option tail is
+      // allocator semantics the ENGINE owns — re-emit it canonically so
+      // GraftSql.autoIncDdl can record the start before its own strip
+      val tailRe =
+        ("""(?is)\)\s*((?:default\s+)?(?:character\s+set|charset|collate|""" +
+          """engine|auto_increment|comment|row_format)\s*=?\s*\S+\s*)+$""").r
+      val aiStart = tailRe.findFirstMatchIn(s).flatMap(m =>
+        """(?i)auto_increment\s*=?\s*(\d+)""".r
+          .findFirstMatchIn(m.group(0)).map(_.group(1)))
+      s = s.replaceAll(
+        "(?is)\\)\\s*((?:default\\s+)?(?:character\\s+set|charset|collate|engine|auto_increment|comment|row_format)\\s*=?\\s*\\S+\\s*)+$",
+        ")")
+      aiStart.foreach(n => s = s + s" AUTO_INCREMENT = $n")
+    }
     Some(s)
   }
 
@@ -2005,18 +2017,9 @@ class BvtSpec extends AnyFunSuite {
 
   private var dialectGaps = 0
 
-  /** AUTO_INCREMENT emulation: CREATE records the auto column, INSERTs
-    * that omit it get explicit ids spliced in (the reference's sequence
-    * semantics, `pkg/incrservice/`) — ids keep counting across DELETEs
-    * like MySQL, reset on re-CREATE.
-    */
-  private val AutoIncColRe = """(?i)[(,]\s*`?(\w+)`?\s+[^,]*?\bauto_increment\b""".r
-  private val InsertColsRe =
-    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*\(([^)]*)\)\s*values\s*(.+)$""".r
-  private val InsertValsRe =
-    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*values\s*(.+)$""".r
-  private val InsertSelRe =
-    """(?is)^((?:insert|replace)\s+(?:ignore\s+)?into)\s+`?(\w+)`?\s*\(([^)]*)\)\s*(select\b.+)$""".r
+  // AUTO_INCREMENT fill lives in the engine (GraftSql.autoIncStmtRewrite,
+  // reference `pkg/incrservice/`) — the harness no longer transforms
+  // inserts or tracks counters.
 
   private def runFile(rel: String): (Int, Int, Seq[String]) = {
     currentRel = rel
@@ -2049,7 +2052,6 @@ class BvtSpec extends AnyFunSuite {
     // touching them would diverge for bookkeeping reasons, not engine
     // bugs, so the whole lineage is skipped (and counted as skipped)
     val dead = scala.collection.mutable.Set.empty[String]
-    val autoInc = scala.collection.mutable.Map.empty[String, Vector[(String, Long)]]
     // table (lowercase) → (original case, shadow physical name) while a
     // temporary table shadows a permanent one
     val shadowed = scala.collection.mutable.Map.empty[String, (String, String)]
@@ -2092,136 +2094,6 @@ class BvtSpec extends AnyFunSuite {
       // fails) poisons every TARGET name
       case r if renamePairs(r).nonEmpty => Some(renamePairs(r).head._1)
       case _ => None
-    }
-    // failed inserts do not consume ids (the reference allocates after
-    // validation) — the counter advance is committed only on success.
-    // Allocator semantics (pkg/incrservice): NULL/0 values allocate the
-    // next id; explicit POSITIVE values advance the counter to
-    // max(counter, value); negatives store without advancing; DELETE
-    // never resets (only TRUNCATE / re-CREATE do).
-    def xformAutoRows(t: String, posIdx: Seq[(Int, Int)],
-        rows: Seq[String]): (Seq[String], Vector[Long]) = {
-      val ctrs = autoInc(t).map(_._2).toArray
-      val out = rows.map { r =>
-        val inner = r.trim.stripPrefix("(").stripSuffix(")")
-        var items = graft.sql.GraftSql.splitTop(inner).map(_.trim)
-        posIdx.foreach { case (pos, ai) =>
-          if (pos < items.length) {
-            val raw = items(pos).replaceAll("^'|'$", "").trim
-            val isAuto = raw.equalsIgnoreCase("null") ||
-              raw.matches("-?0+(\\.0*)?")
-            if (isAuto) {
-              ctrs(ai) += 1
-              items = items.updated(pos, ctrs(ai).toString)
-            } else try {
-              // out-of-Long values pass through for the engine to reject
-              val n = raw.toDouble
-              if (n > ctrs(ai) && n <= Long.MaxValue.toDouble) ctrs(ai) = n.toLong
-            } catch { case _: NumberFormatException => }
-          }
-        }
-        s"(${items.mkString(", ")})"
-      }
-      (out, ctrs.toVector)
-    }
-    def commitCtrs(t: String, ctrs: Vector[Long]): Unit =
-      autoInc(t) = autoInc(t).zip(ctrs).map { case ((c, _), v) => (c, v) }
-    // any rewrite surprise degrades to the original statement — the
-    // engine's own error then lands in the normal per-statement path
-    def autoIncRewrite(sql: String): (String, () => Unit) =
-      try autoIncRewrite0(sql)
-      catch { case _: Exception => (sql, () => ()) }
-    def autoIncRewrite0(sql0in: String): (String, () => Unit) = {
-      // a parameterless EXECUTE of an auto-inc INSERT…SELECT runs the
-      // resolved body so the allocator transform applies
-      // (func_datetime_now: prepared `insert into t1(a) select now(6)`)
-      val sql = sql0in match {
-        case ExecNameRe(n) if !sql0in.toLowerCase.contains(" using ") =>
-          graft.sql.GraftSql.preparedBody(spark, n)
-            .filter(b => !b.contains("?") &&
-              InsertSelRe.findFirstMatchIn(b).exists(m => autoInc.contains(m.group(2))))
-            .getOrElse(sql0in)
-        case _ => sql0in
-      }
-      // an ON DUPLICATE KEY tail is not VALUES text — split it off so
-      // the row transform never sees it, reattach verbatim
-      val dupAt = """(?i)\son\s+duplicate\s+key\s+update\s""".r
-        .findFirstMatchIn(graft.sql.MySqlCompat.maskLiterals(sql)).map(_.start)
-      val (head, dupTail) = dupAt
-        .map(i => (sql.substring(0, i), sql.substring(i)))
-        .getOrElse((sql, ""))
-      head match {
-        case InsertColsRe(pre, t, cols, valuesTxt) if autoInc.contains(t) =>
-          val acols = autoInc(t)
-          val listed = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-          val present = acols.zipWithIndex.flatMap { case ((c, _), ai) =>
-            val p = listed.indexWhere(_.equalsIgnoreCase(c))
-            if (p >= 0) Some((p, ai)) else None
-          }
-          val missing = acols.zipWithIndex
-            .filter { case ((c, _), _) => !listed.exists(_.equalsIgnoreCase(c)) }
-          val rows0 = graft.sql.GraftSql.splitTop(valuesTxt)
-          val (rows1, ctrs1) = xformAutoRows(t, present, rows0)
-          val ctrs = ctrs1.toArray
-          // MISSING auto columns prepend, each running its own counter
-          val rows2 = rows1.zipWithIndex.map { case (r, k) =>
-            val inner = r.trim.stripPrefix("(").stripSuffix(")")
-            val ids = missing.map { case (_, ai) => (ctrs(ai) + k + 1).toString }
-            s"(${(ids :+ inner).mkString(", ")})"
-          }
-          missing.foreach { case (_, ai) => ctrs(ai) += rows0.length }
-          val missNames = missing.map(_._1._1)
-          (s"$pre $t (${(missNames ++ listed).mkString(", ")}) VALUES ${rows2.mkString(", ")}$dupTail",
-            () => commitCtrs(t, ctrs.toVector))
-        case InsertSelRe(pre, t, cols, selTxt) if autoInc.contains(t) &&
-            autoInc(t).exists { case (c, _) =>
-              !cols.split(",").exists(_.trim.stripPrefix("`").stripSuffix("`")
-                .equalsIgnoreCase(c)) } =>
-          // SELECT-sourced insert omitting auto column(s): allocate with
-          // a row_number over the source (sequential by definition —
-          // MySQL's allocator is too); counters commit from the table's
-          // max after success
-          val listed = cols.split(",")
-            .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-          val missing = autoInc(t).filter { case (c, _) =>
-            !listed.exists(_.equalsIgnoreCase(c)) }
-          val ids = missing.map { case (_, base) => s"$base + __rn" }
-          val missNames = missing.map(_._1)
-          // the subquery alias column list renames the source columns to
-          // the insert's target names so the outer select can project them
-          (s"$pre $t (${(missNames ++ listed).mkString(", ")}) " +
-            s"SELECT ${ids.mkString(", ")}, ${listed.mkString(", ")} FROM " +
-            s"(SELECT __s0.*, row_number() OVER (ORDER BY __mono) AS __rn FROM " +
-            s"(SELECT __sq.*, monotonically_increasing_id() AS __mono FROM " +
-            s"($selTxt) AS __sq(${listed.mkString(", ")})) __s0) __src$dupTail",
-            () => {
-              val ctrs = autoInc(t).map { case (c, base) =>
-                if (!missing.exists(_._1 == c)) base
-                else {
-                  val mx = spark.sql(s"SELECT max(`$c`) FROM `$t`").head.get(0)
-                  mx match {
-                    case n: Number => math.max(base, n.longValue())
-                    case _ => base
-                  }
-                }
-              }
-              commitCtrs(t, ctrs)
-            })
-        case InsertValsRe(pre, t, valuesTxt) if autoInc.contains(t) =>
-          val tblCols = try spark.table(t).columns.toSeq
-            catch { case _: Exception => Seq.empty[String] }
-          val posIdx = autoInc(t).zipWithIndex.flatMap { case ((c, _), ai) =>
-            val p = tblCols.indexWhere(_.equalsIgnoreCase(c))
-            if (p >= 0) Some((p, ai)) else None
-          }
-          if (posIdx.isEmpty) (sql, () => ())
-          else {
-            val (rows, ctrs) = xformAutoRows(t, posIdx, graft.sql.GraftSql.splitTop(valuesTxt))
-            (s"$pre $t VALUES ${rows.mkString(", ")}$dupTail",
-              () => commitCtrs(t, ctrs))
-          }
-        case _ => (sql, () => ())
-      }
     }
     // a PREPARE skipped by dead lineage must also skip its EXECUTEs —
     // otherwise "statement does not exist" reads as an engine failure
@@ -2292,14 +2164,6 @@ class BvtSpec extends AnyFunSuite {
         case TruncAiRe(t) => txnWrites += t
         case _ =>
       }
-      // ALTER TABLE t AUTO_INCREMENT = N moves the allocator start
-      """(?is)^alter\s+table\s+`?(\w+)`?\s+auto_increment\s*=\s*(\d+)\s*$""".r
-        .findFirstMatchIn(b.stmt).foreach { am =>
-          autoInc.get(am.group(1)).foreach { v =>
-            autoInc(am.group(1)) = v.map { case (c, cur) =>
-              (c, math.max(cur, am.group(2).toLong - 1)) }
-          }
-        }
       trace(s"STMT [err=${b.error} exp=${b.expected.map(_.length)}]: " +
         b.stmt.linesIterator.next().take(120))
       if (b.session ||
@@ -2329,7 +2193,9 @@ class BvtSpec extends AnyFunSuite {
       } else shim(b.stmt) match {
         case None => prevSkipped = true
         case Some(sql0) =>
-          val (sql, commitAutoInc) = autoIncRewrite(sql0)
+          // auto-increment fill + allocator bookkeeping live in the
+          // engine now (GraftSql.autoIncStmtRewrite)
+          val sql = sql0
           // temp-table SHADOWING: `create temporary table X` over an
           // existing X hides the permanent table until the temp drops
           // (temporary_table_session.result) — emulated by renaming the
@@ -2343,6 +2209,17 @@ class BvtSpec extends AnyFunSuite {
                 spark.sql(s"ALTER TABLE `$t` RENAME TO `$sh`")
                 shadowed(t.toLowerCase) = (t, sh)
               } catch { case _: Exception => }
+            case _ =>
+          }
+          // a managed CREATE over a stale (catalog-unknown) warehouse
+          // dir silently ADOPTS its part files — phantom rows, then
+          // FILE_NOT_EXIST poisons the lineage. Clear the orphan first
+          // (the erroring LOCATION_ALREADY_EXISTS mode retries below).
+          b.stmt match {
+            case CreateRe(t) if !(try spark.catalog.tableExists(t)
+                catch { case _: Exception => false }) =>
+              val d = new java.io.File(s"spark-warehouse/${t.toLowerCase}")
+              if (d.exists) deleteRec(d)
             case _ =>
           }
           try {
@@ -2381,7 +2258,6 @@ class BvtSpec extends AnyFunSuite {
             pendingStmts.clear()
             pend.foreach(p => graft.sql.GraftSql.sql(spark, p))
             prevSkipped = false
-            commitAutoInc()
             b.stmt match {
               case PrepNameRe(n) =>
                 // a successful re-PREPARE resurrects a name whose
@@ -2404,17 +2280,6 @@ class BvtSpec extends AnyFunSuite {
                 dead -= t
                 tableOwnerDb(t.toLowerCase) = curDb
                 registerCreateTableKeys(b.stmt)
-                val acs = AutoIncColRe.findAllMatchIn(b.stmt)
-                  .map(m => (m.group(1), 0L)).toVector
-                if (acs.nonEmpty) autoInc(t) = acs
-                // `... ) AUTO_INCREMENT = N` table option sets the start
-                """(?i)\bauto_increment\s*=\s*(\d+)""".r
-                  .findFirstMatchIn(b.stmt).foreach { am =>
-                    autoInc.get(t).foreach { v =>
-                      autoInc(t) = v.map { case (c, _) =>
-                        (c, am.group(1).toLong - 1) } }
-                  }
-              case DropRe(t) => autoInc.remove(t)
               case _ =>
             }
             executed += 1
@@ -2435,33 +2300,11 @@ class BvtSpec extends AnyFunSuite {
                 catch { case _: Exception => () }
               case _ =>
             }
-            // an UPDATE storing an explicit value into an auto column
-            // advances the allocator (auto_increment_columns: update
-            // a=10 then delete+insert allocates 11)
-            """(?is)^update\s+(?:ignore\s+)?`?(\w+)`?\s+set\s+(.+?)(?:\s+where\b.*)?$""".r
-              .findFirstMatchIn(b.stmt).foreach { um =>
-                autoInc.get(um.group(1)).foreach { v =>
-                  autoInc(um.group(1)) = v.map { case (c, cur) =>
-                    val nv = ("(?i)\\b" + java.util.regex.Pattern.quote(c) +
-                      "\\s*=\\s*'?(-?\\d+)'?").r
-                      .findFirstMatchIn(um.group(2)).map(_.group(1).toLong)
-                    (c, nv.filter(_ > cur).getOrElse(cur))
-                  }
-                }
-              }
-            // a successful rename carries auto-increment counters (and
-            // lineage health) to the new name
-            renamePairs(b.stmt).foreach { case (from, to) =>
-              autoInc.remove(from).foreach(autoInc(to) = _)
-              dead -= to
-            }
-            // TRUNCATE resets the reference's auto-increment counter
-            // (hash_key_partition.sql:179-182 re-numbers from 1)
+            // a successful rename revives the target lineage (counters
+            // travel inside the engine)
+            renamePairs(b.stmt).foreach { case (_, to) => dead -= to }
             b.stmt match {
-              case TruncAiRe(t) =>
-                autoInc.get(t).foreach { v =>
-                  autoInc(t) = v.map { case (c, _) => (c, 0L) } }
-                txnTainted -= t.toLowerCase
+              case TruncAiRe(t) => txnTainted -= t.toLowerCase
               case DropRe(t) => txnTainted -= t.toLowerCase
               case CreateRe(t) => txnTainted -= t.toLowerCase
               case _ =>
@@ -2512,35 +2355,10 @@ class BvtSpec extends AnyFunSuite {
             // successful statement — possibly in another file)
             case e: Exception if { pendingStmts.clear(); false } =>
               throw e // unreachable; the guard only clears
-            case e: Exception if b.error =>
-              // a partition-routing reject happens AFTER the reference
-              // allocated auto-increment ids for the whole statement
-              // (partition4.sql:74-86: the failed 4-row insert consumes
-              // ids 1-4; the retry gets 5,6,7) — other failures allocate
-              // nothing
-              if (e.getMessage != null &&
-                e.getMessage.contains("no partition for value"))
-                commitAutoInc()
-              // an UPDATE rejected by an FK RESTRICT check bound its
-              // explicit value into the auto column BEFORE the check, so
-              // the reference's allocator advanced
-              // (foreign_key.result:336-363: the rejected `set col1=8`
-              // makes the next inserts 9,10). Value-level rejects
-              // (overflow, bad parse) bind nothing and advance nothing
-              // (dtype/int.result's overflow updates).
-              if (e.getMessage != null &&
-                e.getMessage.contains("foreign key constraint fails"))
-              """(?is)^update\s+(?:ignore\s+)?`?(\w+)`?\s+set\s+(.+?)(?:\s+where\b.*)?$""".r
-                .findFirstMatchIn(b.stmt).foreach { um =>
-                  autoInc.get(um.group(1)).foreach { v =>
-                    autoInc(um.group(1)) = v.map { case (c, cur) =>
-                      val nv = ("(?i)\\b" + java.util.regex.Pattern.quote(c) +
-                        "\\s*=\\s*'?(-?\\d+)'?").r
-                        .findFirstMatchIn(um.group(2)).map(_.group(1).toLong)
-                      (c, nv.filter(_ > cur).getOrElse(cur))
-                    }
-                  }
-                }
+            case _: Exception if b.error =>
+              // allocator effects of expected failures (partition-routing
+              // rejects consume ids, FK-rejected UPDATEs advance) are the
+              // engine's business now (GraftSql.autoIncStmtRewrite)
               prevSkipped = true; executed += 1 // reference expects failure too
             case _: Exception if b.stmt.toLowerCase.startsWith("drop") =>
               // dropping a never-created (dead) object: idempotent cleanup

@@ -513,4 +513,38 @@ class SqlDialectSpec extends AnyFunSuite {
       GraftSql.sql(spark, "DROP TABLE IF EXISTS ld_ai")
     }
   }
+
+  test("INSERT auto_increment fill happens in the engine (no harness help)") {
+    def run(s: String) = GraftSql.sql(spark, s)
+    run("drop table if exists eng_ai")
+    run("create table eng_ai (id int auto_increment, v varchar(10))")
+    // omitted auto column allocates 1, 2
+    run("insert into eng_ai(v) values ('a'), ('b')")
+    // explicit NULL/0 allocate; explicit positive advances the counter
+    run("insert into eng_ai values (null, 'c'), (10, 'd'), (0, 'e')")
+    assert(run("select id, v from eng_ai order by id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (10, "d"), (11, "e")))
+    // INSERT ... SELECT omitting the auto column continues from 11
+    run("insert into eng_ai(v) select concat(v, '2') from eng_ai where id <= 2")
+    assert(run("select max(id) from eng_ai").head.getInt(0) == 13)
+    // failed inserts do not consume ids
+    intercept[Exception](run("insert into eng_ai(v, nope) values ('x', 1)"))
+    run("insert into eng_ai(v) values ('f')")
+    assert(run("select max(id) from eng_ai").head.getInt(0) == 14)
+    // TRUNCATE resets the allocator; ALTER ... AUTO_INCREMENT moves it
+    run("truncate table eng_ai")
+    run("insert into eng_ai(v) values ('g')")
+    assert(run("select id from eng_ai").head.getInt(0) == 1)
+    run("alter table eng_ai auto_increment = 100")
+    run("insert into eng_ai(v) values ('h')")
+    assert(run("select max(id) from eng_ai").head.getInt(0) == 100)
+    // CREATE ... AUTO_INCREMENT = N table option sets the start
+    run("drop table if exists eng_ai2")
+    run("create table eng_ai2 (id bigint auto_increment, v int) AUTO_INCREMENT = 7")
+    run("insert into eng_ai2(v) values (1)")
+    assert(run("select id from eng_ai2").head.getLong(0) == 7L)
+    run("drop table if exists eng_ai")
+    run("drop table if exists eng_ai2")
+  }
 }

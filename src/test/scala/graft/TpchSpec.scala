@@ -4,7 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val spark: SparkSession = {
+    // hermetic warehouse: a fresh JVM starts with an empty in-memory
+    // catalog, so ANY leftover table dir from a killed run is stale —
+    // a managed CREATE TABLE would silently adopt its part files
+    // (phantom rows, then FILE_NOT_EXIST poisoning the run). Purge all
+    // but the persistent fulltext/vector index cache before first use.
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filterNot(_.getName == "_graft_indexes")
+      .foreach(deleteRec)
+    GraftSession.local(4)
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete()
+  }
 }
 
 class TpchSpec extends AnyFunSuite {
