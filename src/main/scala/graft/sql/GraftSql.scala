@@ -768,7 +768,8 @@ object GraftSql {
       else q0m
     prepareRewrite(spark, q0s).getOrElse {
       // user variables resolve to their SET-time literals everywhere else
-      val qUv = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
+      val qUv0 = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
+      val qUv = clusterDdl(spark, qUv0)
       // auto-increment id fill + allocator hooks (pkg/incrservice):
       // counters commit via aiDone only when the statement succeeds
       val (q, aiDone) = autoIncStmtRewrite(spark, qUv)
@@ -839,28 +840,52 @@ object GraftSql {
       val annMode = """(?is)\bby\s+rank\b(?:\s+with\s+option\s+'mode=(\w+)')?"""
         .r.findFirstMatchIn(q)
         .map(m => Option(m.group(1)).map(_.toLowerCase).getOrElse("post"))
+      // publications & subscriptions (BVT publication_subscription/)
+      pubSubRewrite(spark, q).foreach(return _)
       // session db bookkeeping + the mo_catalog introspection slice
-      """(?is)^use\s+`?(\w+)`?\s*$""".r.findFirstMatchIn(q).foreach { m =>
+      """(?is)^use\s+(?:`([^`]+)`|([^\s`;]+))\s*$""".r.findFirstMatchIn(q)
+        .foreach { m =>
+        val db = Option(m.group(1)).getOrElse(m.group(2))
         // switching to a database that was never created errors — the
         // /*!40101 use ...*/ probe in mysql_ddl_1.result relies on it;
         // the reference's predefined system dbs always exist
-        if (!MoCatalog.dbExists(spark, m.group(1)) &&
-          !MoCatalog.SystemDbs.contains(m.group(1).toLowerCase))
+        if (!MoCatalog.dbExists(spark, db) &&
+          !MoCatalog.SystemDbs.contains(db.toLowerCase))
           throw new IllegalArgumentException(
-            s"Unknown database ${m.group(1)}")
-        MoCatalog.useDb(spark, m.group(1))
+            s"Unknown database $db")
+        // a subscription db whose publication is gone is unusable
+        // (publish_subscribe.result:95)
+        MoCatalog.subOf(spark, db).foreach { case (_, pub) =>
+          if (MoCatalog.subPublication(spark, db).isEmpty)
+            throw new IllegalStateException(
+              s"internal error: there is no publication $pub")
+        }
+        MoCatalog.useDb(spark, db)
         return spark.emptyDataFrame
       }
-      """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?`?(\w+)`?.*$""".r
+      // attribute tails (charset etc.) are tolerated — the subscription
+      // form (`from <acct> publication <pub>`) returned above already
+      """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?(?:`([^`]+)`|([^\s`;]+)).*$""".r
         .findFirstMatchIn(q).foreach { m =>
-          MoCatalog.createDb(spark, m.group(1))
+          val db = Option(m.group(1)).getOrElse(m.group(2))
+          // a plain duplicate CREATE DATABASE errors (MySQL; `if not
+          // exists` was consumed by the pattern above when present)
+          if (!q.toLowerCase.contains("if not exists") &&
+            MoCatalog.dbExists(spark, db))
+            throw new IllegalStateException(s"database $db already exists")
+          MoCatalog.createDb(spark, db)
           return spark.emptyDataFrame
         }
-      """(?is)^drop\s+database\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$""".r
+      """(?is)^drop\s+database\s+(?:if\s+exists\s+)?(?:`([^`]+)`|([^\s`;]+))\s*;?\s*$""".r
         .findFirstMatchIn(q).foreach { m =>
+          val db = Option(m.group(1)).getOrElse(m.group(2))
+          // a database some publication still publishes cannot drop
+          if (MoCatalog.isPublishing(spark, db))
+            throw new IllegalStateException("internal error: can not " +
+              s"drop database '$db' which is publishing")
           // dropping the CURRENT database leaves the session db-less
           // (mysql_ddl_1.result: database() reverts)
-          MoCatalog.dropDb(spark, m.group(1))
+          MoCatalog.dropDb(spark, db)
           return spark.emptyDataFrame
         }
       // ALTER DATABASE attributes (mysql_compatibility_mode etc.) are
@@ -869,6 +894,7 @@ object GraftSql {
         return spark.emptyDataFrame
       rbacRewrite(spark, q).foreach(return _)
       noDbGuard(spark, q)
+      pubSubGuard(spark, q)
       // row_count() is a session counter — substitute the literal
       val qRc =
         if (!q.toLowerCase.contains("row_count")) q
@@ -935,7 +961,7 @@ object GraftSql {
       // MO databases are virtual here — drop their qualifier on
       // relations (PREPARE bodies built with concat('`', database(),
       // '`.`', name, '`') arrive fully qualified)
-      val qDb = MoCatalog.seenDbs(spark).foldLeft(qIs) { (s, db) =>
+      val qDb = MoCatalog.knownDbs(spark).foldLeft(qIs) { (s, db) =>
         if (!s.toLowerCase.contains(db.toLowerCase)) s
         else {
           val qd = java.util.regex.Pattern.quote(db)
@@ -2373,6 +2399,142 @@ object GraftSql {
   private val DropRoleRe =
     """(?is)^drop\s+role\s+(?:if\s+exists\s+)?(.+)$""".r
 
+  // ------------------------------------------------------------------
+  // Publications & subscriptions (reference `pkg/frontend/` publication
+  // DDL; BVT publication_subscription/). Registry + checks live in
+  // MoCatalog; reads through a subscription db resolve flat (the
+  // published tables ARE the publisher's), writes are rejected below.
+  // ------------------------------------------------------------------
+
+  private val CreatePubRe =
+    """(?is)^create\s+publication\s+(?:`([^`]+)`|(\S+))\s+database\s+(?:`([^`]+)`|([^\s`;]+))(.*)$""".r
+  private val AlterPubRe =
+    """(?is)^alter\s+publication\s+(?:if\s+exists\s+)?(?:`([^`]+)`|(\S+))\s+(.*)$""".r
+  private val DropPubRe =
+    """(?is)^drop\s+publication\s+(if\s+exists\s+)?(?:`([^`]+)`|(\S+?))\s*;?\s*$""".r
+  private val SubDbRe =
+    ("""(?is)^create\s+database\s+(?:if\s+not\s+exists\s+)?(?:`([^`]+)`|([^\s`;]+))\s+""" +
+      """from\s+(?:`([^`]+)`|(\w+))\s+publication\s+(?:`([^`]+)`|(\S+?))\s*;?\s*$""").r
+
+  /** Parse the clause tail of CREATE/ALTER PUBLICATION: `table t1,t2`,
+    * `account a1,a2|all`, `database d`, `comment 'c'`, in any order.
+    * Returns (tables, accountClause, comment, db) where accountClause
+    * is None when the keyword is absent and Some(list) when present —
+    * a list containing `all` means every account.
+    */
+  private def pubClauses(tail: String): (Option[Seq[String]],
+      Option[Seq[String]], String, Option[String]) = {
+    val masked = MySqlCompat.maskLiterals(tail)
+    def listAt(kw: String): Option[Seq[String]] =
+      s"(?is)\\b$kw\\s+(.+?)(?=\\s+(?:table|account|database|comment)\\b|\\s*;?\\s*$$)".r
+        .findFirstMatchIn(masked).map { m =>
+          tail.substring(m.start(1), m.end(1)).split(",").toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        }
+    val comment = """(?is)\bcomment\s+('[^']*')""".r.findFirstMatchIn(tail)
+      .map(_.group(1).stripPrefix("'").stripSuffix("'")).getOrElse("")
+    val db = """(?is)\bdatabase\s+(?:`([^`]+)`|([^\s`;]+))""".r
+      .findFirstMatchIn(tail)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+    (listAt("table"), listAt("account"), comment, db)
+  }
+
+  // MO cluster tables (`create cluster table`, reference pkg/catalog):
+  // sys-owned tables inside mo_catalog carrying a hidden account_id
+  // column; unlike ordinary system-db targets, sys may write them
+  private val clusterTables = TrieMap[(Int, String), Unit]()
+  private def isClusterTable(spark: SparkSession, t: String): Boolean =
+    clusterTables.contains(
+      (System.identityHashCode(spark.sharedState), t.toLowerCase))
+  private def clusterDdl(spark: SparkSession, q: String): String = {
+    if (!q.toLowerCase.contains("cluster")) return q
+    val m = """(?is)^create\s+cluster\s+table\s+`?(\w+)`?\s*\((.*)\)\s*;?\s*$""".r
+      .findFirstMatchIn(q).getOrElse(return q)
+    clusterTables.put(
+      (System.identityHashCode(spark.sharedState), m.group(1).toLowerCase), ())
+    s"CREATE TABLE `${m.group(1)}` (${m.group(2)}, account_id INT)"
+  }
+
+  private def pubSubRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    val low = q.toLowerCase
+    if (!low.contains("publication")) return None
+    SubDbRe.findFirstMatchIn(q).foreach { m =>
+      val sub = Option(m.group(1)).getOrElse(m.group(2))
+      val acct = Option(m.group(3)).getOrElse(m.group(4))
+      val pub = Option(m.group(5)).getOrElse(m.group(6))
+      MoCatalog.createSubscription(spark, sub, acct, pub)
+      return Some(spark.emptyDataFrame)
+    }
+    CreatePubRe.findFirstMatchIn(q).foreach { m =>
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      val db = Option(m.group(3)).getOrElse(m.group(4))
+      val (tables, acctClause, comment, _) = pubClauses(m.group(5))
+      // no account clause, or `account all` → every account may subscribe
+      val accounts = acctClause.filterNot(_.exists(_.equalsIgnoreCase("all")))
+      MoCatalog.createPublication(spark, name, db, tables, accounts, comment)
+      return Some(spark.emptyDataFrame)
+    }
+    AlterPubRe.findFirstMatchIn(q).foreach { m =>
+      val name = Option(m.group(1)).getOrElse(m.group(2))
+      val (tables, acctClause, _, db) = pubClauses(m.group(3))
+      MoCatalog.alterPublication(spark, name, db, tables, acctClause)
+      return Some(spark.emptyDataFrame)
+    }
+    DropPubRe.findFirstMatchIn(q).foreach { m =>
+      val name = Option(m.group(2)).getOrElse(m.group(3))
+      MoCatalog.dropPublication(spark, name, m.group(1) != null)
+      return Some(spark.emptyDataFrame)
+    }
+    None
+  }
+
+  /** Reject writes/DDL addressed to a subscription database (reference
+    * error texts, publish_subscribe.result): subscribed tables are
+    * read-only on the subscriber side.
+    */
+  private def pubSubGuard(spark: SparkSession, q: String): Unit = {
+    val masked = MySqlCompat.maskLiterals(q).trim
+    def isSub(db: String): Boolean =
+      MoCatalog.subOf(spark, db).isDefined
+    def targetDbTable(tok: String): (Option[String], String) = {
+      val t = tok.replace("`", "")
+      if (t.contains(".")) {
+        val i = t.indexOf('.')
+        (Some(t.substring(0, i)), t.substring(i + 1))
+      } else (MoCatalog.currentDb(spark), t)
+    }
+    val kw = masked.toLowerCase
+    val tok = NoDbTableRes.view.flatMap(_.findFirstMatchIn(masked))
+      .headOption.map(_.group(1))
+      .orElse("""(?is)^create\s+(?:or\s+replace\s+)?view\s+(?:if\s+not\s+exists\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r
+        .findFirstMatchIn(masked).map(_.group(1)))
+      .orElse("""(?is)^create\s+sequence\s+(?:if\s+not\s+exists\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r
+        .findFirstMatchIn(masked).map(_.group(1)))
+    tok.foreach { t =>
+      val (db, tbl) = targetDbTable(t)
+      if (db.exists(isSub)) {
+        if (kw.startsWith("truncate"))
+          throw new IllegalStateException("internal error: can not " +
+            s"truncate table '$tbl' which is published by other account")
+        if (kw.startsWith("drop table"))
+          throw new IllegalStateException(
+            s"internal error: can not drop subscription table $tbl")
+        if (kw.startsWith("create or replace view") ||
+          kw.startsWith("create view"))
+          throw new IllegalStateException(
+            "internal error: cannot create view in subscription database")
+        if (kw.startsWith("create sequence"))
+          throw new IllegalStateException(
+            "internal error: cannot create sequence in subscription database")
+        if (kw.startsWith("create"))
+          throw new IllegalStateException(
+            "internal error: cannot create table in subscription database")
+        throw new IllegalStateException(
+          "internal error: cannot insert/update/delete from public table")
+      }
+    }
+  }
+
   private def rbacRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     def names(txt: String): Seq[String] =
       splitTop(txt).map(_.trim.stripPrefix("`").stripSuffix("`")
@@ -2427,16 +2589,23 @@ object GraftSql {
     * that ever issued `use` are subject — library callers that never
     * select a db keep the default-db behavior.
     */
+  // one table token: backticked (any chars, e.g. `pub-ft-db`) or bare
+  private val TblTok = """(?:`[^`]+`|[\w$]+)"""
   private val NoDbTableRes = List(
-    """(?is)^(?:create|drop|truncate)\s+(?:temporary\s+|external\s+)?table\s+(?:if\s+(?:not\s+)?exists\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
-    """(?is)^insert\s+(?:ignore\s+)?(?:into\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
-    """(?is)^replace\s+(?:into\s+)?(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
-    """(?is)^update\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)\s+set\b""".r,
-    """(?is)^delete\s+from\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
-    """(?is)^alter\s+table\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r,
-    """(?is)^load\s+data\s.*?\binto\s+table\s+(`?[\w$]+`?(?:\.`?[\w$]+`?)?)""".r)
+    s"""(?is)^(?:create|drop|truncate)\\s+(?:temporary\\s+|external\\s+)?table\\s+(?:if\\s+(?:not\\s+)?exists\\s+)?($TblTok(?:\\.$TblTok)?)""".r,
+    s"""(?is)^insert\\s+(?:ignore\\s+)?(?:into\\s+)?($TblTok(?:\\.$TblTok)?)""".r,
+    s"""(?is)^replace\\s+(?:into\\s+)?($TblTok(?:\\.$TblTok)?)""".r,
+    s"""(?is)^update\\s+($TblTok(?:\\.$TblTok)?)\\s+set\\b""".r,
+    s"""(?is)^delete\\s+from\\s+($TblTok(?:\\.$TblTok)?)""".r,
+    s"""(?is)^alter\\s+table\\s+($TblTok(?:\\.$TblTok)?)""".r,
+    s"""(?is)^load\\s+data\\s.*?\\binto\\s+table\\s+($TblTok(?:\\.$TblTok)?)""".r)
 
   private def noDbGuard(spark: SparkSession, q: String): Unit = {
+    // only the OUTERMOST user statement is subject: rewrite-internal
+    // probe queries are engine-generated over already-resolved names
+    // (a qualified UPDATE in a db-less session re-enters sql() with an
+    // unqualified SELECT — that inner statement must not error)
+    if (sqlDepth.get() > 1) return
     val cur = MoCatalog.currentDb(spark)
     val masked = MySqlCompat.maskLiterals(q)
     if (cur.exists(d => MoCatalog.SystemDbs.contains(d.toLowerCase))) {
@@ -2451,7 +2620,10 @@ object GraftSql {
         val userDbTarget = tgt.exists(t => t.contains(".") &&
           !MoCatalog.SystemDbs.contains(
             t.substring(0, t.indexOf('.')).toLowerCase))
-        if (!userDbTarget)
+        // cluster tables are the sys-writable exception inside mo_catalog
+        val clusterTarget = tgt.map(t =>
+          t.substring(t.lastIndexOf('.') + 1)).exists(isClusterTable(spark, _))
+        if (!userDbTarget && !clusterTarget)
           throw new IllegalStateException(
             "internal error: do not have privilege to execute the statement")
       }

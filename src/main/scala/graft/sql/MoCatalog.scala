@@ -51,22 +51,199 @@ object MoCatalog {
   }
   def seenDbs(spark: SparkSession): Seq[String] =
     allDbs.keys.filter(_._1 == sk(spark)).map(_._2).toSeq
+  /** Every db name this session could legally qualify a table with:
+    * `use`d names plus created-but-never-used ones (bare, account
+    * prefix stripped) — the flat-storage qualifier strip needs both
+    * (`create table db.t (...)` right after `create database db`).
+    */
+  def knownDbs(spark: SparkSession): Seq[String] = {
+    val k = sk(spark)
+    // ANY account's created dbs count: the strip is flat-storage text
+    // normalization, not an existence check (account-scoped existence
+    // stays with dbExists) — a subscriber's qualified read must resolve
+    // regardless of which account bound the name
+    val created = createdDbs.keys.filter(_._1 == k).map(_._2)
+      .map { n => val i = n.indexOf(' '); if (i >= 0) n.substring(i + 1) else n }
+    (allDbs.keys.filter(_._1 == k).map(_._2) ++ created).toSeq.distinct
+  }
   def currentDb(spark: SparkSession): Option[String] =
     sessionDb.get(sk(spark))
+  /** Harness hook: leave the session db-less (a fresh tenant session). */
+  def clearSessionDb(spark: SparkSession): Unit =
+    sessionDb.remove(sk(spark))
+  // ------------------------------------------------------------------
+  // Multi-account sessions (reference tenants, `pkg/frontend/
+  // authenticate.go`): the conformance harness switches the CURRENT
+  // account around `-- @session` brackets; databases are scoped per
+  // account so two tenants can both own a `sub_db1`. The default (and
+  // only account most callers ever see) is `sys`.
+  // ------------------------------------------------------------------
+  private val sessionAccount = TrieMap[Int, String]()
+  def currentAccount(spark: SparkSession): String =
+    sessionAccount.getOrElse(sk(spark), "sys")
+  def setAccount(spark: SparkSession, acct: String): Unit =
+    sessionAccount.put(sk(spark), acct.toLowerCase)
+  def accountExists(spark: SparkSession, name: String): Boolean =
+    accountList(sk(spark)).exists(_._1 == name.toLowerCase)
+  def accountSuspended(spark: SparkSession, name: String): Boolean =
+    accountList(sk(spark)).exists(a =>
+      a._1 == name.toLowerCase && a._3 == "suspend")
+  private def dbKey(spark: SparkSession, db: String): (Int, String) = {
+    val a = currentAccount(spark)
+    (sk(spark),
+      if (a == "sys") db.toLowerCase else a + " " + db.toLowerCase)
+  }
+
   private val createdDbs = TrieMap[(Int, String), Unit]()
   def createDb(spark: SparkSession, db: String): Unit =
-    createdDbs.put((sk(spark), db.toLowerCase), ())
+    createdDbs.put(dbKey(spark, db), ())
   def dbExists(spark: SparkSession, db: String): Boolean =
-    createdDbs.contains((sk(spark), db.toLowerCase))
+    createdDbs.contains(dbKey(spark, db))
   def dropDb(spark: SparkSession, db: String): Unit = {
     val k = sk(spark)
-    createdDbs.remove((k, db.toLowerCase))
+    createdDbs.remove(dbKey(spark, db))
+    subscriptions.remove((k, currentAccount(spark), db.toLowerCase))
     if (sessionDb.get(k).exists(_.equalsIgnoreCase(db)))
       sessionDb.remove(k)
     statRows.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
       .foreach(statRows.remove)
     declaredCols.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
       .foreach(declaredCols.remove)
+  }
+
+  // ------------------------------------------------------------------
+  // Publications & subscriptions (reference `pkg/frontend/publication
+  // _subscription.go`; BVT publication_subscription/): a publication
+  // exposes one database (optionally a table subset) to listed accounts
+  // or `all`; a subscriber binds it as a read-only database. Error
+  // texts follow the reference verbatim.
+  // ------------------------------------------------------------------
+
+  final case class Pub(db: String, tables: Option[Seq[String]],
+      accounts: Option[Set[String]], comment: String)
+  // (session, ownerAccount, pubName) → Pub
+  private val pubs = TrieMap[(Int, String, String), Pub]()
+  // (session, subscriberAccount, subDb) → (ownerAccount, pubName)
+  private val subscriptions = TrieMap[(Int, String, String), (String, String)]()
+
+  def createPublication(spark: SparkSession, name0: String, db: String,
+      tables: Option[Seq[String]], accounts: Option[Seq[String]],
+      comment: String): Unit = {
+    val k = sk(spark); val owner = currentAccount(spark)
+    val name = name0.toLowerCase
+    if (SystemDbs.contains(db.toLowerCase))
+      throw new IllegalStateException("internal error: Unknown database " +
+        s"name '${db.toLowerCase}', not support publishing system database")
+    if (subOf(spark, db).isDefined)
+      throw new IllegalStateException(
+        s"internal error: database '$db' is not a user database")
+    if (!dbExists(spark, db))
+      throw new IllegalArgumentException(s"Unknown database $db")
+    if (pubs.contains((k, owner, name)))
+      throw new IllegalStateException(
+        s"internal error: the publication $name exists")
+    accounts.toSeq.flatten.foreach { a =>
+      if (a.equalsIgnoreCase(owner))
+        throw new IllegalStateException("internal error: can't publish to self")
+      if (!accountExists(spark, a))
+        throw new IllegalStateException(
+          s"internal error: not existed account name '${a.toLowerCase}'")
+    }
+    pubs.put((k, owner, name),
+      Pub(db.toLowerCase, tables.map(_.map(_.toLowerCase)),
+        accounts.map(_.map(_.toLowerCase).toSet), comment))
+  }
+
+  /** `accounts`: None = clause absent (unchanged); a list containing
+    * `all` opens the publication to every account.
+    */
+  def alterPublication(spark: SparkSession, name0: String,
+      db: Option[String], tables: Option[Seq[String]],
+      accounts: Option[Seq[String]]): Unit = {
+    val k = sk(spark); val owner = currentAccount(spark)
+    val name = name0.toLowerCase
+    val p = pubs.getOrElse((k, owner, name),
+      throw new IllegalStateException(
+        s"internal error: there is no publication $name"))
+    accounts.toSeq.flatten.foreach { a =>
+      if (a.equalsIgnoreCase(owner))
+        throw new IllegalStateException("internal error: can't publish to self")
+      if (!a.equalsIgnoreCase("all") && !accountExists(spark, a))
+        throw new IllegalStateException(
+          s"internal error: not existed account name '${a.toLowerCase}'")
+    }
+    db.foreach { d =>
+      if (!dbExists(spark, d))
+        throw new IllegalArgumentException(s"Unknown database $d")
+    }
+    val newAccounts = accounts match {
+      case None => p.accounts // clause absent
+      case Some(l) if l.exists(_.equalsIgnoreCase("all")) => None
+      case Some(l) => Some(l.map(_.toLowerCase).toSet)
+    }
+    pubs.put((k, owner, name), Pub(
+      db.map(_.toLowerCase).getOrElse(p.db),
+      tables.map(_.map(_.toLowerCase)).orElse(p.tables),
+      newAccounts, p.comment))
+  }
+
+  def dropPublication(spark: SparkSession, name0: String,
+      ifExists: Boolean): Unit = {
+    val k = sk(spark); val owner = currentAccount(spark)
+    val name = name0.toLowerCase
+    if (!pubs.contains((k, owner, name)) && !ifExists)
+      throw new IllegalStateException(
+        s"internal error: there is no publication $name")
+    pubs.remove((k, owner, name))
+  }
+
+  /** The publication a given (bare) db name of the CURRENT account is
+    * subscribed to, if any.
+    */
+  def subOf(spark: SparkSession, db: String): Option[(String, String)] =
+    subscriptions.get((sk(spark), currentAccount(spark), db.toLowerCase))
+
+  /** Resolve a live subscription to its publication (use-time check:
+    * a dropped publication makes the subscription db unusable).
+    */
+  def subPublication(spark: SparkSession, db: String): Option[Pub] =
+    subOf(spark, db).flatMap { case (owner, pub) =>
+      pubs.get((sk(spark), owner, pub))
+    }
+
+  def isPublishing(spark: SparkSession, db: String): Boolean = {
+    val k = sk(spark); val owner = currentAccount(spark)
+    pubs.exists { case ((s, o, _), p) =>
+      s == k && o == owner && p.db == db.toLowerCase }
+  }
+
+  def createSubscription(spark: SparkSession, subDb: String,
+      fromAcct0: String, pubName0: String): Unit = {
+    val k = sk(spark); val me = currentAccount(spark)
+    val fromAcct = fromAcct0.toLowerCase; val pubName = pubName0.toLowerCase
+    if (fromAcct == me)
+      throw new IllegalStateException(
+        "internal error: can not subscribe to self")
+    if (!accountExists(spark, fromAcct))
+      throw new IllegalStateException(
+        s"internal error: there is no publication account $fromAcct")
+    if (accountSuspended(spark, fromAcct))
+      throw new IllegalStateException(
+        s"internal error: the account $fromAcct is suspended")
+    val p = pubs.getOrElse((k, fromAcct, pubName),
+      throw new IllegalStateException(
+        s"internal error: there is no publication $pubName"))
+    if (p.accounts.exists(as => !as.contains(me)))
+      throw new IllegalStateException(s"internal error: the account $me " +
+        s"is not allowed to subscribe the publication $pubName")
+    if (subscriptions.exists { case ((s, a, _), (o, pn)) =>
+        s == k && a == me && o == fromAcct && pn == pubName })
+      throw new IllegalStateException(
+        s"internal error: publication $pubName can only be subscribed once")
+    if (dbExists(spark, subDb))
+      throw new IllegalStateException(s"database $subDb already exists")
+    createDb(spark, subDb)
+    subscriptions.put((k, me, subDb.toLowerCase), (fromAcct, pubName))
   }
   /** Test-harness hook: forget this session's catalog state. */
   def clear(spark: SparkSession): Unit = {
@@ -78,6 +255,9 @@ object MoCatalog {
     sessionDb.remove(k)
     everUsed.remove(k)
     users.remove(k); accounts.remove(k); roles.remove(k)
+    sessionAccount.remove(k)
+    pubs.keys.filter(_._1 == k).foreach(pubs.remove)
+    subscriptions.keys.filter(_._1 == k).foreach(subscriptions.remove)
     allDbs.keys.filter(_._1 == k).foreach(allDbs.remove)
   }
 
@@ -124,8 +304,16 @@ object MoCatalog {
     })
   }
   def dropAccount(spark: SparkSession, name0: String): Unit = {
-    val k = sk(spark)
-    accounts.put(k, accountList(k).filterNot(_._1 == name0.toLowerCase))
+    val k = sk(spark); val name = name0.toLowerCase
+    accounts.put(k, accountList(k).filterNot(_._1 == name))
+    // the tenant's databases, publications and subscriptions die with it
+    subscriptions.keys.filter(key => key._1 == k && key._2 == name)
+      .foreach(subscriptions.remove)
+    pubs.keys.filter(key => key._1 == k && key._2 == name)
+      .foreach(pubs.remove)
+    createdDbs.keys.filter(key =>
+      key._1 == k && key._2.startsWith(name + " "))
+      .foreach(createdDbs.remove)
   }
   def createRole(spark: SparkSession, name0: String): Unit = {
     val k = sk(spark); val name = name0.toLowerCase
@@ -535,6 +723,31 @@ object MoCatalog {
       }
     (tids ++ internal).toDF("rel_id", "relname", "reldatabase")
       .createOrReplaceTempView("_graft_mo_tables")
+    // mo_subs: one row per (publication, allowed account) with the
+    // subscriber's binding when one exists (pub_sub3.result:71 —
+    // ids/timestamps are run-specific and @ignore-masked by the goldens)
+    locally {
+      val subsByPub = subscriptions.toSeq.filter(_._1._1 == k)
+        .map { case ((_, a, subDb), (o, pn)) => ((o, pn, a), subDb) }.toMap
+      val rows = pubs.toSeq.filter(_._1._1 == k)
+        .flatMap { case ((_, owner, pn), p) =>
+          val allowed = p.accounts.map(_.toSeq.sorted).getOrElse(
+            subsByPub.keys.filter(x => x._1 == owner && x._2 == pn)
+              .map(_._3).toSeq.distinct.sorted)
+          allowed.map { a =>
+            val sub = subsByPub.get((owner, pn, a))
+            (0L, a, sub.orNull,
+              sub.map(_ => "2024-01-01 00:00:00").orNull,
+              0L, owner, pn, p.db,
+              p.tables.map(_.mkString(",")).getOrElse("*"),
+              "2024-01-01 00:00:00", p.comment, 0)
+          }
+        }
+      rows.toDF("sub_account_id", "sub_account_name", "sub_name",
+          "sub_time", "pub_account_id", "pub_account_name", "pub_name",
+          "pub_database", "pub_tables", "pub_time", "pub_comment", "status")
+        .createOrReplaceTempView("_graft_mo_subs")
+    }
     // a primary key surfaces as a nameless index row (plugin_smoke's
     // golden leads with an empty algo/algo_table_type row); one
     // mo_indexes row per covered column, like the reference

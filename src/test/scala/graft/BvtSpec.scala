@@ -18,7 +18,8 @@ class BvtSpec extends AnyFunSuite {
     * marks statements the reference itself expects to fail.
     */
   private case class Block(stmt: String, expected: Option[Seq[Seq[String]]],
-    error: Boolean, session: Boolean = false)
+    error: Boolean, session: Boolean = false, sessAcct: Option[String] = None,
+    ignoreCols: Set[Int] = Set.empty)
 
   // leading `(` only counts as a statement when it opens a SELECT —
   // golden header lines like `(4294967294 BETWEEN 0 AND 4294967295)`
@@ -43,21 +44,39 @@ class BvtSpec extends AnyFunSuite {
       .replaceAll(";?\\s+-- .*$", "")
       .trim.stripSuffix(";").trim
 
-  /** Ordered (normalized statement, inSession) pairs from the sibling
-    * `.sql` script — `.result` files don't carry the `-- @session`
-    * markers, so session-block membership must come from the source.
+  /** Account named by a `-- @session:id=…&user=acct:user&…` header
+    * (None for a plain `-- @session` closer or a sys-user session).
     */
-  private def sqlSessionFlags(resultPath: String): Vector[(String, Boolean)] = {
+  private def sessionAcct(header: String): Option[String] =
+    """user=([^:&]+):""".r.findFirstMatchIn(header).map(_.group(1))
+
+  /** Ordered (normalized statement, session account) triples from the
+    * sibling `.sql` script — `.result` files don't carry the
+    * `-- @session` markers, so session-block membership must come from
+    * the source. The account is Some(acct) inside a session bracket.
+    */
+  private def sqlSessionFlags(resultPath: String)
+      : Vector[(String, Boolean, Option[String], Set[Int])] = {
     val f = new java.io.File(resultPath.replaceAll("\\.result$", ".sql"))
     if (!f.exists) return Vector.empty
     val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
-    val out = Vector.newBuilder[(String, Boolean)]
+    val out = Vector.newBuilder[(String, Boolean, Option[String], Set[Int])]
     var inSession = false
+    var acct: Option[String] = None
+    // `-- @ignore:0,3` masks those column indices in the NEXT
+    // statement's golden compare (run-specific ids / wall-clock cells)
+    var ignore: Set[Int] = Set.empty
     var i = 0
     while (i < lines.length) {
       val t = lines(i).trim
       if (t.startsWith("-- @session")) {
-        inSession = t.startsWith("-- @session:"); i += 1
+        inSession = t.startsWith("-- @session:")
+        acct = if (inSession) sessionAcct(t) else None
+        i += 1
+      } else if (t.startsWith("-- @ignore:")) {
+        ignore = t.stripPrefix("-- @ignore:").split(",").toSet
+          .flatMap((s: String) => s.trim.toIntOption)
+        i += 1
       } else if (t.isEmpty || t.startsWith("--")) i += 1
       else {
         // a trailing `-- comment` may follow the terminator
@@ -68,7 +87,8 @@ class BvtSpec extends AnyFunSuite {
           i += 1; sb.append('\n').append(lines(i))
         }
         i += 1
-        out += ((normStmt(sb.toString), inSession))
+        out += ((normStmt(sb.toString), inSession, acct, ignore))
+        ignore = Set.empty
       }
     }
     out.result()
@@ -86,7 +106,10 @@ class BvtSpec extends AnyFunSuite {
     blocks.map { b =>
       val limit = math.min(flags.length, j + 25)
       (j until limit).find(x => flags(x)._1 == normStmt(b.stmt)) match {
-        case Some(x) => j = x + 1; if (flags(x)._2) b.copy(session = true) else b
+        case Some(x) =>
+          j = x + 1
+          val b1 = if (flags(x)._4.nonEmpty) b.copy(ignoreCols = flags(x)._4) else b
+          if (flags(x)._2) b1.copy(session = true, sessAcct = flags(x)._3) else b1
         case None => b
       }
     }
@@ -106,10 +129,12 @@ class BvtSpec extends AnyFunSuite {
     // results, privileges) — statements inside are parsed (so their
     // golden rows are consumed) but marked for skipping
     var inSession = false
+    var sessUser: Option[String] = None
     while (i < lines.length) {
       val line = lines(i)
       if (line.trim.startsWith("-- @session")) {
         inSession = line.trim.startsWith("-- @session:")
+        sessUser = if (inSession) sessionAcct(line.trim) else None
         i += 1
       } else if (line.trim.isEmpty || line.trim.startsWith("--")) i += 1
       else if (line.startsWith("➤")) {
@@ -332,7 +357,7 @@ class BvtSpec extends AnyFunSuite {
           }
           }
         }
-        out += Block(stmt, expected, isError, inSession)
+        out += Block(stmt, expected, isError, inSession, sessUser)
       }
     }
     out.result()
@@ -378,10 +403,17 @@ class BvtSpec extends AnyFunSuite {
       val sb = new StringBuilder
       var i = 0
       var q: Char = 0 // inside a '…'/"…" literal: backticks are DATA
+      // a PREPARE body is SQL inside a literal — its backticked names
+      // must mangle like the direct statements that created them
+      // (pub_sub_fulltext's subscriber_match_stmt over `articles-quoted`)
+      val prepBody =
+        """(?is)^prepare\s+\w+\s+from\s+['"]""".r.findFirstIn(stmt).isDefined
       while (i < stmt.length) {
         val c = stmt(i)
         if (q != 0) { sb.append(c); if (c == q) q = 0; i += 1 }
-        else if (c == '\'' || c == '"') { sb.append(c); q = c; i += 1 }
+        else if (!prepBody && (c == '\'' || c == '"')) {
+          sb.append(c); q = c; i += 1
+        } else if (prepBody && (c == '\'' || c == '"')) { sb.append(c); i += 1 }
         else if (c == '`') {
           val j = stmt.indexOf('`', i + 1)
           if (j < 0) { sb.append(stmt.substring(i)); i = stmt.length }
@@ -423,10 +455,13 @@ class BvtSpec extends AnyFunSuite {
       !("""^set\s+(\w+)\s*=""".r.findFirstMatchIn(low)
         .exists(m => graft.sql.GraftSql.knownSysVar(m.group(1))))) return None
     // account/role/user DDL drives the mo_user/mo_account/mo_role
-    // introspection slice (GraftSql.rbacRewrite); grants and
-    // publications/snapshots stay out of scope
-    if ("""^(create|drop|alter)\s+(publication|snapshot)\b"""
-      .r.findFirstIn(low).isDefined ||
+    // introspection slice (GraftSql.rbacRewrite); grants and snapshots
+    // stay out of scope. Publication DDL reaches the engine for the
+    // publication_subscription category (GraftSql.pubSubRewrite).
+    if ("""^(create|drop|alter)\s+publication\b""".r.findFirstIn(low).isDefined)
+      return if (currentRel.startsWith("publication_subscription/")) Some(stmt)
+      else None
+    if ("""^(create|drop|alter)\s+snapshot\b""".r.findFirstIn(low).isDefined ||
       low.startsWith("grant ") || low.startsWith("revoke ")) return None
     if ("""^(create|drop|alter)\s+(account|role|user)\b"""
       .r.findFirstIn(low).isDefined) return Some(stmt)
@@ -456,6 +491,12 @@ class BvtSpec extends AnyFunSuite {
         !low.startsWith("create external table")) {
       // expression-level MySQL-isms that have exact Spark equivalents
       var e = stmt
+      // MySQL 0xFC hex literals in numeric position (pub/sub dtype
+      // tables insert them into int columns; Spark has no 0x literal)
+      if (currentRel.startsWith("publication_subscription/") &&
+          e.toLowerCase.contains("0x"))
+        e = regexOutsideQuotes(e, "(?i)\\b0x([0-9a-f]+)\\b".r,
+          m => BigInt(m.group(1), 16).toString)
       // MO dollar-quoted literals ($$ … $$, used by the jq/starlark
       // goldens for multi-line programs) → standard single-quoted
       if (e.contains("$$"))
@@ -913,6 +954,11 @@ class BvtSpec extends AnyFunSuite {
     s = s.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")
     // AUTO_INCREMENT stays: GraftSql records the column (for LOAD-time
     // fill) and strips the keyword itself
+    // enum columns store their label text; the full ordinal/ordering
+    // semantics live with the dtype/enum goldens (skipped there) — the
+    // pub/sub files only round-trip labels, where STRING is faithful
+    if (currentRel.startsWith("publication_subscription/"))
+      s = s.replaceAll("(?i)(`?\\w+`?\\s+)enum\\s*\\([^)]*\\)", "$1STRING")
     s = s.replaceAll("(?i)\\bbigint\\s+unsigned\\b", "DECIMAL(20,0)")
     s = s.replaceAll("(?i)\\bint\\s+unsigned\\b", "BIGINT")
     s = s.replaceAll("(?i)\\bsmallint\\s+unsigned\\b", "INT")
@@ -1118,7 +1164,9 @@ class BvtSpec extends AnyFunSuite {
     * from IP-literal fragments make `parseIdent` throw).
     */
   private def safeDbExists(n: String): Boolean =
-    try spark.catalog.databaseExists(n) catch { case _: Exception => false }
+    try spark.catalog.databaseExists(n) ||
+      graft.sql.MoCatalog.dbExists(spark, n)
+    catch { case _: Exception => false }
   private def safeTableExists(n: String): Boolean =
     try spark.catalog.tableExists(n) catch { case _: Exception => false }
 
@@ -2002,18 +2050,18 @@ class BvtSpec extends AnyFunSuite {
   // db-qualified names (`db.tbl`) resolve to their LAST identifier —
   // capturing the db ("prepare.workbook" → "prepare") would poison every
   // statement containing that word via the dead-lineage scan
-  private val CreateRe = """(?is)^create\s+(?:temporary\s+|external\s+)?(?:table|view)\s+(?:if\s+not\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?.*""".r
-  private val InsertRe = """(?is)^insert\s+(?:ignore\s+)?(?:into\s+)?(?:`?\w+`?\.)?`?(\w+)`?.*""".r
-  private val DropRe = """(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?.*""".r
+  private val CreateRe = """(?is)^create\s+(?:temporary\s+|external\s+)?(?:table|view)\s+(?:if\s+not\s+exists\s+)?(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
+  private val InsertRe = """(?is)^insert\s+(?:ignore\s+)?(?:into\s+)?(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
+  private val DropRe = """(?is)^drop\s+(?:table|view)\s+(?:if\s+exists\s+)?(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
   // row-level DML has no Spark v1-table mapping (OLTP surface, SURVEY
   // §2.1) — a failing DELETE/UPDATE poisons the table's lineage instead
   // of failing the conformance run; same for in-place ALTER surgery
-  private val DmlRe = """(?is)^(?:delete\s+from|update)\s+(?:ignore\s+)?(?:`?\w+`?\.)?`?(\w+)`?.*""".r
+  private val DmlRe = """(?is)^(?:delete\s+from|update)\s+(?:ignore\s+)?(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
   // multi-table DELETE (`delete a, b from t1 join t2 ...`): lineage
   // tracks the first FROM relation
   private val MultiDmlRe =
-    """(?is)^delete\s+`?\w+`?(?:\s*,\s*`?\w+`?)*\s+from\s+(?:`?\w+`?\.)?`?(\w+)`?.*""".r
-  private val AlterRe = """(?is)^alter\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?.*""".r
+    """(?is)^delete\s+`?\w+`?(?:\s*,\s*`?\w+`?)*\s+from\s+(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
+  private val AlterRe = """(?is)^alter\s+table\s+(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
 
   private var dialectGaps = 0
 
@@ -2023,6 +2071,11 @@ class BvtSpec extends AnyFunSuite {
 
   private def runFile(rel: String): (Int, Int, Seq[String]) = {
     currentRel = rel
+    // every file starts as the sys account (tenant switches happen at
+    // publication_subscription session brackets)
+    graft.sql.MoCatalog.setAccount(spark, "sys")
+    var curAcct = "sys"
+    val acctDb = scala.collection.mutable.Map.empty[String, Option[String]]
     // a previous FILE's `set time_zone` must never leak in (the engine
     // applies it to the session for real now); each reference file runs
     // in its own session, which starts in the server zone (UTC)
@@ -2073,7 +2126,7 @@ class BvtSpec extends AnyFunSuite {
         graft.sql.GraftSql.preparedBody(spark, n).getOrElse(stmt)
       case _ => stmt
     }
-    val LoadRe = """(?is)^load\s+data\s.*?\binto\s+table\s+(?:`?\w+`?\.)?`?(\w+)`?.*""".r
+    val LoadRe = """(?is)^load\s+data\s.*?\binto\s+table\s+(?:`?[\w$-]+`?\.)?`?([\w$-]+)`?.*""".r
     val RenameStmtRe = """(?is)^rename\s+table\s+(.+)$""".r
     def renamePairs(stmt: String): Seq[(String, String)] = stmt match {
       case RenameStmtRe(pairs) =>
@@ -2137,12 +2190,6 @@ class BvtSpec extends AnyFunSuite {
           b1.copy(expected = None, error = false)
         else b1
       val lowStmt = b.stmt.toLowerCase.trim
-      // a database created inside a skipped statement (other-account
-      // session blocks) must still exist for later `use` at top level
-      // (create_table_as_select's db3/db4)
-      """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?`?(\w+)`?"""
-        .r.findFirstMatchIn(b.stmt.trim)
-        .foreach(m => graft.sql.GraftSql.registerDb(spark, m.group(1)))
       if (lowStmt.startsWith("start transaction") ||
         lowStmt.startsWith("begin")) { inTxn = true; txnWrites.clear() }
       else if (lowStmt.startsWith("commit")) { inTxn = false; txnWrites.clear() }
@@ -2166,7 +2213,27 @@ class BvtSpec extends AnyFunSuite {
       }
       trace(s"STMT [err=${b.error} exp=${b.expected.map(_.length)}]: " +
         b.stmt.linesIterator.next().take(120))
-      if (b.session ||
+      // publication_subscription: tenant session blocks EXECUTE (the
+      // engine scopes databases per account); switch the engine's
+      // current account at block boundaries, saving each account's
+      // session db like separate connections would
+      val runSessions = rel.startsWith("publication_subscription/")
+      if (runSessions) {
+        val acct = b.sessAcct.getOrElse("sys").toLowerCase
+        if (acct != curAcct) {
+          acctDb(curAcct) = graft.sql.MoCatalog.currentDb(spark)
+          graft.sql.MoCatalog.setAccount(spark, acct)
+          curAcct = acct
+          acctDb.getOrElse(acct, None) match {
+            case Some(db) =>
+              try graft.sql.GraftSql.sql(spark, s"use `$db`")
+              catch { case _: Exception =>
+                graft.sql.MoCatalog.clearSessionDb(spark) }
+            case None => graft.sql.MoCatalog.clearSessionDb(spark)
+          }
+        }
+      }
+      if ((b.session && !runSessions) ||
           (!b.stmt.toLowerCase.startsWith("drop") &&
           (unsupported(b.stmt) || skipBlocks.get(rel).exists(_.contains(bi)) ||
             deadRef(effective(b.stmt)) ||
@@ -2177,6 +2244,12 @@ class BvtSpec extends AnyFunSuite {
         trace(s"  SKIP unsupported=${unsupported(b.stmt)} dead=${dead.toSeq.sorted}")
         target(b.stmt).foreach(dead += _)
         renamePairs(b.stmt).foreach(p => dead += p._2)
+        // a database created inside a SKIPPED statement (other-account
+        // session blocks) must still exist for later `use` at top level
+        // (create_table_as_select's db3/db4)
+        """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?`?(\w+)`?"""
+          .r.findFirstMatchIn(b.stmt.trim)
+          .foreach(m => graft.sql.GraftSql.registerDb(spark, m.group(1)))
         b.stmt match {
           case PrepNameRe(n) =>
             deadPrepared += n.toLowerCase
@@ -2333,7 +2406,12 @@ class BvtSpec extends AnyFunSuite {
             b.expected.filter(_ => !hashSubtable && !partTxnRead).foreach { want =>
               val got = df.collect().toSeq.map(r =>
                 (0 until r.length).map(k => render(r.get(k)).trim))
-              if (rowsMatch(got, want)) verified += 1
+              // `-- @ignore:i,j` masks run-specific columns on BOTH sides
+              def maskIgn(rows: Seq[Seq[String]]): Seq[Seq[String]] =
+                if (b.ignoreCols.isEmpty) rows
+                else rows.map(_.zipWithIndex.map { case (c, x) =>
+                  if (b.ignoreCols(x)) "#" else c })
+              if (rowsMatch(maskIgn(got), maskIgn(want))) verified += 1
               else {
                 val dbg =
                   if (sys.env.contains("BVT_DEBUG") &&
@@ -3187,6 +3265,26 @@ class BvtSpec extends AnyFunSuite {
     runBatch(Seq(
       "analyze/analyze_stmt.result",
       "analyze/explain_phyplan.result"), minExec = 40, minVerified = 5)
+  }
+
+  test("BVT wave 26: publication_subscription category") {
+    // tenant `-- @session` brackets EXECUTE for this category: the
+    // engine scopes databases per account (MoCatalog.setAccount), so a
+    // subscriber's `sub_db1` never collides with another tenant's
+    runBatch(Seq(
+      "publication_subscription/pub_sub.result",
+      "publication_subscription/pub_sub3.result",
+      "publication_subscription/pub_sub4.result",
+      "publication_subscription/pub_sub_chinese_db_table.result",
+      "publication_subscription/pub_sub_fulltext.result",
+      "publication_subscription/pub_sub_improvement.result",
+      "publication_subscription/publish_subscribe.result",
+      "publication_subscription/prepare_publication_change.result",
+      "publication_subscription/pub_sub_improvement2.result"),
+      minExec = 400, minVerified = 35)
+    // pub_sub2 / pub_sub_improve2 stay unswept: their tenants re-create
+    // t1/t2/t3 namesakes while the sys copies are live — true per-db
+    // TABLE namespacing (not just db scoping) is the remaining blocker
   }
 
   test("BVT wave 16: vector ivfflat include + adaptive-mode long tail") {
