@@ -194,17 +194,38 @@ object Knn {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, corpusId: String, nprobe: Int = 0): DataFrame = {
     val np = if (nprobe > 0) nprobe else idx.nprobe
-    val centroidDf = queries.sparkSession
-      .createDataFrame(idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
-      .toDF("__ivf_cell", "_centroid")
-    val probes = queries
-      .select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("_cdist", l2Distance(col("_qv"), col("_centroid")))
-      .withColumn("_crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(asc("_cdist"), col("__ivf_cell"))))
-      .filter(col("_crank") <= np)
-      .select(col("query_id"), col("_qv"), col("__ivf_cell"))
+    // cell ranking happens DRIVER-side: the query batch is
+    // QueryGuard-capped (like the HNSW/IVF-PQ probes) and the centroid
+    // set is tiny, so ranking nlist centroids per query costs
+    // microseconds — versus a crossJoin + window shuffle stage pair
+    // whose per-stage scheduler floor dominates small probes
+    val spark = queries.sparkSession
+    // guard + collect in ONE job: take(cap + 1) bounds the driver pull
+    val qRaw = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .limit(QueryGuard.MaxQueryRows.toInt + 1).collect()
+    if (qRaw.length > QueryGuard.MaxQueryRows)
+      throw new IllegalArgumentException(
+        s"Knn.ivfProbe: query side has > ${QueryGuard.MaxQueryRows} rows; " +
+          "this operator collects and broadcasts the query set " +
+          "(query << corpus regime). Batch the queries instead.")
+    val qRows = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      idx.centroids.zipWithIndex
+        .map { case (c, i) =>
+          var s = 0.0; var d = 0
+          while (d < qv.length && d < c.length) {
+            val x = qv(d).toDouble - c(d); s += x * x; d += 1
+          }
+          (s, i)
+        }
+        .sortBy { case (dist, cell) => (dist, cell) }
+        .take(np)
+        .map { case (_, cell) => (qid, qv.toSeq, cell) }
+    }.toSeq
+    val probes = spark.createDataFrame(probeRows)
+      .toDF("query_id", "_qv", "__ivf_cell")
+      .withColumn("_qv", col("_qv").cast("array<float>"))
     val scored = broadcast(probes)
       .join(idx.cells, Seq("__ivf_cell"))
       .filter(col(corpusId) =!= col("query_id"))

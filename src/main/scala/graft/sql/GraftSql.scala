@@ -753,8 +753,14 @@ object GraftSql {
         catch { case e: Exception => if (sess.isEmpty) throw e else Remap.Empty }
       }.getOrElse(Remap.Empty)
       // inline hint rules first (their bodies still see the session
-      // rules), then the session rules cover the remaining relations
-      q0 = Remap.applyText(spark, q0, hintRules, sess)
+      // rules), then the session rules cover the remaining relations.
+      // The hint pass INHERITS the session remapdb (hint wins on
+      // conflict): an inline rewrite keyed on the DESTINATION db must
+      // anchor after `rdb_src.t` → `rdb_dst.t` (remap_db.sql:50)
+      val hintMerged =
+        if (hintRules.isEmpty && sess.remapdb.isEmpty) hintRules
+        else hintRules.copy(remapdb = sess.remapdb ++ hintRules.remapdb)
+      q0 = Remap.applyText(spark, q0, hintMerged, sess)
       q0 = Remap.applyText(spark, q0, sess)
     }
     sysVarSetRewrite(spark, q0).orElse(showVariablesRewrite(spark, q0)).getOrElse {
@@ -867,13 +873,7 @@ object GraftSql {
       // form (`from <acct> publication <pub>`) returned above already
       """(?is)^create\s+database\s+(?:/\*.*?\*/\s*)*(?:if\s+not\s+exists\s+)?(?:`([^`]+)`|([^\s`;]+)).*$""".r
         .findFirstMatchIn(q).foreach { m =>
-          val db = Option(m.group(1)).getOrElse(m.group(2))
-          // a plain duplicate CREATE DATABASE errors (MySQL; `if not
-          // exists` was consumed by the pattern above when present)
-          if (!q.toLowerCase.contains("if not exists") &&
-            MoCatalog.dbExists(spark, db))
-            throw new IllegalStateException(s"database $db already exists")
-          MoCatalog.createDb(spark, db)
+          MoCatalog.createDb(spark, Option(m.group(1)).getOrElse(m.group(2)))
           return spark.emptyDataFrame
         }
       """(?is)^drop\s+database\s+(?:if\s+exists\s+)?(?:`([^`]+)`|([^\s`;]+))\s*;?\s*$""".r
@@ -943,17 +943,28 @@ object GraftSql {
       // reads the index registry (SHOW INDEX shares it below),
       // tables/columns the declared-DDL registry, the FK introspection
       // pair are empty relations with the MySQL column contract
+      val isDbCur = MoCatalog.currentDb(spark)
+        .exists(_.equalsIgnoreCase("information_schema"))
       val qIs =
-        if (!qSm.toLowerCase.contains("information_schema")) qSm
+        if (!qSm.toLowerCase.contains("information_schema") && !isDbCur) qSm
         else {
           MoCatalog.ensureStatisticsView(spark)
           MoCatalog.ensureInfoSchemaViews(spark)
-          Seq("statistics", "tables", "columns", "referential_constraints",
-            "key_column_usage").foldLeft(qSm) { (s, v) =>
+          val isViews = Seq("statistics", "tables", "columns",
+            "referential_constraints", "key_column_usage", "partitions",
+            "schemata", "character_sets")
+          val q1 = isViews.foldLeft(qSm) { (s, v) =>
             replaceMaskedAll(s,
               s"(?i)`?\\binformation_schema`?\\s*\\.\\s*`?$v`?".r,
               _ => s"_graft_is_$v")
           }
+          // `use information_schema` makes the bare view names resolve
+          // (lower_case_table_names reads TABLES unqualified)
+          if (!isDbCur) q1
+          else replaceMaskedAll(q1,
+            ("(?i)\\b(from|join)\\s+`?(" + isViews.mkString("|") +
+              ")`?(?![\\w$.(])").r,
+            m => s"${m.group(1)} _graft_is_${m.group(2).toLowerCase}")
         }
       """(?is)^show\s+(?:index|indexes|keys)\s+(?:from|in)\s+`?(\w+)`?(?:\s+(?:from|in)\s+`?\w+`?)?\s*$""".r
         .findFirstMatchIn(qIs)

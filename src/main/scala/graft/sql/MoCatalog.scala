@@ -662,24 +662,50 @@ object MoCatalog {
       ("def", fdb, name, "def", fdb, child, cc, i, i,
         fdb, parent, pc)
     }
-    // PRIMARY/unique index columns appear too (referenced_* NULL)
-    val idxKcu = statRows.toSeq.filter(_._1._1 == k).flatMap {
-      case ((_, db, table), idxs) =>
-        idxs.filter(_.nonUnique == 0).flatMap { ix =>
-          ix.cols.zipWithIndex.map { case ((c, _), i) =>
-            ("def", db, ix.index, "def", db, table, c, i + 1, i + 1,
-              null.asInstanceOf[String], null.asInstanceOf[String],
-              null.asInstanceOf[String])
-          }
-        }
-    }
-    (fkKcu ++ idxKcu)
+    // FK rows ONLY: the reference's key_column_usage carries no
+    // PRIMARY/unique rows (window.result:4556 expects NULL for a
+    // pk-only table; fk_information_schema_key_column_usage block 11
+    // lists just the FK constraints)
+    fkKcu
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "position_in_unique_constraint",
         "referenced_table_schema", "referenced_table_name",
         "referenced_column_name")
       .createOrReplaceTempView("_graft_is_key_column_usage")
+    // information_schema.partitions: one row per declared partition of
+    // a registered partitioned table (ddl/alter_table_add_partition)
+    val partRows = Partitions.all(spark).flatMap { spec =>
+      val db = declaredCols.keys.collectFirst {
+        case (kk, d, t) if kk == k && t == spec.table.toLowerCase => d
+      }.orElse(currentDb(spark)).getOrElse("default")
+      val method =
+        if (spec.methodSql.nonEmpty) spec.methodSql else spec.method.toUpperCase
+      val expr0 = spec.exprSql.replace("`", "")
+      spec.parts.zipWithIndex.map { case (p, i) =>
+        ("def", db, spec.table, p.name, (i + 1).toLong, method, expr0)
+      }
+    }
+    partRows
+      .toDF("table_catalog", "table_schema", "table_name", "partition_name",
+        "partition_ordinal_position", "partition_method",
+        "partition_expression")
+      .createOrReplaceTempView("_graft_is_partitions")
+    // information_schema.schemata: predefined system dbs + this
+    // session's created ones (tenant-scoped names excluded)
+    val schemaRows = (SystemDbs.toSeq ++
+      createdDbs.keys.filter(_._1 == k).map(_._2).filterNot(_.contains(" ")))
+      .distinct.sorted.map(d => ("def", d))
+    schemaRows.toDF("catalog_name", "schema_name")
+      .createOrReplaceTempView("_graft_is_schemata")
+    // information_schema.character_sets: the reference's supported sets
+    // (`pkg/frontend/predefined.go` character_sets rows)
+    Seq(
+      ("utf8", "utf8_bin", "UTF-8 Unicode", 4),
+      ("utf8mb4", "utf8mb4_bin", "UTF-8 Unicode", 4))
+      .toDF("character_set_name", "default_collate_name", "description",
+        "maxlen")
+      .createOrReplaceTempView("_graft_is_character_sets")
   }
 
   /** `system_metrics.metric` — the telemetry table purge_log maintains.

@@ -1006,10 +1006,10 @@ object MySqlCompat {
       val sb = new StringBuilder
       var at = 0
       BareUtcKwRe.findAllMatchIn(masked).foreach { m =>
-        sb.append(q1, at, m.end).append("()")
+        sb.append(q1.substring(at, m.end)).append("()")
         at = m.end
       }
-      sb.append(q1, at, q1.length)
+      sb.append(q1.substring(at))
       sb.toString
     }
   }

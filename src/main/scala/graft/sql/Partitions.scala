@@ -47,7 +47,8 @@ object Partitions {
   final case class PartSpec(
       table: String, phys: String, method: String, exprSql: String,
       cols: Seq[String], hashCount: Int, parts: Vector[PartDef],
-      rangeNum: Vector[Option[Double]], listNum: Vector[Option[Seq[Double]]])
+      rangeNum: Vector[Option[Double]], listNum: Vector[Option[Seq[Double]]],
+      methodSql: String = "")
 
   private val registry = TrieMap[String, PartSpec]()
 
@@ -58,6 +59,13 @@ object Partitions {
 
   def get(spark: SparkSession, table: String): Option[PartSpec] =
     registry.get(key(spark, table))
+  /** Every partitioned table of this session (information_schema
+    * `partitions` view).
+    */
+  def all(spark: SparkSession): Seq[PartSpec] = {
+    val p = skey(spark) + "#"
+    registry.toSeq.collect { case (k, v) if k.startsWith(p) => v }
+  }
   def byPhys(spark: SparkSession, phys: String): Option[PartSpec] = {
     val p = skey(spark)
     registry.collectFirst {
@@ -213,8 +221,15 @@ object Partitions {
       if (method == "hash" && exprSql.trim.isEmpty)
         cols.map(c => s"`$c`").mkString(", ")
       else exprSql
+    // declared spelling for information_schema.partitions
+    // (`RANGE COLUMNS` vs `RANGE`, `KEY` vs `HASH`)
+    val methodSql =
+      """(?is)^(?:linear\s+)?(range\s+columns|list\s+columns|range|list|hash|key)""".r
+        .findFirstMatchIn(byClause.trim)
+        .map(_.group(1).toUpperCase.replaceAll("\\s+", " "))
+        .getOrElse(method.toUpperCase)
     val spec = PartSpec(table.toLowerCase, phys, method, exprSql2, cols,
-      n, defs, Vector.empty, Vector.empty)
+      n, defs, Vector.empty, Vector.empty, methodSql)
     registry.put(key(spark, table), withNumerics(spark, spec))
   }
 

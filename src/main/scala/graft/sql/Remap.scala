@@ -124,29 +124,41 @@ object Remap {
       innerRules: Rules = Empty): String = {
     if (rules.isEmpty) return q0
     val low = q0.trim.toLowerCase
-    if (!(low.startsWith("select") || low.startsWith("with") || low.startsWith("(")))
-      return q0
-    // CTE names defined by the statement SHADOW remap rules (hint_cte)
-    val cteNames = """(?i)(?:\bwith\s+(?:recursive\s+)?|,\s*)`?(\w+)`?\s*(?:\([^)]*\)\s*)?as\s*\(""".r
-      .findAllMatchIn(MySqlCompat.maskLiterals(q0)).map(_.group(1).toLowerCase).toSet
+    // remapdb applies to TABLE-LEVEL references in ANY statement (the
+    // reference remaps DML and table DDL too, remap_db.sql:53-68) —
+    // the dot lookahead keeps USE / database DDL untouched; `rewrites`
+    // below stay SELECT-shaped only
     var q = q0
     // remapdb: qualified `src.x` references become `dst.x`. Matched and
     // spliced via the literal-MASKED copy so data like 'c@test.com'
     // (src=test) can never be rewritten.
     rules.remapdb.foreach { case (src, dst) =>
-      if (q.toLowerCase.contains(src))
+      if (q.toLowerCase.contains(src) &&
+        !"""(?is)^(use|create\s+database|drop\s+database|alter\s+database)\b""".r
+          .findFirstIn(low).isDefined)
         q = GraftSql.replaceMaskedAll(q,
           s"(?i)(?<![\\w`$$@])$src(?=\\s*\\.)".r, _ => dst)
     }
+    val isAnalyze = low.startsWith("analyze")
+    if (!(low.startsWith("select") || low.startsWith("with") ||
+      low.startsWith("(") || isAnalyze))
+      return q
+    // CTE names defined by the statement SHADOW remap rules (hint_cte)
+    val cteNames = """(?i)(?:\bwith\s+(?:recursive\s+)?|,\s*)`?(\w+)`?\s*(?:\([^)]*\)\s*)?as\s*\(""".r
+      .findAllMatchIn(MySqlCompat.maskLiterals(q0)).map(_.group(1).toLowerCase).toSet
+    // an unqualified name while the CURRENT db is a remapdb SOURCE
+    // resolves in the destination (remap_db.sql:70-85) — map cur first
     val cur = MoCatalog.currentDb(spark).map(_.toLowerCase)
+      .map(c => rules.remapdb.getOrElse(c, c))
     rules.rewrites.foreach { case ((db, tbl), sql0) =>
       // an inline hint rule's BODY still sees the session rules
       // (remap_rewrites_session: the hint's `from t1` is itself remapped)
       val sql = applyText(spark, sql0, innerRules, Empty)
       if (cteNames.contains(tbl)) ()
       else {
-      val qualRe = s"(?i)(\\bfrom\\s+|\\bjoin\\s+|,\\s*)`?$db`?\\s*\\.\\s*`?$tbl`?(?![\\w$$.])"
-      val bareRe = s"(?i)(\\bfrom\\s+|\\bjoin\\s+|,\\s*)`?$tbl`?(?![\\w$$.])"
+      // `analyze table t(...)` anchors on the `table` keyword
+      val qualRe = s"(?i)(\\bfrom\\s+|\\bjoin\\s+|\\btable\\s+|,\\s*)`?$db`?\\s*\\.\\s*`?$tbl`?(?![\\w$$.])"
+      val bareRe = s"(?i)(\\bfrom\\s+|\\bjoin\\s+|\\btable\\s+|,\\s*)`?$tbl`?(?![\\w$$.])"
       // probe against the masked copy: table words inside string data
       // must neither trigger nor receive a substitution
       val qm = MySqlCompat.maskLiterals(q)
@@ -167,7 +179,9 @@ object Remap {
                 "having", "join", "left", "right", "inner", "cross", "full",
                 "union", "intersect", "except", "for", "using")
                 .contains(a.group(1).replace("`", "").toLowerCase))
-            if (aliasNext) s"${m.group(1)}$ph " else s"${m.group(1)}$ph AS $tbl "
+            if (isAnalyze) s"${m.group(1)}$ph"
+            else if (aliasNext) s"${m.group(1)}$ph "
+            else s"${m.group(1)}$ph AS $tbl "
           })
         subst(qualRe)
         if (cur.contains(db)) subst(bareRe)
