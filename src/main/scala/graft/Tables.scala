@@ -36,8 +36,11 @@ object Tables {
     */
   // weak-keyed on the sharedState OBJECT (identityHashCode is not
   // unique: a collected session's hash can collide with a new one and
-  // serve a plan bound to a dead SparkContext); entries die with their
-  // session. Clear with [[clearPlanCache]] if testdata is regenerated
+  // serve a plan bound to a dead SparkContext). NOTE the cached
+  // DataFrames strongly reference their session and thus the key, so
+  // entries persist for the JVM lifetime — the weak key only guarantees
+  // a dead session's plans are never SERVED to a new session; use
+  // [[clearPlanCache]] to reclaim, or when testdata is regenerated
   // inside one JVM.
   private val planCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef,

@@ -200,32 +200,43 @@ object Knn {
     // microseconds — versus a crossJoin + window shuffle stage pair
     // whose per-stage scheduler floor dominates small probes
     val spark = queries.sparkSession
-    // guard + collect in ONE job: take(cap + 1) bounds the driver pull
+    // guard + collect in ONE job: take(cap + 1) bounds the driver pull.
+    // The id column is collected AS-IS (no cast) so string/decimal ids
+    // survive and the output query_id keeps the input type.
     val qRaw = queries
-      .select(col(queryId).cast("long"), col(queryVec))
+      .select(col(queryId), col(queryVec))
       .limit(QueryGuard.MaxQueryRows.toInt + 1).collect()
     if (qRaw.length > QueryGuard.MaxQueryRows)
       throw new IllegalArgumentException(
         s"Knn.ivfProbe: query side has > ${QueryGuard.MaxQueryRows} rows; " +
           "this operator collects and broadcasts the query set " +
           "(query << corpus regime). Batch the queries instead.")
-    val qRows = qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeRows = qRows.flatMap { case (qid, qv) =>
-      idx.centroids.zipWithIndex
-        .map { case (c, i) =>
-          var s = 0.0; var d = 0
-          while (d < qv.length && d < c.length) {
-            val x = qv(d).toDouble - c(d); s += x * x; d += 1
+    val probeRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(qRaw.flatMap { r =>
+        val qv = r.getSeq[Float](1).toArray
+        idx.centroids.zipWithIndex
+          .map { case (c, i) =>
+            var s = 0.0; var d = 0
+            while (d < qv.length && d < c.length) {
+              val x = qv(d).toDouble - c(d); s += x * x; d += 1
+            }
+            (s, i)
           }
-          (s, i)
-        }
-        .sortBy { case (dist, cell) => (dist, cell) }
-        .take(np)
-        .map { case (_, cell) => (qid, qv.toSeq, cell) }
-    }.toSeq
-    val probes = spark.createDataFrame(probeRows)
-      .toDF("query_id", "_qv", "__ivf_cell")
-      .withColumn("_qv", col("_qv").cast("array<float>"))
+          .sortBy { case (dist, cell) => (dist, cell) }
+          .take(np)
+          .map { case (_, cell) =>
+            org.apache.spark.sql.Row(r.get(0), qv.toSeq, cell)
+          }
+      }: _*)
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "query_id", queries.schema(queryId).dataType),
+      org.apache.spark.sql.types.StructField("_qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("__ivf_cell",
+        org.apache.spark.sql.types.IntegerType)))
+    val probes = spark.createDataFrame(probeRows, probeSchema)
     val scored = broadcast(probes)
       .join(idx.cells, Seq("__ivf_cell"))
       .filter(col(corpusId) =!= col("query_id"))

@@ -55,7 +55,9 @@ object RecursiveCte {
         // the checkpoint materialized every pinned level into acc's
         // blocks; the current frontier alone feeds the next step
         pinned.dropRight(1).foreach(_.unpersist(false))
-        pinned.dropRightInPlace(pinned.length - 1)
+        // keep only the still-persisted current frontier tracked so the
+        // next checkpoint cycle unpersists it too
+        pinned.dropInPlace(pinned.length - 1)
       }
     }
     // the ≤8-level tail stays pinned — the returned plan still reads

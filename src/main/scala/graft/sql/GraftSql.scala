@@ -110,6 +110,26 @@ object GraftSql {
     }
   }
 
+  /** `ALTER TABLE ... CHANGE old new ...` renames the FK catalog's
+    * declared-case spellings — on the child side AND on every child
+    * referencing `table` as parent (foreign_key/issue_26465: a
+    * case-only CHANGE is a real rename for the catalog even though
+    * identifiers compare equal under lower_case_table_names).
+    */
+  def renameFkColumn(table: String, old: String, nw: String): Unit = {
+    foreignKeys.updateWith(table.toLowerCase)(_.map(_.map(r =>
+      r.copy(childCols = r.childCols.map(c =>
+        if (c.equalsIgnoreCase(old)) nw else c)))))
+    foreignKeys.toSeq.foreach { case (child, refs) =>
+      if (refs.exists(_.parent == table.toLowerCase))
+        foreignKeys.put(child, refs.map(r =>
+          if (r.parent == table.toLowerCase)
+            r.copy(parentCols = r.parentCols.map(c =>
+              if (c.equalsIgnoreCase(old)) nw else c))
+          else r))
+    }
+  }
+
   def dropForeignKey(child: String, name: String): Unit =
     foreignKeys.updateWith(child.toLowerCase)(
       _.map(_.filterNot(_.name.equalsIgnoreCase(name))))
@@ -696,7 +716,8 @@ object GraftSql {
         ctas match {
           case Some(m) =>
             setRowCount(spark,
-              try spark.table(m.group(1)).count() catch { case _: Exception => 0L })
+              try spark.table(resolveTableName(spark, None, m.group(1))).count()
+              catch { case _: Exception => 0L })
           case None => setRowCount(spark, 0L)
         }
       }
@@ -775,72 +796,13 @@ object GraftSql {
     prepareRewrite(spark, q0s).getOrElse {
       // user variables resolve to their SET-time literals everywhere else
       val qUv0 = substituteOutsideQuotes(q0s, "@", name => userVarLit(spark, name))
-      val qUv = clusterDdl(spark, qUv0)
-      // auto-increment id fill + allocator hooks (pkg/incrservice):
-      // counters commit via aiDone only when the statement succeeds
-      val (q, aiDone) = autoIncStmtRewrite(spark, qUv)
-      // `ALTER TABLE t AUTO_INCREMENT = N` is pure allocator metadata
-      // (already applied above) — MySQL accepts it on any existing table
-      AiAlterRe.findFirstMatchIn(q).foreach { m =>
-        val exists = Partitions.get(spark, m.group(1)).isDefined ||
-          (try spark.catalog.tableExists(m.group(1))
-          catch { case _: Exception => false })
-        if (!exists) throw new IllegalArgumentException(
-          s"no such table ${m.group(1)}")
-        return spark.emptyDataFrame
-      }
+      val q = clusterDdl(spark, qUv0)
+      // auto-increment fill + allocator hooks run AFTER the namespacing
+      // pass below (so qualified/mangled targets resolve first); the
+      // commit callback is assigned there
+      var aiDone: Option[Throwable] => Unit = _ => ()
       try {
       val df0 = {
-      // TRUNCATE of a referenced parent is rejected like DROP (MySQL/
-      // reference: the bulk delete can't fire referential actions)
-      """(?is)^truncate\s+(?:table\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
-        .findFirstMatchIn(q).foreach { m =>
-          if (fkChecksOn(spark) && childRefsOf(m.group(1))
-              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
-                (try spark.catalog.tableExists(r._1)
-                catch { case _: Exception => false })))
-            throw new IllegalStateException(
-              s"internal error: can not truncate table '${m.group(1)}' " +
-                "referenced by some foreign key constraint")
-        }
-      // dropping a table forgets its fulltext indexes (a recreated
-      // table starts with none — fulltext.sql:438-440 recreates and
-      // re-registers the same index name)
-      """(?is)^drop\s+table\s+(?:if\s+exists\s+)?(?:`?\w+`?\.)?`?(\w+)`?\s*$""".r
-        .findFirstMatchIn(q)
-        .foreach { m =>
-          // a parent still referenced by ANOTHER table's FK cannot drop
-          // (the child's own self-reference never blocks)
-          if (fkChecksOn(spark) && childRefsOf(m.group(1))
-              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
-                (try spark.catalog.tableExists(r._1)
-                catch { case _: Exception => false })))
-            throw new IllegalStateException(
-              s"internal error: can not drop table '${m.group(1)}' " +
-                "referenced by some foreign key constraint")
-          ftIndexCols.remove(ftKey(spark, m.group(1)))
-          vecCols.remove(m.group(1).toLowerCase)
-          autoIncCols.remove(m.group(1).toLowerCase)
-          primaryKeys.remove(m.group(1).toLowerCase)
-          uniqueKeys.remove(m.group(1).toLowerCase)
-          foreignKeys.remove(m.group(1).toLowerCase)
-          loadPaths.remove(m.group(1).toLowerCase)
-          tsFsp.keys.filter(_._1 == m.group(1).toLowerCase).foreach(tsFsp.remove)
-          MoCatalog.dropTable(spark, m.group(1))
-          // cached postings for the dead table can never be valid again
-          graft.fulltext.Bm25.FulltextIndex.invalidate(m.group(1))
-          // vector indexes die with their table too (registry keys are
-          // "$name-$table-$vecCol")
-          val mid = s"-${m.group(1)}-"
-          (graft.plans.IvfIndex.indexes.map(_.name) ++
-            graft.plans.HnswIndex.indexes.map(_.name) ++
-            graft.plans.IvfPqIndex.indexes.map(_.name))
-            .filter(_.contains(mid)).distinct.foreach { n =>
-              graft.plans.IvfIndex.drop(n)
-              graft.plans.HnswIndex.drop(n)
-              graft.plans.IvfPqIndex.drop(n)
-            }
-        }
       // capture the ANN mode hint before MySqlCompat strips the
       // `by rank [with option 'mode=x']` suffix
       val annMode = """(?is)\bby\s+rank\b(?:\s+with\s+option\s+'mode=(\w+)')?"""
@@ -883,6 +845,13 @@ object GraftSql {
           if (MoCatalog.isPublishing(spark, db))
             throw new IllegalStateException("internal error: can not " +
               s"drop database '$db' which is publishing")
+          // the db's TABLES die with it; the reference reports their
+          // count as affected rows (row_count.result:47-53). A
+          // subscription db drops only the binding — its tables are the
+          // publisher's (scopedDbKey, not the publisher-resolved key)
+          if (MoCatalog.subOf(spark, db).isEmpty)
+            dropDbTables(spark, MoCatalog.scopedDbKey(spark, db))
+          else setRowCount(spark, 0L)
           // dropping the CURRENT database leaves the session db-less
           // (mysql_ddl_1.result: database() reverts)
           MoCatalog.dropDb(spark, db)
@@ -969,28 +938,96 @@ object GraftSql {
       """(?is)^show\s+(?:index|indexes|keys)\s+(?:from|in)\s+`?(\w+)`?(?:\s+(?:from|in)\s+`?\w+`?)?\s*$""".r
         .findFirstMatchIn(qIs)
         .foreach(m => return MoCatalog.showIndexRows(spark, m.group(1)))
-      // MO databases are virtual here — drop their qualifier on
-      // relations (PREPARE bodies built with concat('`', database(),
-      // '`.`', name, '`') arrive fully qualified)
-      val qDb = MoCatalog.knownDbs(spark).foldLeft(qIs) { (s, db) =>
-        if (!s.toLowerCase.contains(db.toLowerCase)) s
-        else {
-          val qd = java.util.regex.Pattern.quote(db)
-          // a BACKTICKED qualifier sits inside a backtick span the
-          // quote-aware replacer skips — strip it via the literal-masked
-          // scan instead (concat-built PREPARE bodies arrive as
-          // `db`.`tbl`, vector_ivfflat_include_dml_sync)
-          val s1 = deleteMasked(s, s"(?i)`$qd`\\s*\\.\\s*(?=[`\\w])".r)
-          // OUTSIDE string literals only — a db named `test` must not
-          // rewrite data like 'c@test.com' (func_percent_rank.sql)
-          replaceOutsideQuotes(s1,
-            s"(?i)(?<![\\w@.])$qd\\.(?=[`\\w])".r, _ => "")
+      // namespacing resolution: logical `[db.]table` → physical names
+      // (PREPARE bodies built with concat('`', database(), '`.`', name,
+      // '`') arrive fully qualified; data like 'c@test.com' is protected
+      // by the literal-masked scan, func_percent_rank.sql)
+      val qDb = namespaceRewrite(spark, qIs)
+      // TRUNCATE of a referenced parent is rejected like DROP (MySQL/
+      // reference: the bulk delete can't fire referential actions)
+      """(?is)^truncate\s+(?:table\s+)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(qDb).foreach { m =>
+          if (fkChecksOn(spark) && childRefsOf(m.group(1))
+              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
+                (try spark.catalog.tableExists(r._1)
+                catch { case _: Exception => false })))
+            throw new IllegalStateException(
+              s"internal error: can not truncate table '${m.group(1)}' " +
+                "referenced by some foreign key constraint")
         }
+      // dropping a table forgets its fulltext indexes (a recreated
+      // table starts with none — fulltext.sql:438-440 recreates and
+      // re-registers the same index name)
+      """(?is)^drop\s+table\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(qDb)
+        .foreach { m =>
+          // a parent still referenced by ANOTHER table's FK cannot drop
+          // (the child's own self-reference never blocks)
+          if (fkChecksOn(spark) && childRefsOf(m.group(1))
+              .exists(r => !r._1.equalsIgnoreCase(m.group(1)) &&
+                (try spark.catalog.tableExists(r._1)
+                catch { case _: Exception => false })))
+            throw new IllegalStateException(
+              s"internal error: can not drop table '${m.group(1)}' " +
+                "referenced by some foreign key constraint")
+          forgetTable(spark, m.group(1))
+        }
+      // a dropped view leaves the namespace + info_schema registries too
+      """(?is)^drop\s+view\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(qDb)
+        .foreach { m =>
+          Namespaces.forget(spark, m.group(1))
+          MoCatalog.dropViewMeta(spark, m.group(1))
+        }
+      // ALTER ADD/DROP COLUMN keeps information_schema.columns in sync
+      // (hint/remap_db_objects probes column `b` post-ALTER)
+      """(?is)^alter\s+table\s+`?(\w+)`?\s+add\s+(?:column\s+)?`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?(?:\s+unsigned)?)""".r
+        .findFirstMatchIn(qDb).foreach { m =>
+          if (!Set("index", "unique", "key", "primary", "constraint",
+            "foreign", "fulltext", "spatial", "partition", "check",
+            "vector").contains(m.group(2).toLowerCase))
+            MoCatalog.appendDeclaredColumn(spark, m.group(1), m.group(2),
+              m.group(3))
+        }
+      """(?is)^alter\s+table\s+`?(\w+)`?\s+drop\s+(?:column\s+)?`?(\w+)`?\s*$""".r
+        .findFirstMatchIn(qDb).foreach { m =>
+          if (!Set("index", "key", "primary", "constraint", "foreign",
+            "partition", "check").contains(m.group(2).toLowerCase))
+            MoCatalog.removeDeclaredColumn(spark, m.group(1), m.group(2))
+        }
+      // CHANGE to the SAME name (case changes included) is physical
+      // no-op metadata, but the FK catalog and declared layout track
+      // the new spelling (foreign_key/issue_26465's case-only rename)
+      """(?is)^alter\s+table\s+`?(\w+)`?\s+change\s+(?:column\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?(?:\s+unsigned)?)\b.*$""".r
+        .findFirstMatchIn(qDb).foreach { m =>
+          if (m.group(2).equalsIgnoreCase(m.group(3)) &&
+            (try spark.catalog.tableExists(m.group(1))
+            catch { case _: Exception => false })) {
+            renameFkColumn(m.group(1), m.group(2), m.group(3))
+            MoCatalog.renameDeclaredColumn(spark, m.group(1), m.group(2),
+              m.group(3), Some(m.group(4)))
+            return spark.emptyDataFrame
+          }
+        }
+      // auto-increment id fill + allocator hooks (pkg/incrservice):
+      // counters commit via aiDone only when the statement succeeds
+      val (qAi, aiDone0) = autoIncStmtRewrite(spark, qDb)
+      aiDone = aiDone0
+      // `ALTER TABLE t AUTO_INCREMENT = N` is pure allocator metadata
+      // (already applied above) — MySQL accepts it on any existing table
+      AiAlterRe.findFirstMatchIn(qAi).foreach { m =>
+        val exists = Partitions.get(spark, m.group(1)).isDefined ||
+          (try spark.catalog.tableExists(m.group(1))
+          catch { case _: Exception => false })
+        if (!exists) throw new IllegalArgumentException(
+          s"no such table ${m.group(1)}")
+        aiDone(None)
+        return spark.emptyDataFrame
       }
       val q2 = partSubtables(spark, parseJsonlRewrite(spark, subqueryIntervalViews(spark,
         tableStatsRewrite(spark, ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
           MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
-            fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark, qDb)))))))))))))))))
+            fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark, qAi)))))))))))))))))
       sequenceRewrite(spark, q2)
         .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
@@ -1721,7 +1758,10 @@ object GraftSql {
   }
 
   /** Test-harness hook: forget this session's mo_catalog state. */
-  def clearMoCatalog(spark: SparkSession): Unit = MoCatalog.clear(spark)
+  def clearMoCatalog(spark: SparkSession): Unit = {
+    MoCatalog.clear(spark)
+    Namespaces.clear(spark)
+  }
 
   /** Test-harness hook: mark a database as existing. */
   def registerDb(spark: SparkSession, db: String): Unit =
@@ -2546,6 +2586,219 @@ object GraftSql {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Per-db table namespacing (registry: [[Namespaces]]). The resolution
+  // pass maps logical `[db.]table` references to physical storage names
+  // — byte-identical to the old flat-storage qualifier strip until two
+  // databases actually hold namesake tables (then the later creation is
+  // mangled and every reference form re-points at it). Reference:
+  // relations keyed by database id (`pkg/catalog`), tenant-scoped dbs
+  // (`pkg/frontend/authenticate.go`).
+  // ------------------------------------------------------------------
+
+  private def activeRemapDb(spark: SparkSession): Map[String, String] =
+    if (Remap.applying ||
+      sysVarValue(spark, "session", "enable_remap_hint") != "1") Map.empty
+    else remapRulesCache.getOrElseUpdate(
+      sysVarValue(spark, "session", "remap_rewrites"),
+      try Remap.parse(spark,
+        unquoteLit(sysVarValue(spark, "session", "remap_rewrites")))
+      catch { case _: Exception => Remap.Empty }).remapdb
+
+  /** The db key unqualified references resolve in: current db, through
+    * remapdb (hint/remap_db_objects: USE keeps the real db but table
+    * references land in the destination), then subscription → publisher.
+    */
+  private def effectiveCurrentDbKey(spark: SparkSession): Option[String] =
+    MoCatalog.currentDb(spark).map { c =>
+      MoCatalog.resolvedDbKey(spark,
+        activeRemapDb(spark).getOrElse(c.toLowerCase, c))
+    }
+
+  private def nsKeyFor(spark: SparkSession, db: Option[String]): Option[String] =
+    db match {
+      case Some(d) => Some(MoCatalog.resolvedDbKey(spark,
+        activeRemapDb(spark).getOrElse(d.toLowerCase, d)))
+      case None => effectiveCurrentDbKey(spark)
+    }
+
+  /** Harness/API hook: the PHYSICAL name `[db.]t` currently resolves to
+    * (identity until a namesake mangling exists).
+    */
+  def resolveTableName(spark: SparkSession, db: Option[String],
+      t: String): String =
+    nsKeyFor(spark, db).map(k => Namespaces.resolve(spark, k, t)).getOrElse(t)
+
+  private val NsTempRe =
+    """(?is)^(create\s+temporary\s+table\s+(?:if\s+not\s+exists\s+)?`?[\w$]+`?)(.*)$""".r
+  private val NsCreateTblRe =
+    """(?is)^(create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?)(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?([\s(].*)$""".r
+  private val NsCreateViewRe =
+    """(?is)^(create\s+(?:or\s+replace\s+)?view\s+(?:if\s+not\s+exists\s+)?)(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?(\s.*)$""".r
+  private val NsRenameRe = """(?is)^(rename\s+table\s+)(.+)$""".r
+  private val NsRenamePairRe =
+    """(?is)^(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?\s+to\s+(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?$""".r
+  private val NsAlterRenameRe =
+    """(?is)^(alter\s+table\s+)(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?\s+rename\s+(?:to\s+|as\s+)?`?([\w$]+)`?\s*$""".r
+
+  /** Generic reference resolution on statement text: first the (rare)
+    * mangled bare names of the effective current db, then qualified
+    * `db.t` forms for every known db (which ALSO covers the bare pass's
+    * deliberately-skipped dot-prefixed occurrences).
+    */
+  private def nsRefs(spark: SparkSession, s0: String): String = {
+    var s = s0
+    val known = MoCatalog.knownDbs(spark)
+    effectiveCurrentDbKey(spark).foreach { cur =>
+      Namespaces.mangledOf(spark, cur).foreach { case (l, p) =>
+        if (s.toLowerCase.contains(l)) {
+          val ql = java.util.regex.Pattern.quote(l)
+          // a mangled name that doubles as a KNOWN DB name must leave
+          // qualifier positions alone (`dsrc.base` with a table `dsrc`)
+          val dotFollow =
+            if (known.exists(_.equalsIgnoreCase(l))) "(?!\\s*\\.)" else ""
+          s = replaceMaskedAll(s,
+            s"(?i)(?:(\\.\\s*)`?$ql`?|(?<![.\\w$$@%`])`?$ql`?$dotFollow)(?![\\w$$])".r,
+            m => if (m.group(1) != null) m.matched else p)
+        }
+      }
+    }
+    known.foreach { db =>
+      if (s.toLowerCase.contains(db.toLowerCase)) {
+        val qd = java.util.regex.Pattern.quote(db)
+        val key = nsKeyFor(spark, Some(db)).get
+        // emit the bare physical token (always \w+): downstream
+        // rewrites (MATCH single-table FROM etc.) match unbackticked
+        s = replaceMaskedAll(s,
+          s"(?i)(?<![\\w$$@.])`?$qd`?\\s*\\.\\s*(?:`([\\w$$]+)`|([\\w$$]+))".r,
+          m => Namespaces.resolve(spark, key,
+            Option(m.group(1)).getOrElse(m.group(2))))
+      }
+    }
+    s
+  }
+
+  /** DROP DATABASE cascade: drop every tracked table of the db key from
+    * the Spark catalog and forget its registries; affected rows = table
+    * count (reference row_count.result:47-53).
+    */
+  private def dropDbTables(spark: SparkSession, dbKey: String): Unit = {
+    val owned = Namespaces.tablesOf(spark, dbKey)
+    owned.foreach { case (_, phys) =>
+      try spark.sql(s"DROP TABLE IF EXISTS `$phys`")
+      catch { case _: Exception =>
+        try spark.sql(s"DROP VIEW IF EXISTS `$phys`")
+        catch { case _: Exception => () }
+      }
+      forgetTable(spark, phys)
+    }
+    Namespaces.dropDbEntries(spark, dbKey)
+    setRowCount(spark, owned.size.toLong)
+  }
+
+  /** Forget every per-table registry entry of a (physical) table name —
+    * shared by DROP TABLE and the DROP DATABASE cascade.
+    */
+  private def forgetTable(spark: SparkSession, phys: String): Unit = {
+    val t = phys.toLowerCase
+    ftIndexCols.remove(ftKey(spark, phys))
+    vecCols.remove(t)
+    autoIncCols.remove(t)
+    primaryKeys.remove(t)
+    uniqueKeys.remove(t)
+    foreignKeys.remove(t)
+    loadPaths.remove(t)
+    tsFsp.keys.filter(_._1 == t).foreach(tsFsp.remove)
+    MoCatalog.dropTable(spark, phys)
+    Namespaces.forget(spark, phys)
+    // cached postings for the dead table can never be valid again
+    graft.fulltext.Bm25.FulltextIndex.invalidate(phys)
+    // vector indexes die with their table too (registry keys are
+    // "$name-$table-$vecCol")
+    val mid = s"-$phys-"
+    (graft.plans.IvfIndex.indexes.map(_.name) ++
+      graft.plans.HnswIndex.indexes.map(_.name) ++
+      graft.plans.IvfPqIndex.indexes.map(_.name))
+      .filter(_.contains(mid)).distinct.foreach { n =>
+        graft.plans.IvfIndex.drop(n)
+        graft.plans.HnswIndex.drop(n)
+        graft.plans.IvfPqIndex.drop(n)
+      }
+  }
+
+  /** Resolution pass — replaces the flat-storage qualifier strip.
+    * CREATE/RENAME targets get a physical-name DECISION (claim bare or
+    * mangle on collision); all other reference forms resolve through
+    * the registry.
+    */
+  private def namespaceRewrite(spark: SparkSession, q0: String): String =
+    q0 match {
+      // temp tables are session-scoped, untracked; only the body
+      // (CTAS select etc.) resolves
+      case NsTempRe(head, rest) => head + nsRefs(spark, rest)
+      case NsCreateTblRe(pre, db, t, rest) =>
+        nsKeyFor(spark, Option(db)) match {
+          case Some(key) =>
+            val phys = Namespaces.createName(spark, key, t)
+            val rest2 = nsRefs(spark, rest)
+            // LIKE copies the source's declared layout (info_schema)
+            """(?is)^\s+like\s+`?([\w$]+)`?\s*;?\s*$""".r
+              .findFirstMatchIn(rest2).foreach { lm =>
+                MoCatalog.copyDeclaredLike(spark, lm.group(1), phys,
+                  primaryKeys.contains(lm.group(1).toLowerCase))
+              }
+            // CLONE (reference `pkg/frontend` clone DDL): schema+data
+            // copy resolved at EXECUTE time — a CTAS over the live
+            // source picks up post-PREPARE schema changes
+            // (hint/remap_db_objects.sql:99-108)
+            """(?is)^\s+clone\s+`?([\w$]+)`?\s*;?\s*$""".r
+              .findFirstMatchIn(rest2).foreach { cm =>
+                MoCatalog.copyDeclaredLike(spark, cm.group(1), phys,
+                  srcHasPk = true)
+                return pre + "`" + phys + "` USING parquet AS " +
+                  s"SELECT * FROM `${cm.group(1)}`"
+              }
+            pre + "`" + phys + "`" + rest2
+          case None => nsRefs(spark, q0) // no db context: untracked
+        }
+      case NsCreateViewRe(pre, db, t, rest) =>
+        nsKeyFor(spark, Option(db)) match {
+          case Some(key) =>
+            val phys = Namespaces.createName(spark, key, t)
+            MoCatalog.registerView(spark, phys)
+            pre + "`" + phys + "`" + nsRefs(spark, rest)
+          case None => nsRefs(spark, q0)
+        }
+      case NsAlterRenameRe(pre, db, t, tgt) =>
+        val srcKey = nsKeyFor(spark, Option(db))
+        srcKey match {
+          case Some(key) =>
+            val sPhys = Namespaces.resolve(spark, key, t)
+            val tPhys = Namespaces.createName(spark, key, tgt)
+            Namespaces.forget(spark, sPhys)
+            MoCatalog.renameTableMeta(spark, sPhys, tPhys)
+            pre + "`" + sPhys + "` RENAME TO `" + tPhys + "`"
+          case None => nsRefs(spark, q0)
+        }
+      case NsRenameRe(pre, list) if nsKeyFor(spark, None).isDefined ||
+          list.contains(".") =>
+        val items = splitTop(list).map(_.trim).map {
+          case NsRenamePairRe(db1, a, db2, b) =>
+            (nsKeyFor(spark, Option(db1)), nsKeyFor(spark, Option(db2))) match {
+              case (Some(k1), Some(k2)) =>
+                val aPhys = Namespaces.resolve(spark, k1, a)
+                val bPhys = Namespaces.createName(spark, k2, b)
+                Namespaces.forget(spark, aPhys)
+                MoCatalog.renameTableMeta(spark, aPhys, bPhys)
+                s"`$aPhys` TO `$bPhys`"
+              case _ => s"`$a` TO `$b`"
+            }
+          case other => other
+        }
+        pre + items.mkString(", ")
+      case _ => nsRefs(spark, q0)
+    }
+
   private def rbacRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
     def names(txt: String): Seq[String] =
       splitTop(txt).map(_.trim.stripPrefix("`").stripSuffix("`")
@@ -2579,6 +2832,9 @@ object GraftSql {
       return Some(spark.emptyDataFrame)
     }
     matchMasked(DropAccountRe, q).foreach { g =>
+      // the tenant's tables die with its databases
+      Namespaces.accountDbKeys(spark, g(0))
+        .foreach(dropDbTables(spark, _))
       MoCatalog.dropAccount(spark, g(0)); return Some(spark.emptyDataFrame) }
     matchMasked(CreateRoleRe, q).foreach { g =>
       names(g(0)).foreach(MoCatalog.createRole(spark, _))

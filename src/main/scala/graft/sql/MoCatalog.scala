@@ -94,6 +94,24 @@ object MoCatalog {
       if (a == "sys") db.toLowerCase else a + " " + db.toLowerCase)
   }
 
+  /** The account-scoped db identity string (`db` for sys, `acct db`
+    * otherwise) — the key [[Namespaces]] scopes table names by.
+    */
+  def scopedDbKey(spark: SparkSession, db: String): String =
+    dbKey(spark, db)._2
+
+  /** Like [[scopedDbKey]] but a subscription database resolves to its
+    * PUBLISHER's key — the published tables are the publisher's.
+    */
+  def resolvedDbKey(spark: SparkSession, db: String): String =
+    subOf(spark, db) match {
+      case Some((owner, pubName)) =>
+        val pubDb = pubs.get((sk(spark), owner, pubName)).map(_.db)
+          .getOrElse(db.toLowerCase)
+        if (owner == "sys") pubDb else owner + " " + pubDb
+      case None => scopedDbKey(spark, db)
+    }
+
   private val createdDbs = TrieMap[(Int, String), Unit]()
   def createDb(spark: SparkSession, db: String): Unit =
     createdDbs.put(dbKey(spark, db), ())
@@ -109,6 +127,8 @@ object MoCatalog {
       .foreach(statRows.remove)
     declaredCols.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
       .foreach(declaredCols.remove)
+    viewNames.keys.filter(key => key._1 == k && key._2 == db.toLowerCase)
+      .foreach(viewNames.remove)
   }
 
   // ------------------------------------------------------------------
@@ -252,6 +272,7 @@ object MoCatalog {
       .foreach(m => m.keys.filter(_._1 == k).foreach(m.remove))
     statRows.keys.filter(_._1 == k).foreach(statRows.remove)
     declaredCols.keys.filter(_._1 == k).foreach(declaredCols.remove)
+    viewNames.keys.filter(_._1 == k).foreach(viewNames.remove)
     sessionDb.remove(k)
     everUsed.remove(k)
     users.remove(k); accounts.remove(k); roles.remove(k)
@@ -341,6 +362,7 @@ object MoCatalog {
     val k = sk(spark)
     tableIds.remove((k, table.toLowerCase))
     tableDb.remove((k, table.toLowerCase))
+    dropViewMeta(spark, table)
     indexRows.keys.filter(key => key._1 == k &&
       key._2.endsWith(s"-${table.toLowerCase}")).foreach(indexRows.remove)
     clearStatIndexes(spark, table)
@@ -472,9 +494,17 @@ object MoCatalog {
   /** Replaces any previous registration of the same index name on the
     * (db, table).
     */
+  /** The db a (physical) table displays under: its namespace owner when
+    * tracked, else the session's current db.
+    */
+  private def displayDbOf(spark: SparkSession, table: String): String =
+    Namespaces.logicalOf(spark, table)
+      .map(l => Namespaces.displayDb(l._1))
+      .orElse(currentDb(spark)).getOrElse("default").toLowerCase
+
   def registerStatIndex(spark: SparkSession, table: String,
       index: String, nonUnique: Int, cols: Seq[(String, Boolean)]): Unit = {
-    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val db = displayDbOf(spark, table)
     val key = (sk(spark), db, table.toLowerCase)
     val prev = statRows.getOrElse(key, Vector.empty)
     statRows.put(key,
@@ -483,12 +513,12 @@ object MoCatalog {
   }
 
   def clearStatIndexes(spark: SparkSession, table: String): Unit = {
-    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val db = displayDbOf(spark, table)
     statRows.remove((sk(spark), db, table.toLowerCase))
   }
 
   def dropStatIndex(spark: SparkSession, table: String, index: String): Unit = {
-    val db = currentDb(spark).getOrElse("default").toLowerCase
+    val db = displayDbOf(spark, table)
     val key = (sk(spark), db, table.toLowerCase)
     statRows.get(key).foreach(v =>
       statRows.put(key, v.filterNot(_.index.equalsIgnoreCase(index))))
@@ -500,9 +530,12 @@ object MoCatalog {
   def ensureStatisticsView(spark: SparkSession): Unit = {
     val k = sk(spark)
     val rows = statRows.toSeq.filter(_._1._1 == k).flatMap {
-      case ((_, db, table), idxs) => idxs.flatMap { ix =>
+      case ((_, db, table), idxs) =>
+        // a mangled physical name displays as its logical (db, name)
+        val t = Namespaces.logicalOf(spark, table).map(_._2).getOrElse(table)
+        idxs.flatMap { ix =>
         ix.cols.zipWithIndex.map { case ((c, nullable), i) =>
-          org.apache.spark.sql.Row("def", db, table, ix.nonUnique,
+          org.apache.spark.sql.Row("def", db, t, ix.nonUnique,
             db, ix.index, i + 1, c, "A", 0L, null, null,
             if (nullable) "YES" else "", "", "", "", "YES", null)
         }
@@ -527,8 +560,10 @@ object MoCatalog {
   def showIndexRows(spark: SparkSession, table: String)
       : org.apache.spark.sql.DataFrame = {
     val k = sk(spark)
-    val db = currentDb(spark).getOrElse("default").toLowerCase
-    val rows = statRows.getOrElse((k, db, table.toLowerCase), Vector.empty)
+    // SHOW INDEX names the LOGICAL table; the registry keys physical
+    val phys = GraftSql.resolveTableName(spark, None, table)
+    val db = displayDbOf(spark, phys)
+    val rows = statRows.getOrElse((k, db, phys.toLowerCase), Vector.empty)
       .flatMap { ix =>
         ix.cols.zipWithIndex.map { case ((c, nullable), i) =>
           org.apache.spark.sql.Row(table, ix.nonUnique, ix.index, i + 1, c,
@@ -581,8 +616,95 @@ object MoCatalog {
 
   def registerDeclaredColumns(spark: SparkSession, db: Option[String],
       table: String, cols: Seq[(String, String, Boolean)]): Unit = {
-    val d = db.orElse(currentDb(spark)).getOrElse("default").toLowerCase
+    val d = Namespaces.logicalOf(spark, table)
+      .map(l => Namespaces.displayDb(l._1))
+      .orElse(db).orElse(currentDb(spark)).getOrElse("default").toLowerCase
     declaredCols.put((sk(spark), d, table.toLowerCase), cols.toVector)
+  }
+
+  // views surface in information_schema.tables with table_type=VIEW
+  // (hint/remap_db_objects obj probes; ddl/drop_table_multiple)
+  private val viewNames = TrieMap[(Int, String, String), Unit]()
+  def registerView(spark: SparkSession, phys: String): Unit =
+    viewNames.put((sk(spark), displayDbOf(spark, phys), phys.toLowerCase), ())
+  def dropViewMeta(spark: SparkSession, phys: String): Unit = {
+    val k = sk(spark)
+    viewNames.keys.filter(key => key._1 == k && key._3 == phys.toLowerCase)
+      .foreach(viewNames.remove)
+  }
+
+  /** ALTER TABLE ADD [COLUMN]: keep the declared layout in sync for a
+    * table information_schema already knows (no-op otherwise).
+    */
+  def appendDeclaredColumn(spark: SparkSession, table: String,
+      col: String, ty: String): Unit = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == table.toLowerCase).foreach { case (key, cols) =>
+      if (!cols.exists(_._1.equalsIgnoreCase(col)))
+        declaredCols.put(key, cols :+ ((col, ty, false)))
+    }
+  }
+
+  def renameDeclaredColumn(spark: SparkSession, table: String,
+      old: String, nw: String, newType: Option[String]): Unit = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == table.toLowerCase).foreach { case (key, cols) =>
+      declaredCols.put(key, cols.map { case (n, ty, nn) =>
+        if (n.equalsIgnoreCase(old)) (nw, newType.getOrElse(ty), nn)
+        else (n, ty, nn)
+      })
+    }
+  }
+
+  def removeDeclaredColumn(spark: SparkSession, table: String,
+      col: String): Unit = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == table.toLowerCase).foreach { case (key, cols) =>
+      declaredCols.put(key, cols.filterNot(_._1.equalsIgnoreCase(col)))
+    }
+  }
+
+  /** RENAME bookkeeping: declared layout, index stats and view rows
+    * follow the new physical name.
+    */
+  def renameTableMeta(spark: SparkSession, from: String, to: String): Unit = {
+    val k = sk(spark)
+    val toDb = displayDbOf(spark, to)
+    declaredCols.toSeq.filter(e => e._1._1 == k &&
+        e._1._3 == from.toLowerCase).foreach { case (key, cols) =>
+      declaredCols.remove(key)
+      declaredCols.put((k, toDb, to.toLowerCase), cols)
+    }
+    statRows.toSeq.filter(e => e._1._1 == k &&
+        e._1._3 == from.toLowerCase).foreach { case (key, v) =>
+      statRows.remove(key)
+      statRows.put((k, toDb, to.toLowerCase), v)
+    }
+    viewNames.keys.filter(key => key._1 == k && key._3 == from.toLowerCase)
+      .foreach { key =>
+        viewNames.remove(key)
+        viewNames.put((k, toDb, to.toLowerCase), ())
+      }
+  }
+
+  /** `CREATE TABLE ... LIKE src`: the copy inherits the source's
+    * declared layout; a pk-less source ALSO materializes its hidden
+    * `__mo_fake_pk_col` as a visible column (reference behavior pinned
+    * by publication_subscription/prepare_publication_change.result:55).
+    */
+  def copyDeclaredLike(spark: SparkSession, fromPhys: String,
+      toPhys: String, srcHasPk: Boolean): Unit = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == fromPhys.toLowerCase).foreach { case (_, cols) =>
+      val withFake =
+        if (srcHasPk) cols
+        else cols :+ (("__mo_fake_pk_col", "BIGINT", false))
+      registerDeclaredColumns(spark, None, toPhys, withFake)
+    }
   }
 
   def dropDeclaredColumns(spark: SparkSession, table: String): Unit = {
@@ -627,18 +749,23 @@ object MoCatalog {
     val k = sk(spark)
     val moRows = MoCatalogTables
       .map(t => ("def", "mo_catalog", t, "BASE TABLE", "Tae"))
+    def logicalName(t: String): String =
+      Namespaces.logicalOf(spark, t).map(_._2).getOrElse(t)
     val userRows = declaredCols.toSeq.filter(_._1._1 == k).map {
-      case ((_, db, t), _) => ("def", db, t, "BASE TABLE", "Tae")
+      case ((_, db, t), _) => ("def", db, logicalName(t), "BASE TABLE", "Tae")
     }
-    (moRows ++ userRows)
+    val viewRows = viewNames.keys.toSeq.filter(_._1 == k).map {
+      case (_, db, v) => ("def", db, logicalName(v), "VIEW", "Tae")
+    }
+    (moRows ++ userRows ++ viewRows)
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine")
       .createOrReplaceTempView("_graft_is_tables")
     val colRows = declaredCols.toSeq.filter(_._1._1 == k).flatMap {
       case ((_, db, t), cols) =>
         cols.zipWithIndex.map { case ((c, ty, notNull), i) =>
-          ("def", db, t, c, i + 1, mysqlDataType(ty), moColumnType(ty),
-            if (notNull) "NO" else "YES")
+          ("def", db, logicalName(t), c, i + 1, mysqlDataType(ty),
+            moColumnType(ty), if (notNull) "NO" else "YES")
         }
     }
     colRows
@@ -735,7 +862,11 @@ object MoCatalog {
     val db = currentDb(spark).getOrElse("default")
     val tids = tableIds.toSeq.filter(_._1._1 == k)
       .map { case ((_, t), id) =>
-        (id, t, tableDb.getOrElse((k, t), db)) }
+        Namespaces.logicalOf(spark, t) match {
+          case Some((dbKey, l)) => (id, l, Namespaces.displayDb(dbKey))
+          case None => (id, t, tableDb.getOrElse((k, t), db))
+        }
+      }
     // the reference's catalog also lists each index's INTERNAL tables
     // (array_index.result counts base + metadata/centroids/entries)
     val internal = indexRows.toSeq.filter(_._1._1 == k).flatMap(_._2)
