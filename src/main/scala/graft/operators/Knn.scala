@@ -237,8 +237,15 @@ object Knn {
       org.apache.spark.sql.types.StructField("__ivf_cell",
         org.apache.spark.sql.types.IntegerType)))
     val probes = spark.createDataFrame(probeRows, probeSchema)
+    // the probed cells are known driver-side — push a STATIC
+    // `__ivf_cell IN (...)` filter so the scan prunes the materialized
+    // index's partition directories before the join (a broadcast join
+    // alone leaves the pruning to DPP, which small plans skip)
+    import scala.jdk.CollectionConverters._
+    val probedCells = probeRows.asScala.map(_.getInt(2)).toSeq.distinct
     val scored = broadcast(probes)
-      .join(idx.cells, Seq("__ivf_cell"))
+      .join(idx.cells.filter(col("__ivf_cell").isin(probedCells: _*)),
+        Seq("__ivf_cell"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("_score", l2Distance(col(idx.vecCol), col("_qv")))
     scored

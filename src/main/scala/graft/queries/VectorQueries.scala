@@ -200,7 +200,20 @@ object VectorQueries extends QueryModule {
     val planted = emb.filter(col("vec_id") < 2)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         col("embedding"), col("label"))
-    Knn.cosineLshPairs(emb.unionByName(planted), "vec_id", "embedding", 0.9)
+    // a TRUE near-dup (cosine in [0.9, 1)) exercises the threshold
+    // boundary, not just cosine = 1: zero the first 4 components of
+    // vec_id 2's embedding — an EXACT transform both engines reproduce
+    // bit-identically (cos = sqrt(1 - prefixMass/‖v‖²): 0.9747 at
+    // sf0.01, 0.9627 at sf0.001 — verified offline to collide with the
+    // original in every LSH band at both SFs, so recall is
+    // deterministic, not probabilistic)
+    val nearDup = emb.filter(col("vec_id") === 2)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("concat(array_repeat(CAST(0.0 AS FLOAT), 4), " +
+          "slice(embedding, 5, size(embedding) - 4))").as("embedding"),
+        col("label"))
+    Knn.cosineLshPairs(emb.unionByName(planted).unionByName(nearDup),
+        "vec_id", "embedding", 0.9)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -209,7 +222,11 @@ object VectorQueries extends QueryModule {
     s"""WITH e AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 2),
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 2
+       |  UNION ALL
+       |  SELECT vec_id + 2000000,
+       |         list_concat([CAST(0 AS FLOAT), 0, 0, 0], embedding[5:])
+       |  FROM embeddings WHERE vec_id = 2),
        |p AS (
        |  SELECT a.vec_id AS a_id, q.vec_id AS b_id,
        |         $DOT / (${norm("a")} * ${norm("q")}) AS cos
