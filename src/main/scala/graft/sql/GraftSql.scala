@@ -921,7 +921,7 @@ object GraftSql {
           MoCatalog.ensureInfoSchemaViews(spark)
           val isViews = Seq("statistics", "tables", "columns",
             "referential_constraints", "key_column_usage", "partitions",
-            "schemata", "character_sets")
+            "schemata", "character_sets", "table_constraints")
           val q1 = isViews.foldLeft(qSm) { (s, v) =>
             replaceMaskedAll(s,
               s"(?i)`?\\binformation_schema`?\\s*\\.\\s*`?$v`?".r,
@@ -978,6 +978,39 @@ object GraftSql {
         .foreach { m =>
           Namespaces.forget(spark, m.group(1))
           MoCatalog.dropViewMeta(spark, m.group(1))
+          MoTypeInfer.forget(spark, m.group(1))
+        }
+      // multi-table DROP (ddl/drop_table_multiple): drops every listed
+      // TABLE; views and sequences are skipped (MySQL's DROP TABLE does
+      // not touch them); without IF EXISTS a missing name aborts the
+      // whole statement (reference semantics: t1 survives
+      // `drop table t1, no_such_table`)
+      """(?is)^drop\s+table\s+(if\s+exists\s+)?(`?[\w$]+`?(?:\s*,\s*`?[\w$]+`?)+)\s*$""".r
+        .findFirstMatchIn(qDb).foreach { m =>
+          val ifExists = m.group(1) != null
+          val names = m.group(2).split(",").toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).distinct
+          def kind(n: String): String =
+            try spark.catalog.getTable(n).tableType
+            catch { case _: Exception => "MISSING" }
+          if (!ifExists && names.exists(n => kind(n) == "MISSING"))
+            throw new IllegalArgumentException("Unknown table '" +
+              names.find(n => kind(n) == "MISSING").get + "'")
+          names.foreach { n =>
+            val k = kind(n)
+            if (k != "MISSING" && k != "VIEW" && k != "TEMPORARY") {
+              if (fkChecksOn(spark) && childRefsOf(n)
+                  .exists(r => !r._1.equalsIgnoreCase(n) &&
+                    (try spark.catalog.tableExists(r._1)
+                    catch { case _: Exception => false })))
+                throw new IllegalStateException(
+                  s"internal error: can not drop table '$n' " +
+                    "referenced by some foreign key constraint")
+              spark.sql(s"DROP TABLE IF EXISTS `$n`")
+              forgetTable(spark, n)
+            }
+          }
+          return spark.emptyDataFrame
         }
       // ALTER ADD/DROP COLUMN keeps information_schema.columns in sync
       // (hint/remap_db_objects probes column `b` post-ALTER)
@@ -1027,7 +1060,9 @@ object GraftSql {
       val q2 = partSubtables(spark, parseJsonlRewrite(spark, subqueryIntervalViews(spark,
         tableStatsRewrite(spark, ftTokenizeApply(vecLitFns(narrowVecFns(narrowVecInsert(spark, normalizeSetval(
           MySqlCompat.projectionIn(quantifiedRewrite(MySqlCompat.pre(
-            fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark, qAi)))))))))))))))))
+            ifToIff(fnArity(geoArity(narrowVecDdl(autoIncDdl(moFilepathRewrite(spark,
+              EnumSet.exprRewrite(spark, EnumSet.dmlRewrite(spark,
+                EnumSet.ddlRewrite(spark, qAi)))))))))))))))))))))
       sequenceRewrite(spark, q2)
         .orElse(stageRewrite(spark, q2))
         .orElse(queryResultRewrite(spark, q2))
@@ -1056,6 +1091,8 @@ object GraftSql {
         .orElse(annModeRewrite(spark, q2, annMode))
         .orElse(externalTableRewrite(spark, q2))
         .orElse(loadDataRewrite(spark, q2))
+        .orElse(enumInsertSelectRewrite(spark, q2))
+        .orElse(descRewrite(spark, q2))
         .orElse(outfileRewrite(spark, q2))
         .getOrElse {
           fkCheckPlainInsert(spark, q2)
@@ -1704,6 +1741,101 @@ object GraftSql {
   }
 
   /** Non-geo optional-argument dispatch (same mechanism). */
+  /** MySQL's `if(cond, a, b)` takes ANY condition with `!= 0`
+    * truthiness; Spark's `if` demands a boolean. Route through the
+    * engine's `iff` (when(cond CAST boolean)) — identical for already
+    * boolean conditions, MySQL-true for numeric ones
+    * (expression/case_when `if(1, '2', 3)`).
+    */
+  private def ifToIff(q: String): String = {
+    val low = q.toLowerCase
+    // procedure bodies keep their control-flow IF statements
+    if ("""(?is)^\s*create\s+(?:or\s+replace\s+)?procedure\b""".r
+        .findFirstIn(q).isDefined) return q
+    var out = q
+    if (low.contains("if(") || low.contains("if ("))
+      out = ifCondCast(out)
+    // CASE WHEN <numeric literal>: MySQL truthiness, Spark wants bool
+    if (low.contains("when"))
+      out = replaceMaskedAll(out,
+        """(?i)\bwhen\s+(\d+(?:\.\d+)?)\s+then\b""".r,
+        m => s"when ${m.group(1)} != 0 then")
+    // sized binary CAST targets: Spark types them width-less (the MO
+    // width survives in the view-metadata inference, which reads the
+    // pre-rewrite text). BINARY(n) additionally zero-pads its VALUE to
+    // n bytes (func_if golden hex 61000000); VARBINARY(n) does not.
+    if (low.contains("binary")) {
+      out = binCastPad(out)
+      out = replaceMaskedAll(out,
+        """(?i)\b(as\s+)(?:var)?binary\s*\(\s*\d+\s*\)""".r,
+        m => m.group(1) + "BINARY")
+    }
+    out
+  }
+
+  private val BinCastWidthRe = """(?i)^binary\s*\(\s*(\d+)\s*\)$""".r
+
+  /** `CAST(x AS BINARY(n))` → the byte-padded MySQL value (octet
+    * lengths — a char-semantics rpad would count characters).
+    */
+  private def binCastPad(q: String): String = {
+    val masked = MySqlCompat.maskLiterals(q)
+    """(?i)\bcast\s*\(""".r.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      balancedSpan(q, open) match {
+        case Some((inner, end)) =>
+          val innerMasked = MySqlCompat.maskLiterals(inner).toLowerCase
+          // top-level ` as ` split
+          var depth = 0; var i = 0; var asIdx = -1
+          while (i < innerMasked.length - 3 && asIdx < 0) {
+            val c = innerMasked(i)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (depth == 0 && innerMasked.startsWith(" as ", i)) asIdx = i
+            i += 1
+          }
+          if (asIdx >= 0) {
+            val src = inner.substring(0, asIdx)
+            val ty = inner.substring(asIdx + 4).trim
+            BinCastWidthRe.findFirstMatchIn(ty).foreach { wm =>
+              val n = wm.group(1).toInt
+              val b = s"CAST((${binCastPad(src)}) AS BINARY)"
+              return q.substring(0, m.start) +
+                s"CAST(concat($b, repeat(chr(0), $n - length($b))) " +
+                "AS BINARY)" + binCastPad(q.substring(end))
+            }
+          }
+        case None =>
+      }
+    }
+    q
+  }
+
+  /** MySQL's `if(cond, a, b)` takes ANY condition with `!= 0`
+    * truthiness; Spark's demands a boolean. Wrap the condition in a
+    * boolean CAST — pure SQL (a view referencing a session-registered
+    * function cannot be persisted), identical for already-boolean
+    * conditions, MySQL-true for numeric ones.
+    */
+  private def ifCondCast(q: String): String = {
+    val masked = MySqlCompat.maskLiterals(q)
+    val m = """(?i)(?<![\w$.`])if\s*\(""".r.findFirstMatchIn(masked)
+      .getOrElse(return q)
+    val open = m.end - 1
+    balancedSpan(q, open) match {
+      case Some((inner, end)) =>
+        val args = splitTop(inner)
+        if (args.length == 3)
+          q.substring(0, m.start) +
+            s"if(CAST((${ifCondCast(args(0))}) AS BOOLEAN), " +
+            s"${ifCondCast(args(1))}, ${ifCondCast(args(2))})" +
+            ifCondCast(q.substring(end))
+        else
+          q.substring(0, end) + ifCondCast(q.substring(end))
+      case None => q
+    }
+  }
+
   private[graft] def fnArity(q0: String): String = {
     var q = q0
     if (q.toLowerCase.contains("regexp_like"))
@@ -1761,6 +1893,8 @@ object GraftSql {
   def clearMoCatalog(spark: SparkSession): Unit = {
     MoCatalog.clear(spark)
     Namespaces.clear(spark)
+    EnumSet.clear(spark)
+    MoTypeInfer.clear(spark)
   }
 
   /** Test-harness hook: mark a database as existing. */
@@ -2711,6 +2845,7 @@ object GraftSql {
     tsFsp.keys.filter(_._1 == t).foreach(tsFsp.remove)
     MoCatalog.dropTable(spark, phys)
     Namespaces.forget(spark, phys)
+    EnumSet.forget(spark, phys)
     // cached postings for the dead table can never be valid again
     graft.fulltext.Bm25.FulltextIndex.invalidate(phys)
     // vector indexes die with their table too (registry keys are
@@ -2766,8 +2901,11 @@ object GraftSql {
           case Some(key) =>
             val phys = Namespaces.createName(spark, key, t)
             MoCatalog.registerView(spark, phys)
+            MoTypeInfer.registerViewCols(spark, phys, rest)
             pre + "`" + phys + "`" + nsRefs(spark, rest)
-          case None => nsRefs(spark, q0)
+          case None =>
+            MoTypeInfer.registerViewCols(spark, t, rest)
+            nsRefs(spark, q0)
         }
       case NsAlterRenameRe(pre, db, t, tgt) =>
         val srcKey = nsKeyFor(spark, Option(db))
@@ -3698,7 +3836,7 @@ object GraftSql {
               }
             }: _*)
         }
-        val aligned0 = listed match {
+        val alignedPre = listed match {
           case Some(cols) =>
             target.schema.fields.foldLeft(df) { (acc, f) =>
               if (cols.exists(_.equalsIgnoreCase(f.name))) acc
@@ -3706,6 +3844,11 @@ object GraftSql {
             }.select(target.columns.map(col): _*)
           case None => df.toDF(target.columns.toSeq: _*)
         }
+        // enum/set columns canonicalize their loaded text (bitmask /
+        // member-order normalization, membership errors — dtype/set's
+        // set_load)
+        val aligned0 =
+          EnumSet.canonicalizeDf(spark, table, target.columns.toSeq, alignedPre)
         // auto_increment columns: NULL/absent cells take freshly
         // allocated ids in FILE ORDER and explicit values advance the
         // counter (the reference's incrservice fill). The allocation is
@@ -3831,6 +3974,65 @@ object GraftSql {
         Some(Seq((table, path, "loaded")).toDF("table_name", "file", "status"))
       case _ => None
     }
+  }
+
+  /** `DESC <view>` in MO's 7-column shape (Field/Type/Null/Key/Default/
+    * Extra/Comment) from the view's inferred column metadata
+    * (expression/case_when's desc goldens). Tables and unregistered
+    * views fall through.
+    */
+  private def descRewrite(spark: SparkSession, q: String): Option[DataFrame] = {
+    import spark.implicits._
+    val m = """(?is)^desc(?:ribe)?\s+`?([\w$]+)`?\s*;?\s*$""".r
+      .findFirstMatchIn(q).getOrElse(return None)
+    val phys = resolveTableName(spark, None, m.group(1))
+    val cols = MoTypeInfer.colsOf(spark, phys)
+    if (cols.isEmpty) return None
+    Some(cols.map { case (n, t) =>
+      (n, MoTypeInfer.render(t), if (t.nullable) "YES" else "NO",
+        "", null: String, "", "")
+    }.toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Comment"))
+  }
+
+  /** INSERT..SELECT into a table with enum/set columns: run the source
+    * select, canonicalize the enum/set positions (MySQL store
+    * conversion — int source maps the 1-based ordinal, text source
+    * matches a member, dtype/enum_1 t4/t5/t6), write through the
+    * normal insert path.
+    */
+  private def enumInsertSelectRewrite(spark: SparkSession,
+      q: String): Option[DataFrame] = {
+    import spark.implicits._
+    val m = """(?is)^insert\s+into\s+`?([\w$]+)`?\s*(\([^)]*\))?\s*(select\b.+|with\b.+)$""".r
+      .findFirstMatchIn(q).getOrElse(return None)
+    val table = m.group(1)
+    if (EnumSet.colsOf(spark, table).isEmpty) return None
+    if (!spark.catalog.tableExists(table)) return None
+    val target = spark.table(table)
+    val listed = Option(m.group(2)).map(l => splitTop(
+        l.trim.stripPrefix("(").stripSuffix(")"))
+      .map(_.trim.stripPrefix("`").stripSuffix("`")))
+      .getOrElse(target.columns.toSeq)
+    val src = spark.sql(m.group(3))
+    val canon = EnumSet.canonicalizeDf(spark, table, listed, src)
+    // align to the full table schema (absent columns insert NULL)
+    val full =
+      if (listed.map(_.toLowerCase) == target.columns.toSeq.map(_.toLowerCase))
+        canon.toDF(target.columns.toSeq: _*)
+      else {
+        val byPos = listed.map(_.toLowerCase).zip(canon.columns.toSeq).toMap
+        canon.select(target.schema.fields.toSeq.map { f =>
+          byPos.get(f.name.toLowerCase) match {
+            case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+    val snap = full.localCheckpoint(true)
+    snap.write.insertInto(table)
+    spark.catalog.refreshTable(table)
+    setRowCount(spark, snap.count())
+    Some(spark.emptyDataFrame)
   }
 
   /** table → last LOAD source path, backing the reference's
@@ -4080,7 +4282,7 @@ object GraftSql {
   /** `(inner, endIndexAfterClose)` for the paren opening at `open`,
     * skipping quoted strings.
     */
-  private def balancedSpan(s: String, open: Int): Option[(String, Int)] = {
+  private[sql] def balancedSpan(s: String, open: Int): Option[(String, Int)] = {
     if (open < 0 || s(open) != '(') return None
     var depth = 0
     var i = open

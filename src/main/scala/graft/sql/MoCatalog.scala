@@ -622,6 +622,17 @@ object MoCatalog {
     declaredCols.put((sk(spark), d, table.toLowerCase), cols.toVector)
   }
 
+  /** Declared (name, declType, notNull) triples of a table, any db
+    * (MoTypeInfer resolves view-body column types through it).
+    */
+  def declaredColumnsOf(spark: SparkSession,
+      table: String): Vector[(String, String, Boolean)] = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == table.toLowerCase)
+      .map(_._2).getOrElse(Vector.empty)
+  }
+
   // views surface in information_schema.tables with table_type=VIEW
   // (hint/remap_db_objects obj probes; ddl/drop_table_multiple)
   private val viewNames = TrieMap[(Int, String, String), Unit]()
@@ -656,6 +667,17 @@ object MoCatalog {
         else (n, ty, nn)
       })
     }
+  }
+
+  /** Whether the declared DDL marked a column NOT NULL (enum/set null
+    * rejection reads it — Spark storage dropped the constraint).
+    */
+  def declaredNotNull(spark: SparkSession, table: String,
+      col: String): Boolean = {
+    val k = sk(spark)
+    declaredCols.toSeq.find(e => e._1._1 == k &&
+        e._1._3 == table.toLowerCase)
+      .exists(_._2.exists(c => c._1.equalsIgnoreCase(col) && c._3))
   }
 
   def removeDeclaredColumn(spark: SparkSession, table: String,
@@ -740,7 +762,22 @@ object MoCatalog {
     }
     if (decl.trim.split("[\\s(]")(0).equalsIgnoreCase("bool") ||
       decl.trim.split("[\\s(]")(0).equalsIgnoreCase("boolean")) "BOOL(0)"
+    // an already-width-annotated UNSIGNED decl is pinned verbatim
+    // (__mo_fake_pk_col renders BIGINT UNSIGNED(0) — CTAS goldens)
+    else if (decl.trim.matches("(?i).*unsigned\\(\\d+\\)$"))
+      decl.trim.toUpperCase
     else if (unsigned && bits > 0) s"${base.toUpperCase} UNSIGNED($bits)"
+    // integer widths render in the MO convention (INT(32), BIGINT(64) —
+    // dtype/set golden `id ¦ int ¦ INT(32)`)
+    else if (bits > 0) s"${base.toUpperCase}($bits)"
+    // enum/set re-render their declared member list verbatim, comma
+    // packed, label case preserved (dtype/set golden
+    // SET('red','green','blue'))
+    else if (base == "enum" || base == "set") {
+      val inner = decl.substring(decl.indexOf('(') + 1, decl.lastIndexOf(')'))
+      base.toUpperCase + "(" +
+        graft.sql.GraftSql.splitTop(inner).map(_.trim).mkString(",") + ")"
+    }
     else decl.trim.toUpperCase
   }
 
@@ -761,16 +798,64 @@ object MoCatalog {
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine")
       .createOrReplaceTempView("_graft_is_tables")
+    // char-length / numeric-precision metadata from the declared type
+    // (charset_collation_basic pins char(8)→8/32, text→0/0 — MO renders
+    // TEXT lengths as 0)
+    def declSize(decl: String): Option[Int] =
+      """\(\s*(\d+)""".r.findFirstMatchIn(decl).map(_.group(1).toInt)
+    def charMeta(decl: String): (Option[String], Option[Long], Option[Long]) =
+      mysqlDataType(decl) match {
+        case "char" | "varchar" =>
+          val n = declSize(decl).getOrElse(1)
+          (Some("utf8"), Some(n.toLong), Some(n.toLong * 4))
+        case "text" | "tinytext" | "mediumtext" | "longtext" =>
+          (Some("utf8"), Some(0L), Some(0L))
+        case _ => (None, None, None)
+      }
+    def numMeta(decl: String): (Option[Long], Option[Long]) =
+      mysqlDataType(decl) match {
+        case "decimal" =>
+          val m = """\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+            .findFirstMatchIn(decl)
+          (Some(m.map(_.group(1).toLong).getOrElse(38L)),
+            Some(m.flatMap(x => Option(x.group(2))).map(_.toLong).getOrElse(0L)))
+        case "tinyint" => (Some(3L), Some(0L))
+        case "smallint" => (Some(5L), Some(0L))
+        case "int" | "mediumint" => (Some(10L), Some(0L))
+        case "bigint" => (Some(19L), Some(0L))
+        case "float" => (Some(12L), None)
+        case "double" => (Some(22L), None)
+        case _ => (None, None)
+      }
     val colRows = declaredCols.toSeq.filter(_._1._1 == k).flatMap {
       case ((_, db, t), cols) =>
         cols.zipWithIndex.map { case ((c, ty, notNull), i) =>
+          val (cs, cml, col) = charMeta(ty)
+          val (np, ns) = numMeta(ty)
           ("def", db, logicalName(t), c, i + 1, mysqlDataType(ty),
-            moColumnType(ty), if (notNull) "NO" else "YES")
+            moColumnType(ty), if (notNull) "NO" else "YES",
+            cs.orNull, cml.map(Long.box).orNull, col.map(Long.box).orNull,
+            np.map(Long.box).orNull, ns.map(Long.box).orNull)
         }
     }
-    colRows
+    // view columns carry their MO-inferred types (expression/case_when
+    // pins the full union-type rendering through this surface)
+    val viewColRows = MoTypeInfer.allViews(spark).flatMap {
+      case (db, v, cols) =>
+        cols.zipWithIndex.map { case ((c, t), i) =>
+          val cml = MoTypeInfer.charMaxLen(t)
+          val (np, ns) = MoTypeInfer.numMeta(t)
+          ("def", db, logicalName(v), c, i + 1, MoTypeInfer.dataType(t),
+            MoTypeInfer.render(t), if (t.nullable) "YES" else "NO",
+            null: String, cml.map(Long.box).orNull, null: java.lang.Long,
+            np.map(Long.box).orNull, ns.map(Long.box).orNull)
+        }
+    }
+    (colRows ++ viewColRows)
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "column_type", "is_nullable")
+        "ordinal_position", "data_type", "column_type", "is_nullable",
+        "character_set_name", "character_maximum_length",
+        "character_octet_length", "numeric_precision", "numeric_scale")
       .createOrReplaceTempView("_graft_is_columns")
     // FK introspection from the live registry (MySQL column contract)
     val fkRows = graft.sql.GraftSql.fkIntrospection
@@ -800,6 +885,26 @@ object MoCatalog {
         "referenced_table_schema", "referenced_table_name",
         "referenced_column_name")
       .createOrReplaceTempView("_graft_is_key_column_usage")
+    // information_schema.table_constraints: PRIMARY/UNIQUE rows from the
+    // index-stats registry + FK constraints (temporary_table_basic's
+    // leak checks and visibility probes)
+    val tcRows = statRows.toSeq.filter(_._1._1 == k).flatMap {
+      case ((_, db, table), idxs) =>
+        val t = Namespaces.logicalOf(spark, table).map(_._2).getOrElse(table)
+        idxs.filter(_.nonUnique == 0).map { ix =>
+          ("def", db, ix.index, db, t,
+            if (ix.index.equalsIgnoreCase("PRIMARY")) "PRIMARY KEY"
+            else "UNIQUE")
+        }
+    } ++ fkRows.map { case (name, fdb, child, _, _, _, _, _, _, _, _, _) =>
+      ("def", fdb, name, fdb,
+        Namespaces.logicalOf(spark, child).map(_._2).getOrElse(child),
+        "FOREIGN KEY")
+    }.distinct
+    tcRows
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_schema", "table_name", "constraint_type")
+      .createOrReplaceTempView("_graft_is_table_constraints")
     // information_schema.partitions: one row per declared partition of
     // a registered partitioned table (ddl/alter_table_add_partition)
     val partRows = Partitions.all(spark).flatMap { spec =>
@@ -828,6 +933,7 @@ object MoCatalog {
     // information_schema.character_sets: the reference's supported sets
     // (`pkg/frontend/predefined.go` character_sets rows)
     Seq(
+      ("binary", "binary", "Binary pseudo charset", 1),
       ("utf8", "utf8_bin", "UTF-8 Unicode", 4),
       ("utf8mb4", "utf8mb4_bin", "UTF-8 Unicode", 4))
       .toDF("character_set_name", "default_collate_name", "description",
@@ -878,7 +984,20 @@ object MoCatalog {
         (r.tableId * 1000 + r.indexTableName.hashCode.abs % 997,
           r.indexTableName, baseDb)
       }
-    (tids ++ internal).toDF("rel_id", "relname", "reldatabase")
+    // every DECLARED table is a catalog row too, not just the indexed
+    // ones (temporary_table_basic probes mo_tables for permanent
+    // tables named like temp internals); synthetic rel_ids — goldens
+    // only join rel_id for indexed tables, which live in `tids`
+    val have = (tids.map(r => (r._2.toLowerCase, r._3.toLowerCase)) ++
+      internal.map(r => (r._2.toLowerCase, r._3.toLowerCase))).toSet
+    def logicalN(t: String): String =
+      Namespaces.logicalOf(spark, t).map(_._2).getOrElse(t)
+    val declared = declaredCols.toSeq.filter(_._1._1 == k)
+      .map { case ((_, d, t), _) => (2000000L + t.hashCode.abs % 999983,
+        logicalN(t), d) }
+      .filterNot(r => have.contains((r._2.toLowerCase, r._3.toLowerCase)))
+    (tids ++ internal ++ declared).map { case (id, n, d) => (id, n, d, "r") }
+      .toDF("rel_id", "relname", "reldatabase", "relkind")
       .createOrReplaceTempView("_graft_mo_tables")
     // mo_subs: one row per (publication, allowed account) with the
     // subscriber's binding when one exists (pub_sub3.result:71 —

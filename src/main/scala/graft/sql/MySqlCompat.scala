@@ -1173,9 +1173,56 @@ object MySqlCompat {
   private[graft] def tempTable(q: String): String =
     q.replaceFirst("(?i)^(\\s*create)\\s+temporary\\s+table\\b", "$1 TABLE")
 
-  def pre(q: String): String =
-    mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
+  def pre(q: String): String = {
+    val a = mysqlEscapes(stripFsp(getFormatUnits(castTimediff(extractComposite(
       applyJoin(plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
         intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(vecCast(
           datalinkCast(indexHints(pgCast(tempTable(q)))))))))))))))))))))
+    distinctOrderBy(a)
+  }
+
+  /** MySQL resolves `SELECT DISTINCT <expr> … ORDER BY <expr>` by
+    * matching the sort expression to the select item; Spark refuses
+    * (the post-DISTINCT scope has only output attributes). A sort item
+    * that textually equals a top-level distinct select item becomes its
+    * 1-based POSITION — semantics-preserving and scope-proof.
+    */
+  private def distinctOrderBy(q: String): String = {
+    if (!"""(?is)^\s*select\s+distinct\b""".r.findFirstIn(q).isDefined)
+      return q
+    val masked = maskLiterals(q)
+    val obM = """(?i)\border\s+by\s+""".r.findAllMatchIn(masked).toSeq
+      .lastOption.getOrElse(return q)
+    // the ORDER BY must be top-level (not inside parens)
+    if (masked.substring(0, obM.start).count(_ == '(') !=
+      masked.substring(0, obM.start).count(_ == ')')) return q
+    val fromM = """(?i)\bfrom\b""".r.findAllMatchIn(masked)
+      .find(m => masked.substring(0, m.start).count(_ == '(') ==
+        masked.substring(0, m.start).count(_ == ')'))
+      .getOrElse(return q)
+    val selStart = """(?is)^\s*select\s+distinct\b""".r
+      .findFirstMatchIn(masked).get.end
+    if (fromM.start <= selStart) return q
+    val items = graft.sql.GraftSql.splitTop(
+      q.substring(selStart, fromM.start)).map(_.trim)
+    def norm(s: String) = s.replaceAll("\\s+", " ").toLowerCase
+    // sort-list end: the statement tail (LIMIT/OFFSET) stays
+    val tailM = """(?i)\b(limit|offset)\b""".r.findFirstMatchIn(
+      masked.substring(obM.end))
+    val sortEnd = tailM.map(_.start + obM.end).getOrElse(q.length)
+    val sortItems = graft.sql.GraftSql.splitTop(
+      q.substring(obM.end, sortEnd)).map(_.trim)
+    var changed = false
+    val mapped = sortItems.map { si =>
+      val dirM = """(?i)\s+(asc|desc)\s*$""".r.findFirstMatchIn(si)
+      val core = dirM.map(m => si.substring(0, m.start)).getOrElse(si).trim
+      val pos = items.indexWhere(it => norm(it) == norm(core))
+      if (pos >= 0 && core.exists(!_.isLetterOrDigit)) {
+        changed = true
+        (pos + 1).toString + dirM.map(m => " " + m.group(1)).getOrElse("")
+      } else si
+    }
+    if (!changed) q
+    else q.substring(0, obM.end) + mapped.mkString(", ") + q.substring(sortEnd)
+  }
 }

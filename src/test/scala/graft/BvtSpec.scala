@@ -512,10 +512,16 @@ class BvtSpec extends AnyFunSuite {
       .r.findFirstIn(low).isDefined) return None
     // `use db` and database DDL reach the engine (they drive the
     // session-db tracking behind database()/mo_catalog)
+    if ("""^desc(ribe)?\s""".r.findFirstIn(low).isDefined) {
+      // view DESC runs against the engine's MO-typed renderer where
+      // the inference surface is validated (expression/case_when's
+      // union-type pins); elsewhere it stays result-shape-unmodeled
+      return if (currentRel.startsWith("expression/case_when")) Some(stmt)
+      else None
+    }
     if (low.startsWith("show ") || low.startsWith("explain") ||
       low.startsWith("start transaction") || low.startsWith("begin") ||
-      low.startsWith("commit") || low.startsWith("rollback") ||
-      """^desc(ribe)?\s""".r.findFirstIn(low).isDefined) return None
+      low.startsWith("commit") || low.startsWith("rollback")) return None
     if (!low.startsWith("create table") &&
         !low.startsWith("create external table")) {
       // expression-level MySQL-isms that have exact Spark equivalents
@@ -550,7 +556,22 @@ class BvtSpec extends AnyFunSuite {
                   .zipWithIndex.map { case (it, i) =>
                     val padN = pads.find(p => hits(p._1, p._2, i)).map(_._3)
                     if (padN.isDefined && !it.trim.equalsIgnoreCase("null"))
-                      s"CAST(rpad(CAST(${it.trim} AS STRING), ${padN.get}, chr(0)) AS BINARY)"
+                      // byte-NUL padding (MySQL pads binary(n) to n
+                      // BYTES): a plain string literal pads at
+                      // transform time into a hex literal — the
+                      // engine's char-semantics rpad rewrite can't
+                      // reach it; other shapes byte-pad via concat
+                      """(?s)^'([^'\\]*)'$""".r.findFirstMatchIn(it.trim) match {
+                        case Some(sm) =>
+                          val bs = sm.group(1)
+                            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                          val padded = bs ++ Array.fill[Byte](
+                            math.max(0, padN.get - bs.length))(0)
+                          "X'" + padded.map("%02X".format(_)).mkString + "'"
+                        case None =>
+                          s"concat(CAST(${it.trim} AS BINARY), repeat(X'00', " +
+                            s"${padN.get} - length(CAST(${it.trim} AS BINARY))))"
+                      }
                     else if (bits.exists(b => hits(b._1, b._2, i)))
                       bitLiteral(it)
                     else it
@@ -729,9 +750,16 @@ class BvtSpec extends AnyFunSuite {
       // MySQL's unary BINARY operator over a literal (`binary null`,
       // `binary 'a'`) = a cast Spark's parser has no prefix form for
       // (SELECT-only: `col binary null` in DDL must survive)
-      if (low.startsWith("select"))
+      if (low.startsWith("select")) {
         e = e.replaceAll("(?i)\\bbinary\\s+('(?:[^'\\\\]|\\\\.)*'|null)\\b",
           "CAST($1 AS BINARY)")
+        // ... and over a bare COLUMN reference (`binary vc = 'a'`,
+        // mysql_compat_string_binary_comparison) — not before `(` (a
+        // function call) and not a cast target (`as binary`)
+        e = e.replaceAll(
+          "(?i)(?<!\\bas\\s)\\bbinary\\s+(`?[\\w$]+`?)(?![\\w$(.])",
+          "CAST($1 AS BINARY)")
+      }
       e = e.replaceAll("(?i)\\bconvert\\s*\\(((?:[^()]|\\([^()]*\\))*?)\\s+using\\s+\\w+\\s*\\)",
         "CAST($1 AS STRING)")
       // second-less / trailing-colon datetime literals MySQL tolerates
@@ -881,7 +909,8 @@ class BvtSpec extends AnyFunSuite {
       // timestamp, bare decimal is the reference's decimal128 (38,0)
       e = e.replaceAll("(?i)\\bas\\s+text\\s*\\)", "AS STRING)")
       e = e.replaceAll("(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
-      e = e.replaceAll("(?i)\\bas\\s+varbinary\\s*\\(\\d+\\)\\s*\\)", "AS BINARY)")
+      // sized varbinary CAST targets now map inside the engine (the MO
+      // width feeds the view-metadata inference first)
       e = e.replaceAll("(?i)\\bas\\s+json\\s*\\)", "AS STRING)")
       e = e.replaceAll("(?i)\\bas\\s+uuid\\s*\\)", "AS STRING)")
       // CAST(x AS TIME): MySQL normalizes the text ('030405'→03:04:05,
@@ -985,9 +1014,15 @@ class BvtSpec extends AnyFunSuite {
     s = s.replaceAll("(?i)\\bdatetime\\(\\d+\\)", "TIMESTAMP")
     // sized binary columns: BINARY storage; binary(n) additionally
     // zero-pads on store (MySQL semantics — pub_sub2's t3 goldens
-    // render the NUL padding)
+    // render the NUL padding). Opt-in per file: dtype/binary's wider
+    // surface (numeric literals stored as digit text, binary string
+    // builtins) pins semantics BINARY storage cannot render, so its
+    // lineages keep the dead-skip path
+    val binColShims = currentRel.startsWith("publication_subscription/") ||
+      currentRel.contains("mysql_compat_string_binary_comparison") ||
+      currentRel.contains("func_string_char_length")
     for (tm <- """(?is)^create\s+table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s*\(""".r
-        .findFirstMatchIn(s)) {
+        .findFirstMatchIn(s) if binColShims) {
       val open = s.indexOf('(', tm.end - 1)
       val close = if (open >= 0) parenClose(s, open) else -1
       if (close > open) {
@@ -1004,7 +1039,8 @@ class BvtSpec extends AnyFunSuite {
         if (bits.nonEmpty) bitNumCols(tm.group(1).toLowerCase) = bits
       }
     }
-    s = s.replaceAll("(?i)(`?\\w+`?\\s+)(?:var)?binary\\s*\\(\\s*\\d+\\s*\\)", "$1BINARY")
+    if (binColShims)
+      s = s.replaceAll("(?i)(`?\\w+`?\\s+)(?:var)?binary\\s*\\(\\s*\\d+\\s*\\)", "$1BINARY")
     // literal column DEFAULTs carry over to Spark as-is; NOT NULL is a
     // v2-only constraint and drops (nullability is not observable here)
     s = s.replaceAll("(?i)\\s+NOT\\s+NULL", "")
@@ -1108,14 +1144,21 @@ class BvtSpec extends AnyFunSuite {
     * rejected duplicate CREATE can't clobber the live table's keys.
     */
   private def registerCreateTableKeys(stmt: String): Unit = {
-    val tm = """(?is)^create\s+(?:temporary\s+)?(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*\(""".r
-      .findFirstMatchIn(stmt).getOrElse(return)
-    val dbQual = Option(tm.group(1)).map(_.toLowerCase)
+    val tm = """(?is)^create\s+(temporary\s+)?(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s*\(""".r
+      .findFirstMatchIn(stmt).getOrElse {
+        registerCtasColumns(stmt); return
+      }
+    // temporary tables never surface in information_schema (the
+    // reference hides them behind __mo_tmp_ physical names —
+    // temporary_table_basic's leak checks); their engine-side key
+    // registries still register below
+    val isTemp = tm.group(1) != null
+    val dbQual = Option(tm.group(2)).map(_.toLowerCase)
     // register under the PHYSICAL name the engine's namespacing pass
     // resolved the create to (identity unless a namesake collision
     // mangled it) so engine-side DML lookups hit these registries
     val tbl = graft.sql.GraftSql.resolveTableName(spark, dbQual,
-      tm.group(2)).toLowerCase
+      tm.group(3)).toLowerCase
     graft.sql.GraftSql.clearUniqueKeys(tbl)
     graft.sql.MoCatalog.clearStatIndexes(spark, tbl)
     // declared column types -> information_schema.columns (metadata BVT)
@@ -1160,10 +1203,10 @@ class BvtSpec extends AnyFunSuite {
       val defs = declaredColumnDefs().map { case (n, ty, nn) =>
         (n, ty, nn || pkCols.contains(n.toLowerCase))
       }
-      if (defs.nonEmpty)
+      if (defs.nonEmpty && !isTemp)
         graft.sql.MoCatalog.registerDeclaredColumns(spark, dbQual, tbl, defs)
     }
-    pkOpt.foreach { pk =>
+    pkOpt.filter(_ => !isTemp).foreach { pk =>
       graft.sql.MoCatalog.registerStatIndex(spark, tbl, "PRIMARY", 0,
         pk.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(c => (c, false)))
     }
@@ -1179,10 +1222,12 @@ class BvtSpec extends AnyFunSuite {
         val cols = colsOf(m.group(3))
         if (cols.nonEmpty) {
           graft.sql.GraftSql.registerUniqueKey(tbl, nm, cols)
-          graft.sql.MoCatalog.registerPlainIndex(
-            spark, nm, tbl, "UNIQUE", "", cols, Seq.empty)
-          graft.sql.MoCatalog.registerStatIndex(
-            spark, tbl, nm, 0, cols.map(c => (c, nullab(c))))
+          if (!isTemp) {
+            graft.sql.MoCatalog.registerPlainIndex(
+              spark, nm, tbl, "UNIQUE", "", cols, Seq.empty)
+            graft.sql.MoCatalog.registerStatIndex(
+              spark, tbl, nm, 0, cols.map(c => (c, nullab(c))))
+          }
         }
       }
     """(?is),\s*(?:key|index)\s+`?(\w+)`?\s*\(([^)]*)\)""".r
@@ -1190,7 +1235,8 @@ class BvtSpec extends AnyFunSuite {
         val cols = colsOf(m.group(2))
         val low = m.group(0).toLowerCase
         if (cols.nonEmpty && !low.contains("using ivfflat") &&
-          !low.contains("using hnsw") && !low.contains("using ivfpq")) {
+          !low.contains("using hnsw") && !low.contains("using ivfpq") &&
+          !isTemp) {
           graft.sql.MoCatalog.registerPlainIndex(
             spark, m.group(1), tbl, "MULTIPLE", "", cols, Seq.empty)
           graft.sql.MoCatalog.registerStatIndex(
@@ -1201,11 +1247,13 @@ class BvtSpec extends AnyFunSuite {
       .findAllMatchIn(stmt.substring(tm.end - 1)).foreach { m =>
         graft.sql.GraftSql.registerUniqueKey(
           tbl, m.group(1).toLowerCase, Seq(m.group(1).toLowerCase))
-        graft.sql.MoCatalog.registerPlainIndex(spark, m.group(1), tbl,
-          "UNIQUE", "", Seq(m.group(1).toLowerCase), Seq.empty)
-        graft.sql.MoCatalog.registerStatIndex(spark, tbl,
-          m.group(1).toLowerCase, 0,
-          Seq((m.group(1).toLowerCase, nullab(m.group(1)))))
+        if (!isTemp) {
+          graft.sql.MoCatalog.registerPlainIndex(spark, m.group(1), tbl,
+            "UNIQUE", "", Seq(m.group(1).toLowerCase), Seq.empty)
+          graft.sql.MoCatalog.registerStatIndex(spark, tbl,
+            m.group(1).toLowerCase, 0,
+            Seq((m.group(1).toLowerCase, nullab(m.group(1)))))
+        }
       }
     graft.sql.GraftSql.clearForeignKeys(tbl)
     """(?is)(?:constraint\s+`?(\w+)`?\s+)?foreign\s+key\s*(?:`?(\w*)`?\s*)?\(([^)]*)\)\s*references\s+(?:`?\w+`?\.)?`?(\w+)`?\s*\(([^)]*)\)((?:\s+on\s+(?:delete|update)\s+(?:restrict|cascade|set\s+null|set\s+default|no\s+action))*)""".r
@@ -1235,6 +1283,33 @@ class BvtSpec extends AnyFunSuite {
             upd.isDefined)
         }
       }
+  }
+
+  /** CTAS column typing for the explicitly-CAST shape (ddl/
+    * create_table_as_select's repro_ctas_datetime6): every select item
+    * `cast(... as TYPE) as alias` declares (alias, TYPE); a pk-less
+    * CTAS also materializes the hidden fake pk, rendered
+    * BIGINT UNSIGNED(0).
+    */
+  private def registerCtasColumns(stmt: String): Unit = {
+    val cm = """(?is)^create\s+table\s+(?:if\s+not\s+exists\s+)?(?:`?(\w+)`?\.)?`?(\w+)`?\s+as\s+select\s+(.+)$""".r
+      .findFirstMatchIn(stmt).getOrElse(return)
+    val body = cm.group(3)
+    if ("""(?is)\b(from|union)\b""".r.findFirstIn(body).isDefined) return
+    val items = graft.sql.GraftSql.splitTop(body.stripSuffix(";"))
+    val ItemRe =
+      """(?is)^\s*cast\s*\(.*\s+as\s+(\w+(?:\(\d+(?:,\d+)?\))?)\s*\)\s+as\s+`?(\w+)`?\s*$""".r
+    val defs = items.flatMap {
+      case ItemRe(ty, alias) => Some((alias, ty, false))
+      case _ => None
+    }
+    if (defs.length == items.length && defs.nonEmpty) {
+      val dbQual = Option(cm.group(1)).map(_.toLowerCase)
+      val tbl = graft.sql.GraftSql.resolveTableName(spark, dbQual,
+        cm.group(2)).toLowerCase
+      graft.sql.MoCatalog.registerDeclaredColumns(spark, dbQual, tbl,
+        defs :+ (("__mo_fake_pk_col", "bigint unsigned(0)", true)))
+    }
   }
 
   /** Remove plain block comments outside string literals (quote-aware). */
@@ -1755,7 +1830,7 @@ class BvtSpec extends AnyFunSuite {
     * the compiler never sees one 300-term boolean expression.
     */
   private val unsupportedSubstrings: Seq[String] = Seq(
-    "| 0", "1/0", "+0.0", "= '20161213'", "when 0 then", "values ()", "if(1,", "if(0,", " time(",
+    "| 0", "1/0", "+0.0", "= '20161213'", "values ()", " time(",
     "iff(", "rtfcontent", "collation(",
     // run-specific catalog output (server-generated ids / wall-clock
     // timestamps / system-db counts / original-DDL text)
@@ -1764,7 +1839,10 @@ class BvtSpec extends AnyFunSuite {
     // temporary-table PHYSICAL layout probes (the reference renames temp
     // tables to __mo_tmp_<session>_<name> and tags relkind) and
     // session-scoped temp shadowing — storage internals not modeled
-    "__mo_tmp_", "prepared_shadow_stmt", "prepared_db_stmt",
+    // (permanent tables NAMED __mo_tmp_* are ordinary DDL and run;
+    // only the mo_tables relkind probes of the temp PHYSICAL layout
+    // stay out — relkind classes for temp bases/indexes not modeled)
+    "left(relname, 9)", "prepared_shadow_stmt", "prepared_db_stmt",
     "as date)-cast(", "0000-00-00", "0000-01-01", "against('is red'", ".512345", ".000050",
     "23:59:59.999999", "max(big)-1", "cast(0-a as signed)", "id <=177.171", ".0000006",
     "substring(b,-5)", "cast(-2 as unsigned)", "e-324", "order by oct(", "order by bin(",
@@ -2092,6 +2170,9 @@ class BvtSpec extends AnyFunSuite {
     // charset length metadata, temp-table visibility) — documented gaps
     val isWhitelisted = Seq("metadata/", "foreign_key/", "hint/",
       "window/", "ddl/alter_table_add_partition",
+      "ddl/drop_table_multiple", "ddl/create_table_as_select",
+      "charset_collation/", "temporary/", "dtype/enum", "dtype/set",
+      "expression/case_when",
       "system_variable/lower_case_table_names",
       "publication_subscription/").exists(currentRel.startsWith)
     if (l.contains("information_schema") && !isWhitelisted)
@@ -2106,7 +2187,10 @@ class BvtSpec extends AnyFunSuite {
     (l.contains("exists(select") &&
       (l.contains(") is null") || l.contains(") is not null"))) ||
     l.startsWith("select any_value(") ||
-    ((l.contains("greatest(") || l.contains("least(")) && l.contains("null")) ||
+    // a bare NULL argument: MySQL's greatest/least return NULL, Spark's
+    // skip nulls (flat-arg scan — `null` elsewhere in the statement is
+    // not this divergence)
+    """(?:greatest|least)\s*\([^)]*\bnull\b""".r.findFirstIn(l).isDefined ||
     (l.contains("ntile(") && (l.contains("salary") || l.contains("order by val"))) ||
     ((l.contains("vector_index_0") || l.contains("vector_cos_0") ||
       l.contains("test_distance_issue")) &&
