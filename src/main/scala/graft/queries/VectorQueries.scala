@@ -139,8 +139,12 @@ object VectorQueries extends QueryModule {
     * calibrated with ≥2 hits of margin on sf0.001/sf0.01; the index
     * builds are seed-fixed and deterministic per corpus).
     */
-  private def recallSummary(res: DataFrame, bf: DataFrame,
+  private def recallSummary(res0: DataFrame, bf: DataFrame,
       perQ: Int, total: Int): DataFrame = {
+    // the summary references the (expensive, k·nQueries-row) probe
+    // result three times — overlap, per-query counts, totals; pin the
+    // tiny result once so the index probe executes once, not thrice
+    val res = res0.localCheckpoint(true)
     val overlaps = res.select(col("query_id"), col("neighbor_id"))
       .join(bf.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
