@@ -32,6 +32,8 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // persisted for the same three-reader reason as
+    // [[minhashCandidatesFromShingles]]
     val sigs = df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
       .withColumn("_sh", wordShingles(col("_tk"), shingleN))
@@ -39,6 +41,7 @@ object Dedup {
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .select(col("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop degenerate buckets before the self-join (skew guard): bucket
     // sizes via hash AGGREGATE + semi-join on the small survivor set —
     // no per-partition sort, unlike a count-over-window
@@ -78,10 +81,18 @@ object Dedup {
       sh: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // the banded signature is read THREE times downstream (bucket-size
+    // aggregate + both self-join sides); without a persist the 64-hash
+    // MinHash kernel re-runs over every shingle set per read — the
+    // signature pass dominated dd2's profile (3× ≈ +1s at sf0.1). The
+    // persisted frame is (id, band, key): bands× the corpus row count,
+    // bytes-per-row tiny — at cluster scale this is the signature table
+    // a real pipeline would materialize anyway.
     val sigs = sh
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
       .select(col("_sid").as("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okBuckets = sigs.groupBy(col("_band"), col("_key"))
       .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)

@@ -139,23 +139,32 @@ object VectorQueries extends QueryModule {
     * calibrated with ≥2 hits of margin on sf0.001/sf0.01; the index
     * builds are seed-fixed and deterministic per corpus).
     */
-  private def recallSummary(res0: DataFrame, bf: DataFrame,
+  private def recallSummary(res: DataFrame, bf: DataFrame,
       perQ: Int, total: Int): DataFrame = {
-    // the summary references the (expensive, k·nQueries-row) probe
-    // result three times — overlap, per-query counts, totals; pin the
-    // tiny result once so the index probe executes once, not thrice
-    val res = res0.localCheckpoint(true)
-    val overlaps = res.select(col("query_id"), col("neighbor_id"))
-      .join(bf.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("_overlap"))
-    val counts = res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
-    val per = counts.join(overlaps, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_results"),
-        (coalesce(col("_overlap"), lit(0L)) >= perQ).as("recall_ok"))
-    val tot = counts.join(overlaps, Seq("query_id"), "left")
+    // ONE pass over the probe result: mark each row as brute-force hit
+    // or not via a broadcast left join (bf's rows are unique per
+    // (query_id, neighbor_id) by construction — row_number ranks), then
+    // a single per-query aggregate carries both the result count and the
+    // overlap. The previous shape (separate counts/overlaps frames,
+    // joined once for the per-query rows and AGAIN for the total row)
+    // duplicated the whole brute-force subtree in the plan (2× the
+    // corpus scans) and planned 50-row SortMergeJoins; the probe was
+    // pinned with a localCheckpoint to dodge a triple execution. Now
+    // only the 1-row-per-query summary is pinned (per + total read it),
+    // and probe AND brute force each execute exactly once.
+    val hits = bf.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    val base = res.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(hits), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(coalesce(col("_hit"), lit(0L))).as("_overlap"))
+      .localCheckpoint(true)
+    val per = base.select(col("query_id"), col("n_results"),
+      (col("_overlap") >= perQ).as("recall_ok"))
+    val tot = base
       .agg(sum(col("n_results")).cast("long").as("n_results"),
-        (sum(coalesce(col("_overlap"), lit(0L))) >= total).as("recall_ok"))
+        (sum(col("_overlap")) >= total).as("recall_ok"))
       .select(lit(-1L).as("query_id"), col("n_results"), col("recall_ok"))
     per.unionByName(tot).orderBy(col("query_id"))
   }
