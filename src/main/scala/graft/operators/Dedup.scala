@@ -93,6 +93,11 @@ object Dedup {
       .select(col("_sid").as("_id"), posexplode(bandKeys(col("_sig"), bands, rows)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize now (one pass also fills the upstream shingle cache):
+    // the downstream plan launches its broadcast builds CONCURRENTLY, and
+    // racing readers of a cold cache each recompute the shingle+signature
+    // pass — profiled as 4 parallel ~0.5s jobs doing identical work
+    sigs.count()
     val okBuckets = sigs.groupBy(col("_band"), col("_key"))
       .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)

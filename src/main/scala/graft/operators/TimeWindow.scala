@@ -110,10 +110,17 @@ object TimeWindow {
     val slots = (mx - mn) / step + 1
     // pmod(ws, 1) is a constant key the optimizer can't fold away: it
     // states "deliberately single-partition over bounded input" without
-    // tripping WindowExec's all-data-one-task warning
-    if (slots <= slotsPerBucket)
-      return gapFillKeyed(dfp.withColumn("_gk", pmod(col(ws).cast("long"), lit(1L))),
-        ws, step, valueCol, mode, Seq("_gk")).drop("_gk")
+    // tripping WindowExec's all-data-one-task warning. The spine comes
+    // straight from the just-probed literal bounds (`range` is born
+    // partitioned) — the keyed path would re-derive min/max with a
+    // second aggregate+exchange over data we already reduced driver-side.
+    if (slots <= slotsPerBucket) {
+      val spine = dfp.sparkSession.range(0L, slots)
+        .select((lit(mn) + col("id") * step).cast(dfp.schema(ws).dataType).as(ws))
+      val joined = spine.join(dfp, Seq(ws), "left")
+        .withColumn("_gk", pmod(col(ws).cast("long"), lit(1L)))
+      return fillJoined(joined, ws, valueCol, mode, Seq(col("_gk"))).drop("_gk")
+    }
 
     val v = col(valueCol)
     val span = step * slotsPerBucket
@@ -195,7 +202,15 @@ object TimeWindow {
     val spine = bounds.select(
       kcols :+ explode(sequence(col("mn"), col("mx"), lit(step))).as(ws): _*)
     val joined = spine.join(df, keys :+ ws, "left")
-    val w = Window.partitionBy(kcols: _*).orderBy(col(ws))
+    fillJoined(joined, ws, valueCol, mode, kcols)
+  }
+
+  /** Fill application over an already spine-joined frame, windowed per
+    * `partCols`.
+    */
+  private def fillJoined(joined: DataFrame, ws: String, valueCol: String,
+      mode: FillMode, partCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(col(ws))
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val v = col(valueCol)

@@ -347,9 +347,15 @@ object Tpch extends QueryModule {
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("l_partkey"), rev.as("v"))
-    val total = base.agg((sum(col("v")) * lit(0.001)).as("threshold"))
-    base.groupBy(col("l_partkey"))
+    // the HAVING threshold is the grand total × 0.001 — re-sum the
+    // per-part sums instead of re-running the whole join chain for a
+    // second full-table aggregate (the grouped frame sits behind its
+    // exchange, so both readers share one execution); grouped is ~|parts|
+    // rows, so the extra aggregate is negligible at any scale
+    val grouped = base.groupBy(col("l_partkey"))
       .agg(sum(col("v")).as("raw_value"))
+    val total = grouped.agg((sum(col("raw_value")) * lit(0.001)).as("threshold"))
+    grouped
       .crossJoin(broadcast(total))
       .filter(col("raw_value") > col("threshold"))
       .select(col("l_partkey").as("p_partkey"), money(col("raw_value")).as("value"))
@@ -395,15 +401,23 @@ object Tpch extends QueryModule {
 
   // ---------------------------------------------------------------- q13
   // Customer order-count distribution: LEFT OUTER join + two-level agg.
-  private def q13(s: SparkSession, d: String): DataFrame =
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    // aggregate orders per customer BEFORE the outer join (one partial-agg
+    // shuffle of the filtered orders), then the join carries one row per
+    // customer and the old post-join groupBy(c_custkey) — a full shuffle
+    // of the joined rows — disappears; o_orderkey is non-null, so
+    // count(o_orderkey) per customer ≡ the pre-aggregated count, 0 when
+    // unmatched
+    val ordCnt = Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("_n"))
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW"),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(ordCnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("_n"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
+  }
 
   private val q13Sql =
     """SELECT c_count, count(*) AS custdist FROM (
@@ -486,12 +500,19 @@ object Tpch extends QueryModule {
   // ---------------------------------------------------------------- q17
   // Small-quantity revenue: correlated per-part AVG subquery → agg + join.
   private def q17(s: SparkSession, d: String): DataFrame = {
+    // the correlated AVG is only ever read for parts passing the part
+    // filter — restrict lineitem to those parts BEFORE the per-part
+    // aggregate, so the groupBy shuffles the selective subset instead of
+    // the whole table (the unfiltered per-part averages were computed
+    // and then discarded by the join)
     val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d)
+          .filter(col("p_type") === "MEDIUM" && col("p_size") < 25)
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
     val partAvg = li.groupBy(col("l_partkey").as("pk"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
-    li.join(Tables.part(s, d).filter(col("p_type") === "MEDIUM" && col("p_size") < 25),
-        col("l_partkey") === col("p_partkey"))
-      .join(partAvg, col("l_partkey") === col("pk"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0, 6).as("avg_yearly"))
   }
@@ -506,19 +527,19 @@ object Tpch extends QueryModule {
   // ---------------------------------------------------------------- q18
   // Large-volume customers: IN over HAVING subquery → semi join.
   private def q18(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val big = li.groupBy(col("l_orderkey").as("big_ok"))
+    // every final group key is order-level, so the per-order quantity sum
+    // computed for the HAVING filter IS the output sum_qty: aggregate
+    // lineitem once and join the ~0 surviving orders straight to
+    // customer⨝orders — the original shape scanned and joined lineitem a
+    // second time only to re-derive the same sum (2 lineitem passes → 1)
+    val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("oq")).filter(col("oq") > 150)
-      .select(col("big_ok"))
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
-      .join(li, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .agg(money(sum(col("l_quantity"))).as("sum_qty"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+        money(col("oq")).as("sum_qty"))
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(100)
   }
@@ -593,6 +614,11 @@ object Tpch extends QueryModule {
     val l1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
+    // kept as declarative semi/anti joins: a per-order countDistinct
+    // reformulation was tried this round and measured SLOWER at sf0.1
+    // (1.05s vs 0.68s — two distinct-aggregate passes cost more than the
+    // broadcast semi/anti they replaced), with no structural win at scale
+    // (the duplicated l1 shuffle dedupes via ReusedExchange either way)
     val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val othersLate = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
     l1
