@@ -316,6 +316,36 @@ object EnumSet {
     val scols = allCols.filter(_.isSet)
     if (allCols.isEmpty) return q0
     var q = q0
+    def ordOrMaskExpr(c: Col): String =
+      if (c.isSet) {
+        val cases = c.labels.zipWithIndex
+          .map { case (l, i) =>
+            s"WHEN '${l.replace("'", "\\'")}' THEN ${1L << i}" }
+          .mkString(" ")
+        s"(CASE WHEN `${c.name}` IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE aggregate(filter(split(`${c.name}`, ','), x -> x != ''), " +
+          s"CAST(0 AS BIGINT), (acc, x) -> acc + CASE x $cases ELSE 0 END) END)"
+      } else
+        "array_position(array(" +
+          c.labels.map(l => "'" + l.replace("'", "\\'") + "'").mkString(",") +
+          s"), `${c.name}`)"
+    // row constructors against a subquery — `(e, i) [NOT] IN (SELECT …)`,
+    // `(e, i) = ANY (SELECT …)` — compare their enum/set members in
+    // ordinal/bitmap space (numeric operand contract); runs FIRST so the
+    // single-column rules below see the rewritten tuple members as
+    // opaque expressions, not bare columns
+    q = GraftSql.replaceMaskedAll(q,
+      """(?i)(?<![\w$`])\(([^()]+)\)(\s*(?:not\s+)?in\s*\(\s*select\b|\s*=\s*any\s*\(\s*select\b)""".r,
+      m => {
+        var tup = m.group(1)
+        allCols.foreach { c =>
+          val qn = java.util.regex.Pattern.quote(c.name)
+          tup = tup.replaceAll(
+            s"(?i)(?<![\\w$$.`'])`?$qn`?(?![\\w$$'])",
+            java.util.regex.Matcher.quoteReplacement(ordOrMaskExpr(c)))
+        }
+        "(" + tup + ")" + m.group(2)
+      })
     // SET columns evaluate from their member BITMAP in numeric /
     // bitwise / ORDER BY contexts (dtype/set: colors + 0, colors & 1,
     // order by colors) while string comparisons keep the normalized
@@ -345,12 +375,45 @@ object EnumSet {
       q = GraftSql.replaceMaskedAll(q,
         s"(?i)\\b(order\\s+by\\s+)`?$qn`?(?![\\w$$])".r,
         m => m.group(1) + mask)
+      // numeric subquery operand contract (mysql_compat_enum_set_numeric):
+      // `s [NOT] IN (SELECT <barecol> …)` / `s = ANY (SELECT <barecol> …)`
+      // compares the member BITMAP when the projected column is bare and
+      // not itself enum/set (a cast/function projection keeps labels)
+      q = GraftSql.replaceMaskedAll(q,
+        (s"(?i)(?<![\\w$$.`])`?$qn`?(\\s+(?:not\\s+)?in\\s*\\(\\s*select\\s+" +
+          s"|\\s*=\\s*any\\s*\\(\\s*select\\s+)(`?[\\w$$]+`?)(\\s+from)").r,
+        m => {
+          val inner = m.group(2).replace("`", "")
+          if (allCols.exists(_.name.equalsIgnoreCase(inner)))
+            mask + m.group(1) + m.group(2) + m.group(3)
+          else if (inner.matches("(?i)distinct|all"))
+            m.matched
+          else mask + m.group(1) + m.group(2) + m.group(3)
+        })
+      // … and a SUBQUERY projecting the set column under a numeric left
+      // operand yields bitmaps (`i IN (SELECT s …)`)
+      q = GraftSql.replaceMaskedAll(q,
+        s"(?i)\\b((?:in|any)\\s*\\(\\s*select\\s+)`?$qn`?(\\s+from)".r,
+        m => m.group(1) + mask + m.group(2))
     }
     ecols.foreach { c =>
       val qn = java.util.regex.Pattern.quote(c.name)
       val ord = "array_position(array(" +
         c.labels.map(l => "'" + l.replace("'", "\\'") + "'").mkString(",") +
         s"), `${c.name}`)"
+      // numeric subquery operand contract — see the SET analog above:
+      // ordinal space when the subquery projects a bare column
+      q = GraftSql.replaceMaskedAll(q,
+        (s"(?i)(?<![\\w$$.`])`?$qn`?(\\s+(?:not\\s+)?in\\s*\\(\\s*select\\s+" +
+          s"|\\s*=\\s*any\\s*\\(\\s*select\\s+)(`?[\\w$$]+`?)(\\s+from)").r,
+        m => {
+          val inner = m.group(2).replace("`", "")
+          if (inner.matches("(?i)distinct|all")) m.matched
+          else ord + m.group(1) + m.group(2) + m.group(3)
+        })
+      q = GraftSql.replaceMaskedAll(q,
+        s"(?i)\\b((?:in|any)\\s*\\(\\s*select\\s+)`?$qn`?(\\s+from)".r,
+        m => m.group(1) + ord + m.group(2))
       // col + 0 → 1-based ordinal
       q = GraftSql.replaceMaskedAll(q,
         s"(?i)(?<![\\w$$.`])`?$qn`?\\s*\\+\\s*0(?![\\w$$.])".r, _ => ord)

@@ -1799,10 +1799,19 @@ object GraftSql {
             val ty = inner.substring(asIdx + 4).trim
             BinCastWidthRe.findFirstMatchIn(ty).foreach { wm =>
               val n = wm.group(1).toInt
-              val b = s"CAST((${binCastPad(src)}) AS BINARY)"
+              // MySQL BINARY(n) cast semantics on the VALUE: truncate to
+              // n BYTES and zero-pad up to n (dtype/binary blocks
+              // 194/414: a 13-digit string casts to its first 2 bytes; a
+              // multibyte string cuts mid-sequence at byte n). Byte
+              // addressing happens in hex space: the session registry
+              // shadows substring/left with MySQL CHAR-semantics
+              // versions that coerce BINARY→STRING, but over a hex
+              // rendering chars ≡ bytes×2, and unhex rebuilds the raw
+              // bytes without a lossy UTF-8 decode of a mid-char cut.
               return q.substring(0, m.start) +
-                s"CAST(concat($b, repeat(chr(0), $n - length($b))) " +
-                "AS BINARY)" + binCastPad(q.substring(end))
+                s"CAST(unhex(rpad(substring(hex(CAST((${binCastPad(src)}) " +
+                s"AS BINARY)), 1, ${2 * n}), ${2 * n}, '00')) AS BINARY)" +
+                binCastPad(q.substring(end))
             }
           }
         case None =>

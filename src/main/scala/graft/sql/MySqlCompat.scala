@@ -674,7 +674,20 @@ object MySqlCompat {
               while (b >= 0 && (q(b).isLetterOrDigit || "._`".contains(q(b)))) b -= 1
               if (b < e) (b + 1, Seq(q.substring(b + 1, e + 1))) else (-1, Seq.empty[String])
             }
-          val lhsItems = lhsItems0.map { it =>
+          // a COMPLEX lhs term (CASE/function/arithmetic) cannot be
+          // relocated into the probe EXISTS: its unqualified outer-column
+          // references would re-resolve against the SUBQUERY's table and
+          // the correlation silently flips (observed: an enum-ordinal
+          // CASE lhs made every row TRUE). Only simple, qualifiable
+          // terms — identifiers, literals, NULL — rewrite to 3VL; a
+          // complex lhs keeps Spark's plain IN, which agrees everywhere
+          // except the UNKNOWN-observing shapes (those goldens use bare
+          // columns).
+          val simpleItem =
+            """^(`?[A-Za-z_][\w$]*`?(\.`?[A-Za-z_][\w$]*`?)?|'[^']*'|-?\d+(\.\d+)?|(?i:null))$""".r
+          val allSimple = lhsItems0.nonEmpty &&
+            lhsItems0.forall(it => simpleItem.findFirstIn(it).isDefined)
+          val lhsItems = if (!allSimple) Seq.empty[String] else lhsItems0.map { it =>
             outerAlias match {
               case Some(a) if it.matches("^[A-Za-z_]\\w*$") &&
                   !it.equalsIgnoreCase("null") => s"$a.$it"
@@ -708,8 +721,21 @@ object MySqlCompat {
           def probeMatch(ss: Seq[String]): String =
             lhsItems.zip(ss).map { case (l, s) => s"(($l) = ($s))" }
               .mkString(" AND ")
+          // in-place injection would put the outer table's NAME in the
+          // probe's FROM when the subquery reads the SAME table — the
+          // outer-qualified lhs then re-binds to the probe's own scope
+          // and the correlation silently collapses (every row compares a
+          // row to itself). The derived-table wrap hides the inner name,
+          // so the lhs qualifier can only mean the outer table.
+          val selfTable = outerAlias.exists { a =>
+            val subFromIdx = topIndexOf(sub, "from")
+            subFromIdx > 0 &&
+              ("(?is)^from\\s+`?" + java.util.regex.Pattern.quote(a) + "`?\\b").r
+                .findFirstIn(sub.substring(subFromIdx)).isDefined
+          }
           def variant(cond: Seq[String] => String): String =
-            if (plainShape && subFrom > 0 && subItems.length == lhsItems.length &&
+            if (plainShape && !selfTable && subFrom > 0 &&
+                subItems.length == lhsItems.length &&
                 subItems.forall(_ != "*")) {
               val fromTail = sub.substring(subFrom)
               val whereIdx = topIndexOf(fromTail, "where")
@@ -1178,7 +1204,45 @@ object MySqlCompat {
       applyJoin(plusDateLiteral(timestampAdd(dateAddSub(rowCompare(valuesTable(
         intervalUnits(groupConcat(unnestTvf(intervalFn(byRank(vecCast(
           datalinkCast(indexHints(pgCast(tempTable(q)))))))))))))))))))))
-    distinctOrderBy(a)
+    distinctOrderBy(groupingOrderBy(a))
+  }
+
+  /** MySQL resolves `ORDER BY grouping(x)` after WITH ROLLUP; Spark's
+    * Sort sits above the select-list Project and loses the grouping
+    * scope when only aliases are projected (window/rollup.result:620
+    * fails with UNRESOLVED_COLUMN on the grouped column). A sort item
+    * `grouping(x)` that textually equals a top-level select item's
+    * expression becomes that item's ALIAS — same value, output scope.
+    */
+  private def groupingOrderBy(q: String): String = {
+    val masked = maskLiterals(q)
+    val low = masked.toLowerCase
+    if (!low.contains("rollup") && !low.contains("cube") &&
+      !low.contains("grouping sets")) return q
+    if (!low.contains("grouping")) return q
+    val obM = """(?i)\border\s+by\s+""".r.findAllMatchIn(masked).toSeq
+      .filter(m => masked.substring(0, m.start).count(_ == '(') ==
+        masked.substring(0, m.start).count(_ == ')'))
+      .lastOption.getOrElse(return q)
+    val selM = """(?is)^\s*select\s+(?:distinct\s+)?""".r
+      .findFirstMatchIn(masked).getOrElse(return q)
+    val fromM = """(?i)\bfrom\b""".r.findAllMatchIn(masked)
+      .find(m => masked.substring(0, m.start).count(_ == '(') ==
+        masked.substring(0, m.start).count(_ == ')'))
+      .getOrElse(return q)
+    if (fromM.start < selM.end) return q
+    def norm(s: String) = s.toLowerCase.replaceAll("[\\s`]+", "")
+    val aliasOf: Map[String, String] =
+      GraftSql.splitTop(q.substring(selM.end, fromM.start)).flatMap { it =>
+        """(?is)^(.*?)\s+as\s+`?([\w$]+)`?\s*$""".r.findFirstMatchIn(it.trim)
+          .map(m => norm(m.group(1)) -> m.group(2))
+      }.toMap
+    if (aliasOf.isEmpty) return q
+    q.substring(0, obM.end) +
+      """(?i)\bgrouping\s*\(\s*`?[\w$]+`?\s*\)""".r
+        .replaceAllIn(q.substring(obM.end), m =>
+          java.util.regex.Matcher.quoteReplacement(
+            aliasOf.getOrElse(norm(m.matched), m.matched)))
   }
 
   /** MySQL resolves `SELECT DISTINCT <expr> … ORDER BY <expr>` by

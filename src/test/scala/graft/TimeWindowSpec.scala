@@ -100,4 +100,16 @@ class TimeWindowSpec extends AnyFunSuite {
       assert(run(4L) == run(8192L), s"paths diverge for $mode")
     }
   }
+
+  test("fast-path literal spine matches sequence semantics off-grid") {
+    // max-min not a multiple of step: the spine stops at the last grid
+    // slot ≤ max in both formulations (range-generated literals in the
+    // fast path, sequence(mn, mx, step) in the bucketed/keyed path)
+    val offGrid = Seq((0L, 1.0), (25L, 5.0)).toDF("ws", "v")
+    def run(spb: Long) =
+      TimeWindow.gapFill(offGrid, "ws", 10L, "v", FillPrev, slotsPerBucket = spb)
+        .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(run(8192L) == Seq(0L, 10L, 20L))
+    assert(run(2L) == run(8192L))
+  }
 }
