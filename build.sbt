@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Hadoop's RawLocalFileSystem shells out (chmod) on local file
+  // creation; the default posix_spawn launch mechanism needs a
+  // jspawnhelper exec that a memory/process-pressured sandbox can kill
+  // (VERIFY_r12: "Failed to exec spawn helper … signal: 15" inside a
+  // parquet test write). vfork spawns directly from the JVM with no
+  // helper process and no address-space copy.
+  "-Djdk.lang.Process.launchMechanism=vfork",
 )

@@ -71,8 +71,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     spark.stop()
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // ALSO write the bare JSON to a file: the driver's stdout-tail parser
+    // has returned `parsed: null` every round since r01 because the line
+    // arrives wrapped in sbt's `[info] ` prefix inside the log noise — a
+    // bare file is a machine-readable record with no decoration to strip
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     // emit the contract line LAST so it sits at the very end of the
     // captured output tail
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
   }
 }

@@ -8,7 +8,10 @@ package graft
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("plans/r12")
+    // plan capture must not execute jobs at DataFrame-construction time
+    // (operators gate their eager materializations on this)
+    System.setProperty("graft.plan.only", "1")
+    val outDir = args.headOption.getOrElse("plans/r13")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()

@@ -48,12 +48,26 @@ object Tables {
 
   def clearPlanCache(): Unit = planCache.clear()
 
+  /** Entries currently held (test/monitoring hook). */
+  private[graft] def planCacheSize: Int = planCache.size()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = planCache.synchronized {
       var m = planCache.get(spark.sharedState)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
         planCache.put(spark.sharedState, m)
+        // the cached DataFrames strongly reference their session (and so
+        // the weak key): free the entry eagerly when the context stops,
+        // or a long-lived multi-session service leaks every dead
+        // session's plans until clearPlanCache
+        val key = spark.sharedState
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              planCache.remove(key)
+          })
       }
       m
     }

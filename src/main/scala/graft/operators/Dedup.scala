@@ -56,21 +56,44 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
-  /** MinHash LSH candidates verified with exact shingle Jaccard. */
+  /** MinHash LSH candidates verified with exact shingle Jaccard.
+    *
+    * NOTE (lifetime contract): the returned plan reads two frames this
+    * call persists (the shingle table and the banded signature table).
+    * They stay registered until the caller's `spark.catalog.clearCache()`
+    * — which Bench/Verify issue after every query — or session end; a
+    * long-lived service embedding this operator must do the same.
+    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     // shingling is the expensive projection and is needed by candidate
     // generation AND both verify sides — persist so it is computed once
-    // (at cluster scale this materializes as a signature table)
+    // (at cluster scale this materializes as a signature table).
+    // NEGATIVE RESULT (r13, guide §1.2): repartitioning the raw text to
+    // core count before this kernel (to split the single-file scan's one
+    // task) measured 2.26–3.05 s vs 1.53–1.68 s without — every
+    // downstream stage then schedules 32 tiny tasks against the
+    // 32-block cache and the added latency dwarfs the parallel kernel
+    // win. Same conclusion as r12's global parallelism floor.
     val sh = df.select(col(idCol).as("_sid"),
         wordShingles(tokens(col(textCol)), shingleN).as("_sh") /* sorted */)
       .filter(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
-    cands
-      .join(sh.select(col("_sid").as("a_id"), col("_sh").as("_sha")), Seq("a_id"))
-      .join(sh.select(col("_sid").as("b_id"), col("_sh").as("_shb")), Seq("b_id"))
+    // exact-Jaccard verify, §8-style "decide small, attach payloads":
+    // the PAIR LIST is the small decision table — broadcast it and
+    // stream the (persisted) shingle table past it, so the corpus-wide
+    // shingle arrays are never the build side of anything (the previous
+    // shape broadcast the FULL shingle table twice, once per pair side).
+    // Candidate generation executes exactly once, inside the first
+    // broadcast. |cands| is LSH-bounded (maxBucket caps bucket fan-out);
+    // a corpus whose candidate pairs outgrow a broadcast has outgrown
+    // pairwise verify itself and needs the maxBucket guard tightened.
+    val withA = sh.select(col("_sid").as("a_id"), col("_sh").as("_sha"))
+      .join(broadcast(cands), Seq("a_id"))
+    sh.select(col("_sid").as("b_id"), col("_sh").as("_shb"))
+      .join(broadcast(withA), Seq("b_id"))
       .withColumn("jacc", jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jacc") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jacc"), 6).as("jacc"))
@@ -96,13 +119,20 @@ object Dedup {
     // materialize now (one pass also fills the upstream shingle cache):
     // the downstream plan launches its broadcast builds CONCURRENTLY, and
     // racing readers of a cold cache each recompute the shingle+signature
-    // pass — profiled as 4 parallel ~0.5s jobs doing identical work
-    sigs.count()
-    val okBuckets = sigs.groupBy(col("_band"), col("_key"))
-      .agg(count(lit(1)).as("_bucket_n"))
+    // pass — profiled as 4 parallel ~0.5s jobs doing identical work.
+    // Plan-capture tools (PlanDump) set `graft.plan.only` so DataFrame
+    // CONSTRUCTION stays execution-free for them.
+    if (!sys.props.contains("graft.plan.only")) sigs.count()
+    // degenerate-bucket guard (skew, guide §2.5) as a count-over-window
+    // ON THE SELF-JOIN'S OWN KEY: the window's hashpartitioning(_band,
+    // _key) exchange is exactly the partitioning the band self-join
+    // needs, so both join inputs read ONE reused exchange — the previous
+    // bucket-size AGGREGATE + broadcast-semi-join spent a second pass
+    // over sigs plus a broadcast build to produce the same survivor set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_band"), col("_key"))
+    val sized = sigs.withColumn("_bucket_n", count(lit(1)).over(w))
       .filter(col("_bucket_n") <= maxBucket)
-      .select(col("_band"), col("_key"))
-    val sized = sigs.join(okBuckets, Seq("_band", "_key"), "left_semi")
     val a = sized.select(col("_band"), col("_key"), col("_id").as("a_id"))
     val b = sized.select(col("_band"), col("_key"), col("_id").as("b_id"))
     a.join(b, Seq("_band", "_key")).filter(col("a_id") < col("b_id"))

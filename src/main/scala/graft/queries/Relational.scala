@@ -14,9 +14,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational extends QueryModule {
 
-  private val MONEY = "decimal(30,6)"
-  private def dsum(c: Column): Column = sum(c.cast(MONEY))
-  private def moneySum(c: Column): Column = round(dsum(c), 2).cast("double")
+  // exact-money kernel: value-identical to sum(CAST(c AS DECIMAL(30,6)))
+  // (MoneySpec pins the equivalence) without the per-row decimal cost
+  private def moneySum(c: Column): Column =
+    graft.functions.MoneyExpressions.moneySum(c)
 
   // ------------------------------------------------------------- windows
   // Ranking family: rank/dense_rank/row_number/ntile/percent_rank/cume_dist.
@@ -54,11 +55,14 @@ object Relational extends QueryModule {
     val sliding = w.rowsBetween(-2, 0)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice").cast(MONEY)).over(running), 2).cast("double")
-          .as("running_spend"),
-        // avg as exact-decimal sum / count: engines disagree on decimal-avg
+        graft.functions.MoneyExpressions.toMoney(
+          graft.functions.MoneyExpressions.sumMantissa(col("o_totalprice"))
+            .over(running)).as("running_spend"),
+        // avg as exact sum / count: engines disagree on decimal-avg
         // result scale, double division of exact inputs is deterministic
-        round(sum(col("o_totalprice").cast(MONEY)).over(sliding).cast("double") /
+        round(graft.functions.MoneyExpressions.toDouble(
+          graft.functions.MoneyExpressions.sumMantissa(col("o_totalprice"))
+            .over(sliding)) /
           count(lit(1)).over(sliding), 6).as("sliding_avg_3"),
         count(lit(1)).over(running).as("nth_order"))
       .filter(col("o_custkey") < 30)
@@ -122,8 +126,9 @@ object Relational extends QueryModule {
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         count(lit(1)).over(w).as("n_within_50k"),
-        round(sum(col("o_totalprice").cast(MONEY)).over(w), 2).cast("double")
-          .as("sum_within_50k"))
+        graft.functions.MoneyExpressions.toMoney(
+          graft.functions.MoneyExpressions.sumMantissa(col("o_totalprice"))
+            .over(w)).as("sum_within_50k"))
       .filter(col("o_custkey") < 20)
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -199,27 +204,28 @@ object Relational extends QueryModule {
     * between one pass and three.
     */
   private def gSets(s: SparkSession, d: String): DataFrame = {
+    val M = graft.functions.MoneyExpressions
     val base = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("sq"),
+      .agg(M.sumMantissa(col("l_quantity")).as("sq"),
         count(lit(1)).as("n"))
       .localCheckpoint() // ~6 rows: reuse for every grouping set
     val nullStr = lit(null).cast("string")
     val lvl2 = base.select(col("l_returnflag"), col("l_linestatus"),
       col("sq"), col("n"))
     val lvl1 = base.groupBy(col("l_returnflag"))
-      .agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
+      .agg(M.sumMantissaLong(col("sq")).as("sq"), sum(col("n")).as("n"))
       .select(col("l_returnflag"), nullStr.as("l_linestatus"), col("sq"),
         col("n"))
     val lvl0 = base
-      .agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
+      .agg(M.sumMantissaLong(col("sq")).as("sq"), sum(col("n")).as("n"))
       .select(nullStr.as("l_returnflag"), nullStr.as("l_linestatus"),
         col("sq"), col("n"))
     lvl2.unionByName(lvl1).unionByName(lvl0)
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        round(col("sq"), 2).cast("double").as("sum_qty"),
+        M.toMoney(col("sq")).as("sum_qty"),
         col("n").as("n"))
       .orderBy(col("returnflag"), col("linestatus"))
   }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries extends QueryModule {
 
-  private val MONEY = "decimal(30,6)"
-  private def moneySum(c: Column): Column = round(sum(c.cast(MONEY)), 2).cast("double")
+  // exact-money kernel: value-identical to sum(CAST(c AS DECIMAL(30,6)))
+  // (MoneySpec pins the equivalence) without the per-row decimal cost
+  private def moneySum(c: Column): Column =
+    graft.functions.MoneyExpressions.moneySum(c)
 
   // Tumbling 1-day windows per event type.
   private def tumbling(s: SparkSession, d: String): DataFrame =

@@ -28,15 +28,21 @@ object Tpch extends QueryModule {
   private def money(c: Column): Column = round(c, 2)
 
   /** Exact money summation: per-row double expressions are IEEE-identical
-    * across engines, so casting them to DECIMAL(30,6) BEFORE the sum makes
-    * the aggregate order-independent and bit-identical to the DuckDB oracle
-    * (double sums differ in the last ulp with summation order, which flips
-    * round-half boundaries). SQL mirror:
+    * across engines, so snapping them to 6 decimal places BEFORE the sum
+    * makes the aggregate order-independent and bit-identical to the DuckDB
+    * oracle (double sums differ in the last ulp with summation order, which
+    * flips round-half boundaries). SQL mirror:
     * `CAST(round(sum(CAST(e AS DECIMAL(30,6))), 2) AS DOUBLE)`.
+    * Implementation: the long-mantissa kernel
+    * ([[graft.functions.MoneyExpressions]]) — value-identical to the
+    * DECIMAL(30,6) formulation (MoneySpec pins half-round boundaries and
+    * the full exponent range) without the per-row Double.toString +
+    * BigDecimal cost that dominated q1's profile.
     */
-  private val MONEY = "decimal(30,6)"
-  private def dsum(c: Column): Column = sum(c.cast(MONEY))
-  private def moneySum(c: Column): Column = round(dsum(c), 2).cast("double")
+  private def dsumMantissa(c: Column): Column =
+    graft.functions.MoneyExpressions.sumMantissa(c)
+  private def moneySum(c: Column): Column =
+    graft.functions.MoneyExpressions.moneySum(c)
 
   // ---------------------------------------------------------------- q1
   // Pricing summary: full-scan group-aggregate (reference Group operator,
@@ -514,7 +520,8 @@ object Tpch extends QueryModule {
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
     li.join(partAvg, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_threshold"))
-      .agg(round(dsum(col("l_extendedprice")).cast("double") / 7.0, 6).as("avg_yearly"))
+      .agg(round(graft.functions.MoneyExpressions
+        .toDouble(dsumMantissa(col("l_extendedprice"))) / 7.0, 6).as("avg_yearly"))
   }
 
   private val q17Sql =

@@ -334,10 +334,16 @@ object EnumSet {
     // ordinal/bitmap space (numeric operand contract); runs FIRST so the
     // single-column rules below see the rewritten tuple members as
     // opaque expressions, not bare columns
+    // NOTE: the match runs over MASKED text (string literals blanked), so
+    // the tuple CONTENT must be re-read from the raw query at the same
+    // offsets (masking is length-preserving) — same contract as the
+    // IN-list rule below; a literal inside the tuple, e.g.
+    // `('red', e) IN (SELECT …)`, would otherwise be emitted as NULs
+    val qRawTup = q
     q = GraftSql.replaceMaskedAll(q,
       """(?i)(?<![\w$`])\(([^()]+)\)(\s*(?:not\s+)?in\s*\(\s*select\b|\s*=\s*any\s*\(\s*select\b)""".r,
       m => {
-        var tup = m.group(1)
+        var tup = qRawTup.substring(m.start(1), m.end(1))
         allCols.foreach { c =>
           val qn = java.util.regex.Pattern.quote(c.name)
           tup = tup.replaceAll(
@@ -377,17 +383,17 @@ object EnumSet {
         m => m.group(1) + mask)
       // numeric subquery operand contract (mysql_compat_enum_set_numeric):
       // `s [NOT] IN (SELECT <barecol> …)` / `s = ANY (SELECT <barecol> …)`
-      // compares the member BITMAP when the projected column is bare and
-      // not itself enum/set (a cast/function projection keeps labels)
+      // compares the member BITMAP whenever the projected item is a bare
+      // column (an enum/set inner projection is rewritten to its own
+      // bitmap/ordinal by the rules below, so both sides stay numeric); a
+      // DISTINCT/ALL keyword means the projection starts elsewhere —
+      // leave those untouched
       q = GraftSql.replaceMaskedAll(q,
         (s"(?i)(?<![\\w$$.`])`?$qn`?(\\s+(?:not\\s+)?in\\s*\\(\\s*select\\s+" +
           s"|\\s*=\\s*any\\s*\\(\\s*select\\s+)(`?[\\w$$]+`?)(\\s+from)").r,
         m => {
           val inner = m.group(2).replace("`", "")
-          if (allCols.exists(_.name.equalsIgnoreCase(inner)))
-            mask + m.group(1) + m.group(2) + m.group(3)
-          else if (inner.matches("(?i)distinct|all"))
-            m.matched
+          if (inner.matches("(?i)distinct|all")) m.matched
           else mask + m.group(1) + m.group(2) + m.group(3)
         })
       // … and a SUBQUERY projecting the set column under a numeric left

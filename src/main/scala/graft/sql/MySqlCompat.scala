@@ -727,11 +727,17 @@ object MySqlCompat {
           // and the correlation silently collapses (every row compares a
           // row to itself). The derived-table wrap hides the inner name,
           // so the lhs qualifier can only mean the outer table.
+          // scan the ENTIRE subquery FROM clause (joins, comma lists) for
+          // the outer name — `x IN (SELECT y FROM t2 JOIN t1 …)` re-binds
+          // just as badly as `FROM t1` does. Over-matching is safe: it
+          // merely forces the always-correct derived-table wrap.
           val selfTable = outerAlias.exists { a =>
             val subFromIdx = topIndexOf(sub, "from")
-            subFromIdx > 0 &&
-              ("(?is)^from\\s+`?" + java.util.regex.Pattern.quote(a) + "`?\\b").r
+            subFromIdx > 0 && {
+              val qa = java.util.regex.Pattern.quote(a)
+              ("(?is)(?:\\bfrom\\s+|\\bjoin\\s+|,\\s*)`?" + qa + "`?(?![\\w$.])").r
                 .findFirstIn(sub.substring(subFromIdx)).isDefined
+            }
           }
           def variant(cond: Seq[String] => String): String =
             if (plainShape && !selfTable && subFrom > 0 &&

@@ -25,6 +25,28 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("plan cache frees a session's entry when the application ends") {
+    Tables.load(spark, sfDirs.head, "region")
+    assert(Tables.planCacheSize >= 1)
+    // simulate the context's stop signal: Tables.load registered an
+    // ApplicationEnd listener on this context; post the event through the
+    // (bytecode-public) listener bus rather than stopping the shared test
+    // context out from under every other suite
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+    val post = bus.getClass.getMethods
+      .find(m => m.getName == "post" && m.getParameterCount == 1).get
+    post.invoke(bus,
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(System.currentTimeMillis()))
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (Tables.planCacheSize != 0 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(Tables.planCacheSize == 0, "entry not freed on application end")
+    // re-load works and re-registers (idempotent lifecycle)
+    Tables.load(spark, sfDirs.head, "region")
+    assert(Tables.planCacheSize == 1)
+  }
+
   test("events.ts is a usable session-zone timestamp") {
     for (dir <- sfDirs) {
       val df = Tables.events(spark, dir)
