@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   * on here instead of re-implementing them.
   */
 object GraftSession {
-  def builder(master: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
@@ -36,6 +36,16 @@ object GraftSession {
       // with micros timestamps (the current testdata) is unaffected
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // deployment/measurement overrides without a rebuild:
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" (cluster runs re-tune
+    // shuffle.partitions etc. here; local defaults above stay the
+    // driver-comparable baseline)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k.trim, v.trim)
+      }
+  }
 
   def local(threads: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$threads]").getOrCreate()

@@ -429,13 +429,23 @@ object Bm25 {
     perDoc.withColumn("score", score)
   }
 
-  private val phraseOkU = udf((offs: Seq[Int], plists: Seq[Seq[Int]], nWords: Int) =>
-    offs.length == nWords && {
-      val rest = plists.tail.map(_.toSet)
-      val base = offs.head
-      plists.head.exists(p =>
-        rest.zip(offs.tail).forall { case (ps, off) => ps.contains(p - base + off) })
-    })
+  /** Phrase-occurrence count via built-in expressions (guide §4 — no
+    * ScalaUDF on the candidate path): shift every leaf's posting list by
+    * its phrase offset, then intersect across leaves. A surviving value
+    * is an anchor position where EVERY word of the phrase appears at its
+    * required offset; the count is the phrase's occurrence count and
+    * `> 0` is the phrase predicate. Positions within one (leaf, doc)
+    * posting are distinct, so the set semantics of array_intersect match
+    * the reference's docvec bookkeeping exactly.
+    */
+  private def phraseOccCount(offs: Column, plists: Column, nWords: Int): Column = {
+    val normalized = zip_with(plists, offs,
+      (ps, off) => transform(ps, p => p - off))
+    val inter = aggregate(normalized, lit(null).cast("array<int>"),
+      (acc, x) => when(acc.isNull, x).otherwise(array_intersect(acc, x)))
+    when(size(offs) =!= nWords, lit(0))
+      .otherwise(coalesce(size(inter), lit(0)))
+  }
 
   /** Evaluate a parsed boolean query against a prebuilt index.
     * Top-level combine per the reference's Eval loop: `+` nodes AND
@@ -551,7 +561,7 @@ object Bm25 {
             .agg(
               expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.phrase_pos)").as("offs"),
               expr("transform(sort_array(collect_list(struct(phrase_pos, positions))), x -> x.positions)").as("plists"))
-            .filter(phraseOkU(col("offs"), col("plists"), lit(nWords)))
+            .filter(phraseOccCount(col("offs"), col("plists"), nWords) > 0)
             .select(col("doc_id"))
         }.reduce(_.join(_, Seq("doc_id"), "inner"))
         base.groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
@@ -598,11 +608,6 @@ object Bm25 {
     * With `tokenizer = "chinese"` the query is segmented with the same
     * dictionary DP as the index.
     */
-  private val occCountU = udf((offs: Seq[Int], plists: Seq[Seq[Int]], nWords: Int) =>
-    if (offs.length != nWords) 0
-    else plists.zip(offs).map { case (ps, off) => ps.map(_ - off).toSet }
-      .reduce(_ intersect _).size)
-
   /** The reference's natural-language mode, exactly: the WHOLE query is
     * one positional phrase over its NL-parsed patterns (`patternToSql`
     * routes NL mode through `SqlPhrase`, `pkg/fulltext/sql.go:575-580`;
@@ -644,7 +649,7 @@ object Bm25 {
         max(col("dl")).as("dl"), sum(col("tf")).as("tfsum"))
     val withOcc =
       if (n == 1) perDoc.withColumn("occ", col("tfsum").cast("int"))
-      else perDoc.withColumn("occ", occCountU(col("offs"), col("plists"), lit(n)))
+      else perDoc.withColumn("occ", phraseOccCount(col("offs"), col("plists"), n))
     val matched = withOcc.filter(col("occ") > 0)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(lit(1))))
     val nDocs = lit(index.nDocs.toDouble)

@@ -1,8 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
 
 /** Re-aggregatable sketch aggregates — the reference's
   * `bitmap_construct_agg`/`bitmap_or_agg`/`bitmap_count`
@@ -10,49 +8,18 @@ import org.apache.spark.sql.functions.udaf
   * `hll_cardinality` (mergeable HLL sketches, unlike
   * `approx_count_distinct` which cannot be re-merged at SQL level).
   *
-  * Implemented as typed `Aggregator`s with byte-array buffers (no
-  * external sketch libraries): bitmap = java.util.BitSet words, HLL =
-  * dense 2^p register array. Both are associative + commutative, so Spark
-  * runs them as partial (map-side) aggregates with a tiny merge shuffle —
-  * the property that makes them work at 100 TB: per-partition sketches,
-  * merged, never re-scanning.
+  * Implemented as native Catalyst TypedImperativeAggregates
+  * ([[SketchAgg]] in SketchAggs.scala; no external sketch libraries):
+  * bitmap = java.util.BitSet words, HLL = dense 2^p register array.
+  * Both are associative + commutative, so Spark runs them as partial
+  * (map-side) aggregates with a tiny merge shuffle — the property that
+  * makes them work at 100 TB: per-partition sketches, merged, never
+  * re-scanning. (The previous typed-`Aggregator` forms paid an
+  * ExpressionEncoder per input row and JAVA-SERIALIZED the BitSet
+  * buffer across the partial→final shuffle; the native forms evaluate
+  * the child directly and ship the compact byte-array wire form.)
   */
 object Sketches {
-
-  // ------------------------------------------------------------- bitmap
-  /** Build an exact membership bitmap from non-negative Long values
-    * (NULLs are skipped, not hashed as zero).
-    */
-  object BitmapConstructAgg extends Aggregator[java.lang.Long, java.util.BitSet, Array[Byte]] {
-    def zero: java.util.BitSet = new java.util.BitSet()
-    def reduce(b: java.util.BitSet, v0: java.lang.Long): java.util.BitSet = {
-      if (v0 != null) {
-        val v = v0.longValue
-        if (v >= 0 && v < Int.MaxValue) b.set(v.toInt)
-      }
-      b
-    }
-    def merge(a: java.util.BitSet, b: java.util.BitSet): java.util.BitSet = {
-      a.or(b); a
-    }
-    def finish(b: java.util.BitSet): Array[Byte] = b.toByteArray
-    def bufferEncoder: Encoder[java.util.BitSet] = Encoders.javaSerialization
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
-  /** OR-merge pre-built bitmaps (re-aggregation path). */
-  object BitmapOrAgg extends Aggregator[Array[Byte], java.util.BitSet, Array[Byte]] {
-    def zero: java.util.BitSet = new java.util.BitSet()
-    def reduce(b: java.util.BitSet, v: Array[Byte]): java.util.BitSet = {
-      if (v != null) b.or(java.util.BitSet.valueOf(v)); b
-    }
-    def merge(a: java.util.BitSet, b: java.util.BitSet): java.util.BitSet = {
-      a.or(b); a
-    }
-    def finish(b: java.util.BitSet): Array[Byte] = b.toByteArray
-    def bufferEncoder: Encoder[java.util.BitSet] = Encoders.javaSerialization
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
 
   def bitmapCount(bytes: Array[Byte]): Long =
     if (bytes == null) 0L else java.util.BitSet.valueOf(bytes).cardinality().toLong
@@ -71,7 +38,7 @@ object Sketches {
     z ^ (z >>> 31)
   }
 
-  private def addToRegisters(reg: Array[Byte], v: Long): Unit = {
+  private[functions] def addToRegisters(reg: Array[Byte], v: Long): Unit = {
     val h = hash64(v)
     val idx = (h >>> (64 - HllP)).toInt
     val w = h << HllP
@@ -95,59 +62,36 @@ object Sketches {
     math.round(est)
   }
 
-  /** hll_add: values → dense HLL sketch (binary, mergeable). NULLs are
-    * skipped — hashing them as zero inflated small cardinalities
-    * (func_hll.result).
-    */
-  object HllAddAgg extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
-    def zero: Array[Byte] = new Array[Byte](HllM)
-    def reduce(b: Array[Byte], v: java.lang.Long): Array[Byte] = {
-      if (v != null) addToRegisters(b, v.longValue)
-      b
-    }
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    def finish(b: Array[Byte]): Array[Byte] = b
-    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
-  /** hll_merge: sketches → merged sketch. */
-  object HllMergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    def zero: Array[Byte] = new Array[Byte](HllM)
-    def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] = {
-      if (v != null) { var i = 0; while (i < b.length) { if (v(i) > b(i)) b(i) = v(i); i += 1 } }
-      b
-    }
-    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    def finish(b: Array[Byte]): Array[Byte] = b
-    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-  }
-
   // ------------------------------------------------------- Column API
+  import org.apache.spark.sql.GraftColumnBridge.{column => asCol, expression => asExpr}
   def bitmap_construct_agg(c: Column): Column =
-    udaf(BitmapConstructAgg, Encoders.LONG).apply(c)
-  def bitmap_or_agg(c: Column): Column = udaf(BitmapOrAgg).apply(c)
-  def hll_add(c: Column): Column = udaf(HllAddAgg, Encoders.LONG).apply(c)
-  def hll_merge(c: Column): Column = udaf(HllMergeAgg).apply(c)
+    asCol(BitmapConstructAggExpr(asExpr(c)).toAggregateExpression())
+  def bitmap_or_agg(c: Column): Column =
+    asCol(BitmapOrAggExpr(asExpr(c)).toAggregateExpression())
+  def hll_add(c: Column): Column =
+    asCol(HllAddAggExpr(asExpr(c)).toAggregateExpression())
+  def hll_merge(c: Column): Column =
+    asCol(HllMergeAggExpr(asExpr(c)).toAggregateExpression())
 
   /** Register scalar + aggregate SQL names. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.udf.register("bitmap_construct_agg", udaf(BitmapConstructAgg, Encoders.LONG))
-    spark.udf.register("bitmap_or_agg", udaf(BitmapOrAgg))
-    spark.udf.register("hll_add", udaf(HllAddAgg, Encoders.LONG))
-    spark.udf.register("hll_merge", udaf(HllMergeAgg))
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    // aggregate names resolve to the native AggregateFunctions (the
+    // analyzer wraps them in AggregateExpression); builders keep the
+    // SAME names/semantics the reference registry exposes
+    def agg(name: String, usage: String)(build: Expression => Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
+        (args: Seq[Expression]) => build(args.head))
+    agg("bitmap_construct_agg", "bitmap_construct_agg(bigint)")(BitmapConstructAggExpr(_))
+    agg("bitmap_or_agg", "bitmap_or_agg(binary)")(BitmapOrAggExpr(_))
+    agg("hll_add", "hll_add(bigint)")(HllAddAggExpr(_))
+    agg("hll_merge", "hll_merge(binary)")(HllMergeAggExpr(_))
     // reference registry spells the aggregate forms with _agg
-    spark.udf.register("hll_add_agg", udaf(HllAddAgg, Encoders.LONG))
-    spark.udf.register("hll_merge_agg", udaf(HllMergeAgg))
+    agg("hll_add_agg", "hll_add_agg(bigint)")(HllAddAggExpr(_))
+    agg("hll_merge_agg", "hll_merge_agg(binary)")(HllMergeAggExpr(_))
     spark.udf.register("bitmap_count", (b: Array[Byte]) => bitmapCount(b))
     spark.udf.register("hll_cardinality", (b: Array[Byte]) =>
       if (b == null) null

@@ -339,15 +339,24 @@ object Relational extends QueryModule {
   // approx_count_distinct emitted as a HARD-oracle summary: the exact
   // count (DuckDB re-derives it) plus a within-15% flag on Spark's HLL
   // estimate (3× the default 5% rsd; observed ≤8.7% at sf0.001/0.01).
-  private def approxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("_approx"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+  private def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    // keep the HLL++ aggregate OUT of the same agg() as countDistinct:
+    // mixed with a distinct aggregate, Spark's first phase groups by
+    // (l_returnflag, l_orderkey) and builds one HLL++ buffer per
+    // DISTINCT KEY instead of one per flag (a5's 16KB-buffer version of
+    // this measured 12 s; here the buffers are smaller but the shape is
+    // the same). Split, then join the 3-row results.
+    val li = Tables.lineitem(s, d)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("_approx"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("_approx") - col("exact_orders")).cast("double") / col("exact_orders")
           <= 0.15).as("within_3rsd"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val approxDistinctSql =
     """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -371,7 +380,7 @@ object Relational extends QueryModule {
       """WITH RECURSIVE t AS (
         |  SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 1
         |  UNION ALL
-        |  SELECT c.c_custkey, CAST(t.depth + 1 AS INT) AS depth
+        |  SELECT /*+ BROADCAST(t) */ c.c_custkey, CAST(t.depth + 1 AS INT) AS depth
         |  FROM customer c JOIN t ON c.c_custkey DIV 4 = t.c_custkey
         |  WHERE c.c_custkey >= 2)
         |SELECT c_custkey, depth FROM t ORDER BY depth, c_custkey""".stripMargin)
