@@ -82,9 +82,18 @@ object TextFunctions {
   /** LSH band keys: signature split into `bands` bands of `rows` hashes;
     * each band rendered as a join key string.
     */
+  /** LSH bucket key per band: a 64-bit hash of the band's signature
+    * slice, not the joined string — the key flows through an exchange,
+    * a self-join and a distinct, and a long is both narrower and
+    * cheaper to compare than the ~80-char `h1_h2_…` concat (guide
+    * §2.3). A hash collision can only ADD a candidate pair (equal
+    * slices always collide), and candidates are verified by exact
+    * Jaccard/Hamming downstream, so recall and declared outputs are
+    * unchanged.
+    */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws("_", slice(sig, b * rows + 1, lit(rows))))
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows))))
 
   /** 64-bit SimHash as a 64-element 0/1 array: bit b is the sign of the
     * summed (+1/-1) votes from each token's b-th independent hash. The

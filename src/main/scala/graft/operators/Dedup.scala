@@ -163,9 +163,12 @@ object Dedup {
     val sigs = df
       .select(col(idCol).as("_id"), bitsOf.as("_bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // chunk key = 64-bit hash of the bit slice (not the "0101…" string):
+    // narrower exchange/join keys; collisions only add candidates, and
+    // every pair is verified by exact hamming below
     val chunked = sigs.select(col("_id"), col("_bits"),
         posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
-          c => concat_ws("", slice(col("_bits"), c * chunkBits + 1, lit(chunkBits))))))
+          c => xxhash64(slice(col("_bits"), c * chunkBits + 1, lit(chunkBits))))))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_key")
     val okBuckets = chunked.groupBy(col("_chunk"), col("_key"))
       .agg(count(lit(1)).as("_bucket_n"))
